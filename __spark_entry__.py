@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+All real logic lives in ``debezium_nats_cdc_spark``; this module only
+adapts the registry to the driver's calling convention.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from debezium_nats_cdc_spark import catalog
+from debezium_nats_cdc_spark.operators import cdc_queries
+from debezium_nats_cdc_spark.operators._common import dec2, money_sum
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 (SURVEY.md §7 step 1).
+
+    The full domain-event slice: raw events -> domain envelope build
+    (category mapping, deterministic uid, subject, month partition key)
+    -> event-store rollup by month/category/subject, the reference's
+    materialized-view shape (docs/system-design.md:130-134).
+    """
+    envelopes = cdc_queries.cdc_envelope_build(spark, SF0001)
+    return (
+        envelopes.groupBy("event_month", "event_category", "subject")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("aggregate_id").alias("n_aggregates"),
+            F.min("event_timestamp").alias("first_ts"),
+            F.max("event_timestamp").alias("last_ts"),
+        )
+        .orderBy("event_month", "subject")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return catalog.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI-SQL twin for each (SQL-expressible) query."""
+    return catalog.oracle_sql()

@@ -1,0 +1,76 @@
+"""Driver-facing query registry.
+
+Every operator from SURVEY.md §2 that is implemented registers here with:
+  - a Spark callable  (spark, sf_dir) -> DataFrame
+  - an equivalent ANSI-SQL oracle string runnable by DuckDB on the same
+    parquet tables (or None for genuinely non-SQL-expressible ops — the
+    driver then records a weaker rows-only check)
+  - the SURVEY §2 operator ids it covers (for the judge's parity check)
+
+Column-name parity rule (driver contract): the compare sorts columns by
+name before hashing, so every computed column is aliased identically in
+the Spark code and the oracle SQL.
+
+Numeric parity rules (hard-won, see tests/test_correctness.py):
+  - money/derived aggregates are computed on DECIMAL, never summed as
+    double (float summation order differs across engines)
+  - DuckDB SUM(BIGINT) returns HUGEINT and AVG returns DOUBLE — oracles
+    cast explicitly so schemas line up with Spark's types
+  - raw double *columns* pass through untouched (bit-identical in parquet)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class CatalogEntry:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ids: list[str] = field(default_factory=list)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, CatalogEntry] = {}
+
+
+def register(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""):
+    """Decorator: add a (spark, sf_dir) -> DataFrame query to the catalog."""
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = CatalogEntry(name, fn, oracle, survey_ids, doc or (fn.__doc__ or ""))
+        return fn
+
+    return wrap
+
+
+def _load_modules() -> None:
+    # import for registration side effects
+    from .operators import (  # noqa: F401
+        aggregates,
+        cdc_queries,
+        joins,
+        windows,
+        dedup,
+        similarity,
+        text,
+        multimodal,
+    )
+
+
+def entries() -> dict[str, CatalogEntry]:
+    _load_modules()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: e.fn for n, e in entries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: e.oracle for n, e in entries().items() if e.oracle is not None}

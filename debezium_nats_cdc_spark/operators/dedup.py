@@ -1,0 +1,342 @@
+"""Document deduplication operators (SURVEY.md §2.K1 — driver mandate).
+
+Training-data-pipeline dedup over the ``documents`` table, each designed
+for the 100 TB path:
+
+- exact:       hash-groupBy on a content digest — one shuffle on the digest
+- minhash-LSH: shingle → K minhashes → B bands → equi-join on band key.
+  Candidate generation NEVER cross-joins: pairs only materialize for
+  documents sharing a band bucket, so cost is Σ bucket² instead of N².
+- simhash:     64-bit locality hash → bucket on 16-bit chunks (Hamming
+  candidates), verify by popcount distance.
+- n-gram Jaccard: token-shingle overlap verification for candidate pairs.
+
+Determinism: all hashes derive from md5/xxhash64 of content — stable
+across runs, partitionings, and cluster sizes (no Random, no uuid()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register
+from ..io import load_table
+
+# ---------------------------------------------------------------- exact --
+
+
+@register(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    """,
+    survey_ids=["K1"],
+    doc="Exact dedup: digest-groupBy; only duplicate groups surface. "
+        "Digest (16 bytes) shuffles instead of the document body — at "
+        "100 TB the shuffle is ~digest+id wide, not content wide.",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "dedup_exact_keep_first",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """,
+    survey_ids=["K1", "E2"],
+    doc="Exact dedup, surviving rows: min-doc_id winner per content digest.",
+)
+def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# ------------------------------------------------------------- minhash --
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def shingles(col, n: int = 3):
+    """Word n-gram shingle array from a text column (pure Catalyst).
+
+    tokens[i..i+n-1] joined with '_' for each valid start index; distinct.
+    """
+    toks = F.split(F.lower(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    "_", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array(F.concat_ws("_", toks)))
+    )
+
+
+def _seeded_hash(seed: int):
+    # NB: must be a closure factory — a `lambda s, i=i:` default arg would
+    # be overridden by transform's optional element-index second argument.
+    return lambda s: F.xxhash64(F.lit(seed), s)
+
+
+def minhash_signature(shingle_col):
+    """K minhash values: min over shingles of xxhash64(seed, shingle).
+
+    xxhash64 is a JVM-side codegen'd expression — no UDF; seeds make the
+    K hash functions independent.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, _seeded_hash(i)))
+            for i in range(N_HASHES)
+        ]
+    )
+
+
+def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Shuffle cost: docs × B band rows, keyed by (band_id, band_hash).
+    Self-join happens per bucket — skew guard: buckets above a size cap
+    (degenerate content) are dropped, as at web scale a single hot bucket
+    would otherwise quadratically dominate.
+    """
+    rows_per_band = N_HASHES // N_BANDS
+    sig = docs.select(
+        F.col(id_col),
+        minhash_signature(shingles(F.col(text_col))).alias("sig"),
+    )
+    bands = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * rows_per_band + r + 1)
+                              for r in range(rows_per_band)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "sig", "band.band_id", "band.band_hash")
+
+    # skew guard: drop degenerate buckets (> 1000 members)
+    sizes = bands.groupBy("band_id", "band_hash").count().filter(F.col("count") <= 1000)
+    bands = bands.join(sizes.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_semi")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(N_HASHES)
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # banding pipeline is not ANSI-SQL-expressible; rows-only
+    survey_ids=["K1"],
+    doc="MinHash+LSH near-dup candidates: 16 xxhash64 minhashes, 4 bands, "
+        "bucket equi-join (no cross join), signature-estimated Jaccard ≥ 0.5.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_candidates(d)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    gsets AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || '_' || toks[i+1] || '_' || toks[i+2]
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS gs
+      FROM tok WHERE len(toks) >= 3
+    ),
+    postings AS (
+      SELECT doc_id, unnest(gs) AS g, len(gs) AS sz FROM gsets
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter,
+             ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*) AS uni
+      FROM postings a JOIN postings b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(ROUND(CAST(inter AS DOUBLE) / uni, 4) AS DECIMAL(10,4)) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / uni >= 0.2
+    """,
+    survey_ids=["K1"],
+    doc="Exact word-3-gram Jaccard via inverted-index pair generation: "
+        "pairs only materialize for docs sharing a shingle (cost Σ df² "
+        "over shingles ≪ N²; no cross join). Identical result set to the "
+        "brute-force all-pairs version for any threshold > 0.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    gsets = d.select("doc_id", shingles(F.col("text")).alias("gs")).filter(
+        F.size(F.split(F.lower("text"), " ")) >= 3
+    )
+    postings = gsets.select(
+        "doc_id", F.explode("gs").alias("g"), F.size("gs").alias("sz")
+    )
+    a, b = postings.alias("a"), postings.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count("*").alias("inter"),
+            (F.any_value(F.col("a.sz")) + F.any_value(F.col("b.sz")) - F.count("*")).alias("uni"),
+        )
+    )
+    jac = F.col("inter").cast("double") / F.col("uni")
+    return (
+        pairs.filter(jac >= 0.2)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).cast("decimal(10,4)").alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------------- simhash --
+
+
+def simhash64(shingle_col):
+    """64-bit SimHash from a shingle array — pure Catalyst bit math.
+
+    For each bit position, sum ±1 weighted by each shingle-hash's bit;
+    the sign of the sum is the output bit.  Expressed as 64 aggregate
+    folds over the shingle array (codegen'd; no Python).
+    """
+    h = F.transform(shingle_col, lambda s: F.xxhash64(s))
+
+    def bit_vote(i: int):
+        # closure factory (see _seeded_hash note on lambda default args)
+        mask = F.shiftleft(F.lit(1).cast("long"), i)
+        return lambda acc, v: acc + F.when(v.bitwiseAND(mask) != 0, 1).otherwise(-1)
+
+    bits = [
+        F.when(
+            F.aggregate(h, F.lit(0), bit_vote(i)) > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(64)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # bit-fold pipeline: rows-only check
+    survey_ids=["K1"],
+    doc="SimHash near-dup: 64-bit signature, candidates bucketed on four "
+        "16-bit chunks (any-chunk-equal → Hamming ≤ 48 guaranteed recall "
+        "band), verified by popcount(xor) ≤ 8.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = d.select("doc_id", simhash64(shingles(F.col("text"))).alias("sig"))
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned("sig", 16 * c)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "sig", "ck.chunk_id", "ck.chunk")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= 8)
+        .orderBy("doc_a", "doc_b")
+    )

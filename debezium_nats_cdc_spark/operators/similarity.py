@@ -1,0 +1,203 @@
+"""Similarity search over embeddings (SURVEY.md §2.K2 — driver mandate).
+
+Brute-force cosine top-k as the correctness baseline; LSH-bucketed
+(random-hyperplane) variant as the 100 TB scale path.  The vector math is
+pure Catalyst (functions/vectors.py): zip_with/aggregate fold JVM-side,
+so there's no Python or serialization in the inner loop.
+
+Determinism for oracle parity: cosine is computed as a left fold in
+double (fixed association order) and ROUNDED to 6dp DECIMAL before any
+top-k/threshold decision, with vec_id tiebreaks — identical row sets on
+any engine or partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import register
+from ..functions.vectors import cosine_similarity, dot_product
+from ..io import load_table
+
+_ORACLE_COS = """
+    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             CAST(ROUND({_ORACLE_COS}, 6) AS DECIMAL(10,6)) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY CAST(ROUND({_ORACLE_COS}, 6) AS DECIMAL(10,6)) DESC, b.vec_id) AS rnk
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      WHERE a.vec_id < 8)
+    WHERE rnk <= 5
+    """,
+    survey_ids=["K2"],
+    doc="Brute-force cosine top-k: tiny query set broadcast against the "
+        "full corpus — the exact baseline every ANN variant is graded "
+        "against. One scan of the corpus, no shuffle until the per-query "
+        "top-k (k rows per query).",
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cos = F.round(cosine_similarity("q_emb", "embedding"), 6).cast("decimal(10,6)")
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
+@register(
+    "sim_nearest_centroid",
+    oracle=f"""
+    SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(ROUND(AVG(cos_sim), 6) AS DECIMAL(10,6)) AS avg_cos
+    FROM (
+      SELECT b.vec_id, a.vec_id AS centroid_id,
+             CAST(ROUND({_ORACLE_COS}, 6) AS DECIMAL(10,6)) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.vec_id
+               ORDER BY CAST(ROUND({_ORACLE_COS}, 6) AS DECIMAL(10,6)) DESC, a.vec_id) AS rnk
+      FROM embeddings a JOIN embeddings b ON true
+      WHERE a.vec_id < 8)
+    WHERE rnk = 1
+    GROUP BY centroid_id
+    """,
+    survey_ids=["K2"],
+    doc="IVF assignment step: route each vector to its nearest of C "
+        "broadcast centroids (the coarse quantizer of an IVF index). At "
+        "scale this is the partitioning pass that makes probe-time search "
+        "touch 1/C of the corpus.",
+)
+def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = F.round(cosine_similarity("c_emb", "embedding"), 6).cast("decimal(10,6)")
+    scored = e.join(F.broadcast(cents)).select(
+        "vec_id", "centroid_id", cos.alias("cos_sim")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
+    assigned = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return assigned.groupBy("centroid_id").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("cos_sim"), 6).cast("decimal(10,6)").alias("avg_cos"),
+    )
+
+
+@register(
+    "sim_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(ROUND({_ORACLE_COS}, 6) AS DECIMAL(10,6)) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({_ORACLE_COS}, 6) >= 0.35
+    """,
+    survey_ids=["K1", "K2"],
+    doc="Embedding-cosine near-duplicate pairs, label-blocked: candidate "
+        "pairs only form within a blocking key (here the cluster label — "
+        "at scale, an LSH bucket), never a full cross join.",
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(
+        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+    ).cast("decimal(10,6)")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+    )
+
+
+def _hyperplanes(dim: int = 64, n_planes: int = 8) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed seed, no RNG state)."""
+    import math
+
+    planes = []
+    for p in range(n_planes):
+        # xorshift-ish deterministic stream; good enough for LSH directions
+        vals = []
+        state = (p + 1) * 2654435761 % (2**32)
+        for _ in range(dim):
+            state ^= (state << 13) % (2**64)
+            state ^= state >> 7
+            state ^= (state << 17) % (2**64)
+            state %= 2**64
+            vals.append((state / 2**64) * 2.0 - 1.0)
+        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / norm for v in vals])
+    return planes
+
+
+@register(
+    "sim_lsh_bucketed_neardup",
+    oracle=None,  # hyperplane-LSH pipeline: rows-only check
+    survey_ids=["K2", "K1"],
+    doc="Scale path: random-hyperplane LSH — 8-bit sign sketch per vector, "
+        "bucket equi-join, cosine verify ≥ 0.35. Candidate cost ∝ Σ bucket² "
+        "(≈N²/256 for balanced buckets) instead of N²; buckets co-locate "
+        "via one hash shuffle.",
+)
+def sim_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes()
+    bucket = None
+    for i, plane in enumerate(planes):
+        bit = (
+            F.when(
+                dot_product(F.col("embedding"), F.array(*[F.lit(v) for v in plane])) >= 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+        )
+        bucket = bit if bucket is None else bucket + bit
+    sk = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a, b = sk.alias("a"), sk.alias("b")
+    cos = F.round(
+        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+    ).cast("decimal(10,6)")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,0 +1,182 @@
+"""Text-analysis operators (SURVEY.md §2.K3 — driver mandate).
+
+Language-ID, quality scoring, token counting, and document fingerprinting
+over the ``documents`` table.  All pure Catalyst column expressions —
+no Python in the hot path; at 100 TB these are embarrassingly parallel
+scan-projections (no shuffle except the final aggregations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register
+from ..io import load_table
+from ._common import dec2
+
+# small closed-class word lists for heuristic language ID
+_EN_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+
+
+def _tokens(col):
+    return F.split(F.lower(col), " ")
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           n_chars,
+           CAST(ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
+                AS DECIMAL(18,4)) AS chars_per_token
+    FROM documents
+    """,
+    survey_ids=["K3"],
+    doc="Whitespace token counting + length stats per document.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.cast("int").alias("n_tokens"),
+        "n_chars",
+        F.round(F.col("n_chars").cast("double") / n_tokens, 4)
+        .cast("decimal(18,4)")
+        .alias("chars_per_token"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROUND(CAST(len(list_intersect(string_split(lower(text), ' '),
+                ['the','and','of','to','a','in','is','it','that','for',
+                 'on','with','as','was','at','by','an','be','this','are'])) AS DOUBLE)
+                / 20, 4) AS DECIMAL(10,4)) AS stopword_coverage,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           (n_chars >= 100 AND len(string_split(text, ' ')) >= 20) AS passes_length_gate
+    FROM documents
+    """,
+    survey_ids=["K3"],
+    doc="Quality scoring: stopword coverage + length gates — the classic "
+        "pretraining-corpus filter (C4-style heuristics) as one projection.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    coverage = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _EN_STOPWORDS])))
+    n_tokens = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.round(coverage.cast("double") / len(_EN_STOPWORDS), 4)
+        .cast("decimal(10,4)")
+        .alias("stopword_coverage"),
+        n_tokens.cast("int").alias("n_tokens"),
+        ((F.col("n_chars") >= 100) & (n_tokens >= 20)).alias("passes_length_gate"),
+    )
+
+
+@register(
+    "text_lang_distribution",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+    survey_ids=["K3"],
+    doc="Corpus composition rollup by language and source.",
+)
+def text_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+           substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 8) AS shard_key
+    FROM documents
+    """,
+    survey_ids=["K3", "K1"],
+    doc="Document fingerprint: content digest of whitespace-normalized "
+        "lowercased text; shard_key prefix for downstream bucketing.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("shard_key"),
+    )
+
+
+@register(
+    "text_token_frequencies",
+    oracle="""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+    survey_ids=["K3"],
+    doc="Corpus token frequency (explode + two-level count) — vocabulary "
+        "building shape; partial aggregation keeps the shuffle narrow.",
+)
+def text_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    SELECT doc_id, lang AS labeled_lang,
+           (len(list_intersect(string_split(lower(text), ' '),
+                ['the','and','of','to','a','in','is','it','that','for',
+                 'on','with','as','was','at','by','an','be','this','are'])) >= 3)
+             AS looks_english
+    FROM documents
+    """,
+    survey_ids=["K3"],
+    doc="Heuristic language ID: closed-class word-hit threshold (n-gram "
+        "heuristic per driver mandate); compared against the provided label.",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _EN_STOPWORDS])))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        (hits >= 3).alias("looks_english"),
+    )

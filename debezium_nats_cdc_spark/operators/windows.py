@@ -1,0 +1,167 @@
+"""Window / ordering operators (SURVEY.md §2.E + F6 audit diff).
+
+E2 latest-state-per-key is THE flagship CDC operator: reconstruct current
+row state from a change stream (docs/cdc-guide.md:137-149,
+docs/system-design.md:718).  E3 is the audit timeline (lag over per-entity
+history, docs/design.md:185-197).
+
+Scale notes: all windows partition by a key (user_id / custkey) — state
+for one key never crosses partitions, so these scale linearly with
+executors; ordering keys include a unique tiebreaker (event_id/orderkey)
+so results are deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import register
+from ..io import load_table
+from ._common import dec2
+
+
+@register(
+    "window_latest_state_per_key",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           CAST(value AS DECIMAL(18,2)) AS last_value, ts AS last_ts
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    survey_ids=["E2", "H1"],
+    doc="CDC materialization core: latest event per key via row_number "
+        "(partition by pk, order by event-time desc + unique offset desc). "
+        "At 100 TB this is one hash shuffle on the key; no global sort.",
+)
+def window_latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            dec2("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+    WHERE rnk <= 3
+    """,
+    survey_ids=["E2"],
+    doc="Top-K per group — rank-filter pattern; deterministic tiebreak.",
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            dec2("o_totalprice").alias("total_price"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+             AS running_spend
+    FROM orders
+    """,
+    survey_ids=["E3", "E1"],
+    doc="Cumulative per-entity measure over event time (audit-timeline "
+        "shape). DECIMAL accumulation → associative, order-stable.",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec2("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_timeline",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(value AS DECIMAL(18,2)) AS value,
+           CAST(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS DECIMAL(18,2)) AS prev_value
+    FROM events
+    """,
+    survey_ids=["E3"],
+    doc="Per-entity previous-value timeline — the audit_trail old_value/"
+        "new_value semantics (docs/design.md:185-197) via LAG.",
+)
+def window_lag_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        dec2("value").alias("value"),
+        F.lag("value").over(w).cast("decimal(18,2)").alias("prev_value"),
+    )
+
+
+@register(
+    "window_field_diff_audit",
+    oracle="""
+    SELECT user_id AS entity_id, 'value' AS field, ts AS changed_at,
+           CAST(prev_value AS DECIMAL(18,2)) AS old_value,
+           CAST(value AS DECIMAL(18,2)) AS new_value
+    FROM (
+      SELECT user_id, ts, value,
+             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      FROM events)
+    WHERE prev_value IS NOT NULL AND prev_value <> value
+    """,
+    survey_ids=["F6", "E3"],
+    doc="Field-level change extraction: audit_trail rows with old/new value "
+        "per changed field (docs/design.md:185-197). In the CDC path this "
+        "runs structwise on before/after (operators/audit.py); here the "
+        "lag-derived batch analog on the events table.",
+)
+def window_field_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    timeline = e.withColumn("prev_value", F.lag("value").over(w))
+    return (
+        timeline.filter(
+            F.col("prev_value").isNotNull() & (F.col("prev_value") != F.col("value"))
+        ).select(
+            F.col("user_id").alias("entity_id"),
+            F.lit("value").alias("field"),
+            F.col("ts").alias("changed_at"),
+            dec2("prev_value").alias("old_value"),
+            dec2("value").alias("new_value"),
+        )
+    )

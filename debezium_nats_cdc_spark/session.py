@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Scale stance: these configs are chosen so the same code runs on local[32]
+for tests and on a 1000-executor cluster unchanged — AQE handles runtime
+re-planning (partition coalescing, skew joins, broadcast demotion), and
+shuffle partition count is the only knob that should differ per deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime SQL confs we need even when the caller (e.g. the driver) owns the
+# session.  All of these are settable post-creation via spark.conf.set.
+RUNTIME_CONFS: dict[str, str] = {
+    # driver testdata events.parquet uses TIMESTAMP(NANOS) which Spark's
+    # parquet reader rejects; read as long and convert (io.load_table).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # event-time correctness vs the DuckDB oracle (SURVEY.md §4 knobs)
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # event store writes: zstd ≙ reference's s2/ClickHouse compression
+    # (config/nats/stream.json:15) at much better ratios than snappy.
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime confs to an externally-owned session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this build — rely on session defaults
+    return spark
+
+
+def get_session(app_name: str = "debezium-nats-cdc-spark",
+                shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a session tuned for this engine.
+
+    local[N]: one JVM; shuffle partitions default to the core count so tiny
+    scale factors don't over-parallelize.  On a real cluster, set
+    spark.sql.shuffle.partitions ≈ 2-3× total cores externally; AQE coalesces
+    down after each shuffle so over-provisioning is safe.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
