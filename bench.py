@@ -1,0 +1,69 @@
+"""Per-round benchmark harness (driver contract).
+
+Runs every catalog query at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS], forcing full plan execution through the noop
+sink (executes the whole pipeline incl. projections — unlike count(),
+which lets Catalyst prune work), plus a streaming micro-bench through the
+CDC rule pipeline.  Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from debezium_nats_cdc_spark.session import get_session
+    from debezium_nats_cdc_spark import catalog
+
+    spark = get_session("bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    timings: dict[str, float] = {}
+    ents = catalog.entries()
+    # warm the JVM + parquet footers once so q1 doesn't pay session startup
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    for name, e in ents.items():
+        t0 = time.time()
+        try:
+            df = e.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as ex:  # a failing query must not sink the bench
+            print(f"bench error {name}: {ex}", file=sys.stderr)
+            timings[name] = -1.0
+
+    # streaming micro-bench: events/s through the CDC rule pipeline
+    try:
+        from debezium_nats_cdc_spark.streaming.bench import streaming_events_per_sec
+
+        stream_stats = streaming_events_per_sec(spark)
+    except Exception as ex:
+        print(f"bench streaming skipped: {ex}", file=sys.stderr)
+        stream_stats = {}
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    out = {
+        "metric": "catalog_total_wallclock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v < 0),
+    }
+    out.update(stream_stats)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,42 +81,57 @@ N_BANDS = 4  # 4 rows per band
 
 
 def shingles(col, n: int = 3):
-    """Word n-gram shingle array from a text column (pure Catalyst).
+    """Word 3-gram shingle array from a text column (pure Catalyst).
 
-    tokens[i..i+n-1] joined with '_' for each valid start index; distinct.
+    tokens[i..i+2] joined with '_' for each valid start index; distinct.
+
+    Implemented as ONE ``aggregate`` fold over the token array, carrying
+    the previous two tokens in the accumulator.  The obvious form —
+    transform(sequence(...), i -> element_at(toks, i)...) — re-evaluates
+    the regex split for every element_at inside the lambda (no CSE across
+    lambda boundaries): ~300 tokenizations per document, benched 10× the
+    runtime of this fold at sf0.1.
     """
+    if n != 3:
+        raise NotImplementedError("fold is specialized to 3-gram shingles")
     toks = F.split(F.lower(col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    init = F.struct(
+        F.lit(None).cast("string").alias("p1"),
+        F.lit(None).cast("string").alias("p2"),
+        F.array().cast("array<string>").alias("gs"),
+    )
+
+    def step(acc, t):
+        gs = F.when(
+            acc["p2"].isNotNull(),
+            F.array_append(acc["gs"], F.concat_ws("_", acc["p2"], acc["p1"], t)),
+        ).otherwise(acc["gs"])
+        return F.struct(t.alias("p1"), acc["p1"].alias("p2"), gs.alias("gs"))
+
+    folded = F.aggregate(toks, init, step, lambda acc: acc["gs"])
     return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    "_", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array(F.concat_ws("_", toks)))
+        F.when(F.size(toks) >= n, folded).otherwise(F.array(F.concat_ws("_", toks)))
     )
 
 
-def _seeded_hash(seed: int):
-    # NB: must be a closure factory — a `lambda s, i=i:` default arg would
-    # be overridden by transform's optional element-index second argument.
-    return lambda s: F.xxhash64(F.lit(seed), s)
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """K minhash values per doc: min over shingles of xxhash64(seed, shingle).
 
-
-def minhash_signature(shingle_col):
-    """K minhash values: min over shingles of xxhash64(seed, shingle).
-
-    xxhash64 is a JVM-side codegen'd expression — no UDF; seeds make the
-    K hash functions independent.
+    Shape matters: tokenize ONCE into posting rows (doc, shingle), then one
+    grouped agg with K min-expressions.  The naive form — K array_min(
+    transform(shingles(text))) column expressions — re-tokenizes the
+    document K× per use site (no CSE across lambdas) and benched 25×
+    slower at sf0.1.  One shuffle on doc id; xxhash64 is JVM-codegen'd.
     """
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, _seeded_hash(i)))
-            for i in range(N_HASHES)
-        ]
+    postings = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("g")
+    )
+    sigs = postings.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(N_HASHES)]
+    )
+    return sigs.select(
+        F.col(id_col), F.array(*[f"h{i}" for i in range(N_HASHES)]).alias("sig")
     )
 
 
@@ -130,10 +145,7 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
     would otherwise quadratically dominate.
     """
     rows_per_band = N_HASHES // N_BANDS
-    sig = docs.select(
-        F.col(id_col),
-        minhash_signature(shingles(F.col(text_col))).alias("sig"),
-    )
+    sig = minhash_signatures(docs, id_col, text_col)
     bands = sig.select(
         id_col,
         "sig",
@@ -267,31 +279,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- simhash --
 
 
-def simhash64(shingle_col):
-    """64-bit SimHash from a shingle array — pure Catalyst bit math.
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash signature per document — explode + one grouped agg.
 
-    For each bit position, sum ±1 weighted by each shingle-hash's bit;
-    the sign of the sum is the output bit.  Expressed as 64 aggregate
-    folds over the shingle array (codegen'd; no Python).
+    For each bit position, sum ±1 votes weighted by each shingle-hash's
+    bit; the sign of the sum is the output bit.  Shape matters for speed:
+    posting rows (doc, shingle-hash) evaluate 64 flat CASE expressions in
+    one hash aggregate — vs. 64 nested array folds per row, which blows
+    up codegen (~50× slower, measured).  One shuffle on doc id.
     """
-    h = F.transform(shingle_col, lambda s: F.xxhash64(s))
-
-    def bit_vote(i: int):
-        # closure factory (see _seeded_hash note on lambda default args)
-        mask = F.shiftleft(F.lit(1).cast("long"), i)
-        return lambda acc, v: acc + F.when(v.bitwiseAND(mask) != 0, 1).otherwise(-1)
-
-    bits = [
-        F.when(
-            F.aggregate(h, F.lit(0), bit_vote(i)) > 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(64)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    postings = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("g")
+    ).select(F.col(id_col), F.xxhash64("g").alias("h"))
+    votes = postings.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select(F.col(id_col), sig.alias("sig"))
 
 
 @register(
@@ -304,7 +323,7 @@ def simhash64(shingle_col):
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sigs = d.select("doc_id", simhash64(shingles(F.col("text"))).alias("sig"))
+    sigs = simhash_signatures(d)
     chunks = sigs.select(
         "doc_id",
         "sig",

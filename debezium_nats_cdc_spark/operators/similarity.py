@@ -16,8 +16,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import register
-from ..functions.vectors import cosine_similarity, dot_product
+from ..functions.vectors import cosine_similarity, dot_product, l2_norm
 from ..io import load_table
+
+
+def _with_norm(df, emb_col: str = "embedding"):
+    """Precompute the L2 norm once per row — pair-wise cosine then costs
+    one dot product instead of a dot plus two norms (3× less math in the
+    candidate loop; identical doubles: same ops in the same order)."""
+    return df.withColumn("_norm", l2_norm(F.col(emb_col)))
+
+
+def _pair_cos(a_emb, b_emb, a_norm, b_norm):
+    return dot_product(a_emb, b_emb) / (a_norm * b_norm)
 
 _ORACLE_COS = """
     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
@@ -120,11 +131,12 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "at scale, an LSH bucket), never a full cross join.",
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
     a = e.alias("a")
     b = e.alias("b")
     cos = F.round(
-        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+        _pair_cos(F.col("a.embedding"), F.col("b.embedding"),
+                  F.col("a._norm"), F.col("b._norm")), 6
     ).cast("decimal(10,6)")
     return (
         a.join(
@@ -182,10 +194,11 @@ def sim_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         )
         bucket = bit if bucket is None else bucket + bit
-    sk = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    sk = _with_norm(e.select("vec_id", "embedding", bucket.alias("bucket")))
     a, b = sk.alias("a"), sk.alias("b")
     cos = F.round(
-        cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 6
+        _pair_cos(F.col("a.embedding"), F.col("b.embedding"),
+                  F.col("a._norm"), F.col("b._norm")), 6
     ).cast("decimal(10,6)")
     return (
         a.join(
