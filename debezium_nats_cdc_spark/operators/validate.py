@@ -1,0 +1,63 @@
+"""Validation + dead-letter split (SURVEY.md §2.F4/B7).
+
+The reference validates event structure + business rules before publish
+(docs/design.md:146,640-641; JSON Schema docs/design.md:943-972) and
+routes failures to a DLQ (docs/system-design.md:373,400).  Engine form:
+one pass computing a reason column; valid/invalid split is two filters
+over the same cached batch (no double scan in foreachBatch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# required fields per the EmployeeHiredEvent JSON Schema shape
+# (docs/design.md:943-972): eventId, eventType, timestamp, aggregateId, payload
+REQUIRED = ["eventId", "eventType", "timestamp", "aggregateId", "payload"]
+
+
+def with_validation(events: DataFrame) -> DataFrame:
+    """Add ``invalid_reason`` (NULL = valid)."""
+    reason = F.lit(None).cast("string")
+    # later checks win by being applied first in the coalesce chain
+    checks = [
+        (F.col(c).isNull(), f"missing_{c}") for c in REQUIRED
+    ] + [
+        (F.get_json_object("payload", "$") .isNull(), "payload_not_json"),
+        (F.length("eventType") == 0, "empty_event_type"),
+    ]
+    for cond, why in checks:
+        reason = F.coalesce(reason, F.when(cond, F.lit(why)))
+    return events.withColumn("invalid_reason", reason)
+
+
+def split_valid(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid, dead_letter) — dead-letter rows keep the reason column."""
+    v = with_validation(events)
+    return (
+        v.filter(F.col("invalid_reason").isNull()).drop("invalid_reason"),
+        v.filter(F.col("invalid_reason").isNotNull()),
+    )
+
+
+def mask_pii(events: DataFrame, json_fields: list[str]) -> DataFrame:
+    """Mask configured payload fields in outbound events
+    (docs/design.md:883-884): deterministic sha2 so joins on masked
+    values still work across tables."""
+    out = events
+    for fld in json_fields:
+        val = F.get_json_object("payload", f"$.{fld}")
+        hashed = F.sha2(val, 256)
+        # rewrite the payload JSON with the masked value when present
+        out = out.withColumn(
+            "payload",
+            F.when(
+                val.isNotNull(),
+                F.regexp_replace(
+                    "payload",
+                    F.concat(F.lit(f'"{fld}"\\s*:\\s*"'), F.lit("[^\"]*"), F.lit('"')),
+                    F.concat(F.lit(f'"{fld}":"'), hashed, F.lit('"')),
+                ),
+            ).otherwise(F.col("payload")),
+        )
+    return out

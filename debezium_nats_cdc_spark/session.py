@@ -26,6 +26,9 @@ RUNTIME_CONFS: dict[str, str] = {
     # event store writes: zstd ≙ reference's s2/ClickHouse compression
     # (config/nats/stream.json:15) at much better ratios than snappy.
     "spark.sql.parquet.compression.codec": "zstd",
+    # keep event_month='202601' a STRING on read-back (directory partition
+    # values would otherwise be inferred as int)
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 

@@ -1,0 +1,91 @@
+"""Columnar event store (SURVEY.md §2.A8/E1/F7).
+
+The reference lands domain events in ClickHouse MergeTree partitioned by
+toYYYYMM(event_timestamp) and sorted by (event_type, event_timestamp,
+aggregate_id) (docs/design.md:170-183).  Parquet equivalent:
+partitionBy(event_month) directories (→ dynamic partition pruning) +
+sortWithinPartitions clustering (→ row-group min/max skipping on the
+same keys).  Compression zstd ≙ the reference's compressed columnar
+store.  Retention = partition-level delete (age predicate never scans
+surviving data).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def to_store_rows(events: DataFrame) -> DataFrame:
+    """Domain envelope -> hr_events storage schema (FIXTURES §2.3)."""
+    return events.select(
+        F.col("eventId").alias("event_id"),
+        F.col("eventType").alias("event_type"),
+        F.col("timestamp").alias("event_timestamp"),
+        F.col("aggregateId").alias("aggregate_id"),
+        F.col("aggregateType").alias("aggregate_type"),
+        F.col("version").alias("event_version"),
+        F.col("payload"),
+        F.to_json("metadata").alias("metadata"),
+        F.lit("hr-cdc-engine").alias("source_system"),
+        F.current_timestamp().alias("created_at"),
+        F.date_format("timestamp", "yyyyMM").alias("event_month"),
+    )
+
+
+def append_events(events: DataFrame, path: str) -> None:
+    """Append domain events, month-partitioned and cluster-sorted.
+
+    No repartition("event_month"): a micro-batch usually spans one month,
+    and hashing on it would collapse the write to a single task.  Instead
+    each task sorts its slice by (month, clustering keys) and writes one
+    file per month — parallel writes, per-file clustering preserved for
+    row-group skipping.  A periodic compaction (compact_store) re-sorts
+    partitions globally when file counts grow.
+    """
+    (
+        to_store_rows(events)
+        .sortWithinPartitions(
+            "event_month", "event_type", "event_timestamp", "aggregate_id"
+        )
+        .write.mode("append")
+        .partitionBy("event_month")
+        .parquet(path)
+    )
+
+
+def compact_store(spark: SparkSession, path: str, files_per_partition: int = 1) -> None:
+    """Rewrite the store with globally-clustered partitions (run off the
+    hot path, like MergeTree background merges)."""
+    df = spark.read.parquet(path)
+    tmp = path + ".compact"
+    (
+        df.repartition(files_per_partition * max(df.select("event_month").distinct().count(), 1), "event_month")
+        .sortWithinPartitions("event_type", "event_timestamp", "aggregate_id")
+        .write.mode("overwrite")
+        .partitionBy("event_month")
+        .parquet(tmp)
+    )
+    final = Path(path)
+    shutil.rmtree(final)
+    Path(tmp).rename(final)
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def expire_partitions(spark: SparkSession, path: str, keep_months: int) -> list[str]:
+    """Retention job (F7): drop whole month partitions older than the
+    horizon — pure directory-level delete, no data scan (the JetStream
+    max_age / binlog expire_logs_days analog)."""
+    root = Path(path)
+    months = sorted(
+        p.name.split("=", 1)[1] for p in root.glob("event_month=*") if p.is_dir()
+    )
+    doomed = months[:-keep_months] if keep_months < len(months) else []
+    for m in doomed:
+        shutil.rmtree(root / f"event_month={m}")
+    return doomed

@@ -1,0 +1,154 @@
+"""The streaming CDC pipeline (SURVEY.md §3.1 Spark lifecycle).
+
+readStream(change log) -> unwrap -> watermarked dedup -> foreachBatch:
+    rules fan-out -> validate/DLQ split -> event store append
+    field-diff -> audit trail append
+    latest-state merge -> materialized current-state table
+
+One streaming query per source table; offset/exactly-once bookkeeping is
+Structured Streaming checkpointing (reference: Debezium offset file +
+JetStream redelivery, SURVEY §2.A1/F5).  Sinks are idempotent under
+micro-batch replay: event/audit appends key on deterministic ids, and
+the state table is last-writer-wins per key, so re-running a batch
+converges (effective exactly-once).
+
+Scale notes: the micro-batch is persisted once and shared by all rule
+branches (multicast F2 — one source scan, N filters); the only shuffles
+are the watermark dedup and the per-key reduction, both hash-partitioned
+on keys that scale with executors.  On a cluster, add
+``.repartition("aggregateId")`` before stateful per-key ops to pin
+per-aggregate ordering (H5, docs/design.md:511).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.audit import field_diff
+from ..operators.materialize import batch_latest_with_deletes, merge_state
+from ..operators.rules import RULES, apply_rules
+from ..operators.unwrap import unwrap
+from ..operators.validate import split_valid
+from ..schemas import TABLE_SCHEMAS
+from ..sources.cdc import read_change_stream
+from .. import store
+
+DEDUP_WATERMARK = "120 seconds"  # broker duplicate_window, config/nats/stream.json:14
+
+
+@dataclass
+class PipelineDirs:
+    events: str
+    audit: str
+    dead_letter: str
+    state: str
+    checkpoints: str
+
+    @classmethod
+    def under(cls, root: str) -> "PipelineDirs":
+        d = cls(
+            events=os.path.join(root, "hr_events"),
+            audit=os.path.join(root, "audit_trail"),
+            dead_letter=os.path.join(root, "dead_letter"),
+            state=os.path.join(root, "state"),
+            checkpoints=os.path.join(root, "_checkpoints"),
+        )
+        for p in (d.events, d.audit, d.dead_letter, d.state, d.checkpoints):
+            os.makedirs(p, exist_ok=True)
+        return d
+
+
+def _swap_write(df: DataFrame, final_dir: str) -> None:
+    """Overwrite a state table via staging-dir swap (idempotent publish).
+
+    Writing to the directory being read is unsafe; write to a sibling
+    staging dir, then swap.  Equivalent of MERGE without Delta in this
+    container (SURVEY §7 risk 1).
+    """
+    staging = final_dir + ".staging"
+    df.write.mode("overwrite").parquet(staging)
+    old = final_dir + ".old"
+    if os.path.exists(final_dir):
+        os.rename(final_dir, old)
+    os.rename(staging, final_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def process_batch(spark: SparkSession, batch: DataFrame, table: str,
+                  dirs: PipelineDirs) -> None:
+    """The foreachBatch body — also callable on a batch DataFrame
+    directly (the A2 snapshot path uses it for op='r' seeding)."""
+    batch = batch.persist()
+    events = None
+    try:
+        # 1. rules fan-out -> validate -> event store + DLQ
+        # (persisted: the valid append and the DLQ check otherwise each
+        # recompute all rule branches)
+        events = apply_rules(batch, table).persist()
+        valid, dlq = split_valid(events)
+        store.append_events(valid, dirs.events)
+        if dlq.limit(1).count() > 0:
+            dlq.write.mode("append").parquet(dirs.dead_letter)
+
+        # 2. field-level audit trail
+        cols = [f.name for f in TABLE_SCHEMAS[table].fields
+                if f.name not in ("created_at", "updated_at")]
+        audit_rows = field_diff(batch, cols)
+        audit_rows.write.mode("append").parquet(dirs.audit)
+
+        # 3. materialized current state (upsert merge)
+        latest = batch_latest_with_deletes(batch)
+        state_dir = os.path.join(dirs.state, table)
+        if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+            current = spark.read.parquet(state_dir)
+            merged = merge_state(current, latest)
+        else:
+            merged = latest.filter(F.col("op") != "d").select("after.*")
+        _swap_write(merged, state_dir)
+    finally:
+        if events is not None:
+            events.unpersist()
+        batch.unpersist()
+
+
+def start_table_pipeline(
+    spark: SparkSession,
+    log_dir: str,
+    table: str,
+    dirs: PipelineDirs,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Start the checkpointed streaming query for one source table."""
+    stream = read_change_stream(spark, log_dir, table, max_files_per_trigger)
+    deduped = (
+        unwrap(stream)
+        .withWatermark("event_time", DEDUP_WATERMARK)
+        .dropDuplicatesWithinWatermark(["change_key"])
+    )
+    writer = (
+        deduped.writeStream.queryName(f"cdc-{table}")
+        .option("checkpointLocation", os.path.join(dirs.checkpoints, table))
+        .foreachBatch(lambda b, _epoch: process_batch(spark, b, table, dirs))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_pipeline_until_done(spark: SparkSession, log_dir: str, root: str,
+                            tables: list[str] | None = None) -> PipelineDirs:
+    """Process everything currently in the change log, then stop.
+
+    Tables run sequentially here for deterministic tests; in production
+    the queries run concurrently (they're independent)."""
+    dirs = PipelineDirs.under(root)
+    for t in tables or list(RULES):
+        q = start_table_pipeline(spark, log_dir, t, dirs)
+        q.awaitTermination()
+    return dirs

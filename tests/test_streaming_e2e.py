@@ -1,0 +1,105 @@
+"""Golden end-to-end streaming test (SURVEY.md §5 test plan item b + d).
+
+Feeds the reference's 7-statement workload (FIXTURES §3) through the
+checkpointed Structured Streaming pipeline and asserts:
+  - the golden event counts (scripts/test-cdc.sh:148-151)
+  - materialized final state == seed (EMP999 net-deleted)
+  - duplicate delivery within the 120 s window collapses to exactly-once
+    (config/nats/stream.json:14; docs/system-design.md:548-552)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from debezium_nats_cdc_spark.sources import fixtures
+from debezium_nats_cdc_spark.streaming.pipeline import run_pipeline_until_done
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cdc-e2e"))
+    log_dir = os.path.join(root, "log")
+    events = fixtures.snapshot_events() + fixtures.duplicate_delivery(
+        fixtures.golden_workload(), dup_indexes=[1]  # re-deliver update #2
+    )
+    fixtures.write_event_log(events, log_dir, events_per_file=5)
+    dirs = run_pipeline_until_done(
+        spark, log_dir, root,
+        tables=["employees", "salary_changes", "leave_requests"],
+    )
+    return dirs
+
+
+def test_event_store_counts(spark, pipeline_out):
+    ev = spark.read.parquet(pipeline_out.events)
+    counts = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    # golden rule firings: Hired, DataUpdated (exactly once despite the
+    # duplicate delivery), SalaryAdjusted, LeaveRequested
+    assert counts["EmployeeHired"] == 1
+    assert counts["EmployeeDataUpdated"] == 1
+    assert counts["SalaryAdjusted"] == 1
+    assert counts["LeaveRequested"] == 1
+    assert "EmployeePromoted" not in counts
+
+
+def test_event_store_layout(spark, pipeline_out):
+    """Month partitioning (docs/design.md:182) is physically present."""
+    assert os.path.isdir(os.path.join(pipeline_out.events, "event_month=202601"))
+    ev = spark.read.parquet(pipeline_out.events)
+    assert {f for f in ("event_id", "event_type", "event_timestamp",
+                        "aggregate_id", "payload", "metadata")} <= set(ev.columns)
+
+
+def test_materialized_state_is_seed(spark, pipeline_out):
+    emp = spark.read.parquet(os.path.join(pipeline_out.state, "employees"))
+    nums = sorted(r["employee_number"] for r in emp.collect())
+    assert nums == ["EMP001", "EMP002", "EMP003"]
+    sc = spark.read.parquet(os.path.join(pipeline_out.state, "salary_changes"))
+    assert sc.count() == 0
+    lr = spark.read.parquet(os.path.join(pipeline_out.state, "leave_requests"))
+    assert lr.count() == 0
+
+
+def test_audit_trail_written(spark, pipeline_out):
+    audit = spark.read.parquet(pipeline_out.audit)
+    sal = audit.filter(
+        (audit.entity_type == "employees") & (audit.field == "salary")
+        & (audit.operation == "UPDATE")
+    ).collect()
+    assert len(sal) == 1 and float(sal[0]["new_value"]) == 95000.0
+
+
+def test_checkpoint_restart_is_idempotent(spark, pipeline_out, tmp_path):
+    """Restarting the query over the same log adds nothing (offsets
+    committed; F5 exactly-once contract)."""
+    before = spark.read.parquet(pipeline_out.events).count()
+    log_dir = os.path.join(os.path.dirname(pipeline_out.events), "log")
+    run_pipeline_until_done(
+        spark, log_dir, os.path.dirname(pipeline_out.events),
+        tables=["employees"],
+    )
+    after = spark.read.parquet(pipeline_out.events).count()
+    assert after == before
+
+
+def test_thousand_updates_exactly_once(spark, tmp_path):
+    """The reference's exactness scenario (docs/system-design.md:548-552):
+    1,000 salary updates + 50 duplicated deliveries => exactly 1,000
+    domain events downstream."""
+    from debezium_nats_cdc_spark.streaming.bench import _synthetic_updates
+
+    root = str(tmp_path)
+    log_dir = os.path.join(root, "log")
+    evs = fixtures.duplicate_delivery(
+        _synthetic_updates(1000), dup_indexes=list(range(0, 100, 2))
+    )
+    fixtures.write_event_log(evs, log_dir, events_per_file=200)
+    dirs = run_pipeline_until_done(spark, log_dir, root, tables=["employees"])
+    ev = spark.read.parquet(dirs.events)
+    assert ev.count() == 1000
+    assert ev.select("event_id").distinct().count() == 1000
