@@ -1,0 +1,87 @@
+"""Physical-plan regression tests (SURVEY §4): the scale contract —
+pushdown, pruning, broadcast, no cartesian — enforced at unit-test time.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from debezium_nats_cdc_spark import catalog
+from debezium_nats_cdc_spark.io import load_table
+from debezium_nats_cdc_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+)
+from debezium_nats_cdc_spark.plans.explain import scan_columns
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = load_table(spark, SF, "lineitem").filter(F.col("l_quantity") > 30).select(
+        "l_orderkey", "l_quantity"
+    )
+    assert_pushed_filters(df, "GreaterThan(l_quantity")
+
+
+def test_column_pruning(spark):
+    df = load_table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    cols = scan_columns(df, "lineitem")
+    assert cols == ["l_orderkey", "l_extendedprice"]
+
+
+def test_enrichment_joins_broadcast(spark):
+    df = catalog.entries()["join_broadcast_enrich"].fn(spark, SF)
+    assert_broadcast_join(df, at_least=2)
+
+
+def test_semi_join_broadcast(spark):
+    df = catalog.entries()["join_semi_exists"].fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+     "sim_lsh_bucketed_neardup", "sim_embedding_neardup"],
+)
+def test_candidate_generation_never_cartesian(spark, name):
+    """Every near-dup/similarity op must pair via equi-join buckets —
+    a cartesian product here means quadratic cost at 100 TB."""
+    df = catalog.entries()[name].fn(spark, SF)
+    assert_no_cartesian(df)
+
+
+def test_subject_prefix_filter_pushes_down(spark):
+    """'HCM.CDC.HR.>' compiles to startswith => StringStartsWith reaches
+    the scan (SURVEY §4 candidate 1)."""
+    from debezium_nats_cdc_spark.functions.subjects import subject_match
+
+    df = (
+        load_table(spark, SF, "events")
+        .withColumn("subject", F.concat(F.lit("HCM.CDC.HR.hrdb."), F.col("event_type")))
+        .filter(subject_match("subject", "HCM.CDC.HR.>"))
+    )
+    # subject is derived, so pushdown applies to the underlying concat only
+    # at the Filter level; assert at least no rlike (regex) node appears
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(df)
+    assert "StartsWith" in plan and "rlike" not in plan.lower()
+
+
+def test_latest_state_single_shuffle(spark):
+    """H1 materialization: exactly one exchange (hash on the key) —
+    no global sort, no extra shuffle."""
+    import re
+
+    df = catalog.entries()["window_latest_state_per_key"].fn(spark, SF)
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1
+    assert "hashpartitioning(user_id" in plan
