@@ -52,6 +52,7 @@ def register(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""
 def _load_modules() -> None:
     # import for registration side effects
     from .operators import (  # noqa: F401
+        advanced,
         aggregates,
         cdc_queries,
         joins,

@@ -1,0 +1,241 @@
+"""Advanced composition operators: as-of join, sessionization, exact
+percentiles, per-entity tenure, scalar-function showcase.
+
+These round out SURVEY.md §2's E/G/D families plus the training-pipeline
+patterns the guide calls out (as-of join, sessionization) — each built
+from DataFrame primitives, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import register
+from ..io import load_table
+from ._common import dec2
+
+
+@register(
+    "join_asof_last_click",
+    oracle="""
+    SELECT p_event_id, p_ts, user_id, last_click_id, last_click_ts
+    FROM (
+      SELECT p.event_id AS p_event_id, p.ts AS p_ts, p.user_id,
+             c.event_id AS last_click_id, c.ts AS last_click_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 1 DAY
+      WHERE p.event_type = 'purchase' AND c.event_type = 'click')
+    WHERE rn = 1
+    """,
+    survey_ids=["C6", "E2"],
+    doc="As-of join (Spark has no native one): for each purchase, the "
+        "most recent click by the same user within a 1-day tolerance — "
+        "equi key + time band keeps it a hash join; argmax via "
+        "row_number. The attribution/point-in-time-correctness shape.",
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    joined = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.col("c.ts") <= F.col("p.ts"))
+        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 DAY")),
+    )
+    w = W.partitionBy("p.event_id").orderBy(F.desc("c.ts"), F.desc("c.event_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p.event_id").alias("p_event_id"),
+            F.col("p.ts").alias("p_ts"),
+            F.col("p.user_id").alias("user_id"),
+            F.col("c.event_id").alias("last_click_id"),
+            F.col("c.ts").alias("last_click_ts"),
+        )
+    )
+
+
+@register(
+    "cdc_sessionization",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    survey_ids=["H7", "D1"],
+    doc="Gap-based sessionization (30-min inactivity): lag -> flag -> "
+        "running-sum session id -> per-session rollup. One shuffle on "
+        "user_id shared by all three windows. Streaming twin: "
+        "session_window(ts, '30 minutes').",
+)
+def cdc_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w_order) > F.expr("INTERVAL 30 MINUTES"),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return sess.groupBy("user_id", F.col("session_id").cast("bigint").alias("session_id")).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "text_length_percentiles",
+    oracle="""
+    SELECT lang,
+           CAST(ROUND(quantile_cont(n_chars, 0.5), 4) AS DECIMAL(18,4)) AS p50,
+           CAST(ROUND(quantile_cont(n_chars, 0.9), 4) AS DECIMAL(18,4)) AS p90,
+           CAST(ROUND(quantile_cont(n_chars, 0.99), 4) AS DECIMAL(18,4)) AS p99
+    FROM documents GROUP BY lang
+    """,
+    survey_ids=["K3", "D2"],
+    doc="Exact interpolated percentiles of document length per language "
+        "(corpus length-distribution audit). percentile() ≙ quantile_cont; "
+        "at 100 TB switch to percentile_approx (t-digest, mergeable).",
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        *[
+            F.round(F.percentile("n_chars", q), 4).cast("decimal(18,4)").alias(name)
+            for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+        ]
+    )
+
+
+@register(
+    "cdc_tenure_per_user",
+    oracle="""
+    SELECT user_id,
+           CAST(date_diff('day', MIN(ts), MAX(ts)) AS BIGINT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS first_seen, MAX(ts) AS last_seen
+    FROM events GROUP BY user_id
+    """,
+    survey_ids=["D5", "G10"],
+    doc="Tenure/derived scalar during enrichment (terminate->tenure calc, "
+        "docs/system-design.md:219): per-entity date math over event span.",
+)
+def cdc_tenure_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("bigint").alias("active_days"),
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
+@register(
+    "scalar_functions_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y%m') AS order_month,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           lower(o_orderpriority) AS priority_lc,
+           'ord.' || lower(o_orderstatus) || '.' || CAST(o_orderkey % 10 AS VARCHAR)
+             AS routing_subject,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           CAST(ROUND(o_totalprice, 0) AS DECIMAL(18,0)) AS price_rounded
+    FROM orders
+    """,
+    survey_ids=["G1", "G2", "G4", "G6", "G7"],
+    doc="Scalar-function family (SURVEY §2.G): month bucketing (toYYYYMM "
+        "analog), date arithmetic, lower/concat subject building, "
+        "coalesce/nullif, rounding — all JVM-side codegen'd.",
+)
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyyMM").alias("order_month"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("date").alias("due_date"),
+        F.lower("o_orderpriority").alias("priority_lc"),
+        F.concat_ws(
+            ".",
+            F.lit("ord"),
+            F.lower("o_orderstatus"),
+            (F.col("o_orderkey") % 10).cast("string"),
+        ).alias("routing_subject"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_label"),
+        F.round("o_totalprice", 0).cast("decimal(18,0)").alias("price_rounded"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    survey_ids=["D2"],
+    doc="approx_count_distinct (HLL±5%): the mergeable-sketch path for "
+        "100 TB distinct counts where exact COUNT(DISTINCT) would "
+        "shuffle every key.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "mm_doc_embedding_join",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars, e.label,
+           CAST(len(e.embedding) AS INT) AS embedding_dim,
+           CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])), 4)
+                AS DECIMAL(10,4)) AS self_cos
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    survey_ids=["K4", "C1"],
+    doc="Multimodal record assembly: join text metadata with its "
+        "embedding into one typed row (the {text, embedding, props} "
+        "struct column pattern, flattened here for oracle parity).",
+)
+def mm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_similarity
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "label",
+            F.size("embedding").cast("int").alias("embedding_dim"),
+            F.round(cosine_similarity("embedding", "embedding"), 4)
+            .cast("decimal(10,4)")
+            .alias("self_cos"),
+        )
+    )
