@@ -153,6 +153,69 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_ivf_probe_topk",
+    oracle=None,  # two-stage quantized search: rows-only check
+    survey_ids=["K2"],
+    doc="IVF probe-time search: assign corpus to C=16 coarse centroids "
+        "(one broadcast pass), then for each query scan only its nprobe=4 "
+        "nearest cells — a bucket equi-join on cell id touching ~nprobe/C "
+        "of the corpus instead of all of it. The partition-pruned ANN "
+        "layout for 100 TB: cells map to partitions of a bucketed table.",
+)
+def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_cells, nprobe, k = 16, 4, 5
+    e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    cell_cos = _pair_cos(F.col("c_emb"), F.col("embedding"), F.col("c_norm"), F.col("_norm"))
+    # index build: nearest centroid per vector (IVF assignment)
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell_id"))
+    indexed = (
+        e.join(F.broadcast(cents))
+        .select("vec_id", "embedding", "_norm", "cell_id", cell_cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "_norm", "cell_id")
+    )
+    # probe: nprobe nearest cells per query
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    probe_cos = _pair_cos(F.col("c_emb"), F.col("q_emb"), F.col("c_norm"), F.col("q_norm"))
+    w_probe = W.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .select("query_id", "q_emb", "q_norm", "cell_id", probe_cos.alias("pcos"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "cell_id")
+    )
+    # search only the probed cells (bucket equi-join on cell_id)
+    pair_cos = F.round(
+        _pair_cos(F.col("q_emb"), F.col("embedding"), F.col("q_norm"), F.col("_norm")), 6
+    ).cast("decimal(10,6)")
+    w_topk = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        indexed.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pair_cos.alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w_topk))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+        .orderBy("query_id", "rnk")
+    )
+
+
 def _hyperplanes(dim: int = 64, n_planes: int = 8) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (fixed seed, no RNG state)."""
     import math
