@@ -11,7 +11,12 @@ adapts the registry to the driver's calling convention.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# robust against the driver importing this file with a different cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

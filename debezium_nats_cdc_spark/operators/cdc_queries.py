@@ -17,7 +17,11 @@ from ..functions.subjects import subject_match
 from ..io import load_table
 from ._common import dec2, money_sum
 
-_SUBJECT = F.concat_ws(".", F.lit("HCM"), F.lit("CDC"), F.lit("HR"), F.lit("hrdb"), F.col("event_type"))
+def _subject():
+    # lazy: Column construction needs an active session (classic mode)
+    return F.concat_ws(
+        ".", F.lit("HCM"), F.lit("CDC"), F.lit("HR"), F.lit("hrdb"), F.col("event_type")
+    )
 
 
 @register(
@@ -34,7 +38,7 @@ _SUBJECT = F.concat_ws(".", F.lit("HCM"), F.lit("CDC"), F.lit("HR"), F.lit("hrdb
         "(config/debezium/application.properties:23, docs/design.md:83-110).",
 )
 def cdc_subject_route(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events").withColumn("subject", _SUBJECT)
+    e = load_table(spark, sf_dir, "events").withColumn("subject", _subject())
     return e.filter(subject_match("subject", "HCM.CDC.HR.*.purchase")).select(
         "event_id", "subject"
     )
