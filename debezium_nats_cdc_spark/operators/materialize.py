@@ -8,55 +8,108 @@ Batch form: one window (partition by pk, order by event-time desc) —
 a single hash shuffle on the key, no global sort, linear in executors.
 
 Incremental form (foreachBatch): reduce the micro-batch to its last
-event per key, then merge into the state table with an anti-join +
-union overwrite.  Without Delta/Iceberg MERGE in this container, the
-overwrite is made idempotent by writing batch output to a staging dir
-and renaming (write-audit-publish); re-processing the same batch after
-a crash converges to the same state (SURVEY §2.F5 contract).
+event per key, then merge into the state table.  The state table carries
+version columns (_ts_ms, _change_key) and the merge is VERSION-AWARE:
+a row only wins if its version is newer than the stored one.  This is
+load-bearing under at-least-once delivery — a stale duplicate redelivered
+in a LATER micro-batch must not overwrite newer state (found by the
+model-based property test, tests/test_materialize_property.py).
+
+Without Delta/Iceberg MERGE in this container, the physical upsert is an
+overwrite via staging-dir swap (streaming/pipeline._swap_write);
+re-processing any batch converges to the same state (F5 contract).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+VERSION_COLS = ["_ts_ms", "_change_key"]
+
+
+def _reduce_last_per_key(df: DataFrame) -> DataFrame:
+    """Last event per key by (ts_ms, change_key) — deterministic total
+    order even when redeliveries tie on ts_ms."""
+    w = W.partitionBy("pk").orderBy(F.desc("_ts_ms"), F.desc("_change_key"))
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def batch_latest_with_deletes(unwrapped: DataFrame) -> DataFrame:
+    """Micro-batch reduced to its newest event per key, deletes kept —
+    the merge_state input.  Columns: pk, op, after, _ts_ms, _change_key."""
+    return _reduce_last_per_key(
+        unwrapped.select(
+            F.coalesce(F.col("after.id"), F.col("before.id")).alias("pk"),
+            "op",
+            "after",
+            F.col("ts_ms").alias("_ts_ms"),
+            F.col("change_key").alias("_change_key"),
+        )
+    )
+
 
 def latest_state(unwrapped: DataFrame) -> DataFrame:
-    """Reduce a change set to current rows: last event per key wins;
-    keys whose last event is a delete drop out (tombstone semantics,
-    docs/design.md:61)."""
-    pk = F.coalesce(F.col("after.id"), F.col("before.id"))
-    w = W.partitionBy("pk").orderBy(F.desc("ts_ms"), F.desc("change_key"))
+    """One-shot materialization: current rows only (no version columns)."""
     return (
-        unwrapped.withColumn("pk", pk)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        batch_latest_with_deletes(unwrapped)
         .filter(F.col("op") != "d")
         .select("after.*")
     )
 
 
-def merge_state(current: DataFrame, batch_latest: DataFrame,
-                key: str = "id") -> DataFrame:
-    """Merge a micro-batch's latest-per-key changes into the state table.
+def initial_state(batch_latest: DataFrame) -> DataFrame:
+    """First-ever batch -> state table rows (row fields + version +
+    tombstone flag).  Deletes are KEPT as tombstones: under at-least-once
+    delivery a stale insert redelivered later must find the newer delete
+    and lose — dropping tombstones would resurrect deleted keys (found by
+    the property test).  GC them after the redelivery window via
+    expire_tombstones."""
+    return batch_latest.select(
+        "after.*",
+        F.col("pk").alias("_pk"),
+        *VERSION_COLS,
+        (F.col("op") == "d").alias("_deleted"),
+    )
 
-    upserts ∪ (current ⟕anti changed-keys): equivalent to MERGE INTO.
-    ``batch_latest`` must carry ``op``/``after`` (pre-reduced by
-    latest_state's window but BEFORE dropping deletes) — deletes remove
-    keys, upserts replace rows.
-    """
-    changed_keys = batch_latest.select(F.col("pk").alias(key)).distinct()
-    survivors = current.join(changed_keys, key, "left_anti")
-    upserts = batch_latest.filter(F.col("op") != "d").select("after.*")
-    return survivors.unionByName(upserts)
+
+META_COLS = ["_pk", *VERSION_COLS, "_deleted"]
 
 
-def batch_latest_with_deletes(unwrapped: DataFrame) -> DataFrame:
-    """latest_state without dropping deletes — input to merge_state."""
-    pk = F.coalesce(F.col("after.id"), F.col("before.id"))
-    w = W.partitionBy("pk").orderBy(F.desc("ts_ms"), F.desc("change_key"))
-    return (
-        unwrapped.withColumn("pk", pk)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+def current_rows(state: DataFrame) -> DataFrame:
+    """The queryable view of a state table: live rows, no meta columns."""
+    return state.filter(~F.col("_deleted")).drop(*META_COLS)
+
+
+def merge_state(current: DataFrame, batch_latest: DataFrame) -> DataFrame:
+    """Version-aware MERGE: among {stored row/tombstone, batch candidates}
+    per key, the newest (_ts_ms, _change_key) wins.  Implemented by
+    lifting stored rows back into candidate form and re-running the same
+    last-per-key reduction — one code path, one shuffle on the key.
+
+    Tombstones carry the key in ``_pk`` (their row fields are NULL)."""
+    row_cols = [c for c in current.columns if c not in META_COLS]
+    cur_cand = current.select(
+        F.col("_pk").alias("pk"),
+        F.when(F.col("_deleted"), "d").otherwise("k").alias("op"),
+        F.when(
+            ~F.col("_deleted"), F.struct(*[F.col(c) for c in row_cols])
+        ).alias("after"),
+        *[F.col(c) for c in VERSION_COLS],
+    )
+    merged = _reduce_last_per_key(cur_cand.unionByName(batch_latest))
+    return merged.select(
+        "after.*",
+        F.col("pk").alias("_pk"),
+        *VERSION_COLS,
+        (F.col("op") == "d").alias("_deleted"),
+    )
+
+
+def expire_tombstones(state: DataFrame, older_than_ms: int,
+                      now_ms: int) -> DataFrame:
+    """Drop tombstones past the redelivery horizon (the broker's 120 s
+    duplicate window plus slack) — bounds state growth; a delete older
+    than the horizon can no longer be contradicted by a redelivery."""
+    return state.filter(
+        ~F.col("_deleted") | (F.col("_ts_ms") > now_ms - older_than_ms)
     )

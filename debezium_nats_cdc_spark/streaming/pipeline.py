@@ -30,7 +30,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.audit import field_diff
-from ..operators.materialize import batch_latest_with_deletes, merge_state
+from ..operators.materialize import (
+    batch_latest_with_deletes,
+    current_rows,
+    initial_state,
+    merge_state,
+)
 from ..operators.rules import RULES, apply_rules
 from ..operators.unwrap import unwrap
 from ..operators.validate import split_valid
@@ -108,7 +113,7 @@ def process_batch(spark: SparkSession, batch: DataFrame, table: str,
             current = spark.read.parquet(state_dir)
             merged = merge_state(current, latest)
         else:
-            merged = latest.filter(F.col("op") != "d").select("after.*")
+            merged = initial_state(latest)
         _swap_write(merged, state_dir)
     finally:
         if events is not None:
@@ -139,6 +144,13 @@ def start_table_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_state(spark: SparkSession, dirs: PipelineDirs, table: str) -> DataFrame:
+    """Materialized current state of one source table (live rows only —
+    the physical table also holds versioned tombstones; see
+    operators/materialize.py)."""
+    return current_rows(spark.read.parquet(os.path.join(dirs.state, table)))
 
 
 def run_pipeline_until_done(spark: SparkSession, log_dir: str, root: str,

@@ -7,6 +7,8 @@ from __future__ import annotations
 from debezium_nats_cdc_spark.operators.audit import field_diff
 from debezium_nats_cdc_spark.operators.materialize import (
     batch_latest_with_deletes,
+    current_rows,
+    initial_state,
     latest_state,
     merge_state,
 )
@@ -54,9 +56,9 @@ def test_incremental_merge_matches_batch(spark):
     b1 = unwrap(load_envelopes(spark, emp[:4], "employees"))   # snapshot + insert
     b2 = unwrap(load_envelopes(spark, emp[4:], "employees"))   # update + delete
 
-    state = latest_state(b1)
+    state = initial_state(batch_latest_with_deletes(b1))
     state = merge_state(state, batch_latest_with_deletes(b2))
-    incremental = {r["employee_number"] for r in state.collect()}
+    incremental = {r["employee_number"] for r in current_rows(state).collect()}
     assert incremental == one_shot
 
 

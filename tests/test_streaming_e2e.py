@@ -16,7 +16,7 @@ import os
 import pytest
 
 from debezium_nats_cdc_spark.sources import fixtures
-from debezium_nats_cdc_spark.streaming.pipeline import run_pipeline_until_done
+from debezium_nats_cdc_spark.streaming.pipeline import read_state, run_pipeline_until_done
 
 
 @pytest.fixture(scope="module")
@@ -56,13 +56,15 @@ def test_event_store_layout(spark, pipeline_out):
 
 
 def test_materialized_state_is_seed(spark, pipeline_out):
-    emp = spark.read.parquet(os.path.join(pipeline_out.state, "employees"))
+    emp = read_state(spark, pipeline_out, "employees")
     nums = sorted(r["employee_number"] for r in emp.collect())
     assert nums == ["EMP001", "EMP002", "EMP003"]
-    sc = spark.read.parquet(os.path.join(pipeline_out.state, "salary_changes"))
-    assert sc.count() == 0
-    lr = spark.read.parquet(os.path.join(pipeline_out.state, "leave_requests"))
-    assert lr.count() == 0
+    assert read_state(spark, pipeline_out, "salary_changes").count() == 0
+    assert read_state(spark, pipeline_out, "leave_requests").count() == 0
+    # deleted keys remain as versioned tombstones in the physical table
+    # (resurrection guard); they are invisible in the read view
+    raw = spark.read.parquet(os.path.join(pipeline_out.state, "salary_changes"))
+    assert raw.filter(raw._deleted).count() == 1
 
 
 def test_audit_trail_written(spark, pipeline_out):
