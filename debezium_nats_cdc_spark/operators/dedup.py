@@ -80,37 +80,49 @@ N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 
 
-def shingles(col, n: int = 3):
-    """Word 3-gram shingle array from a text column (pure Catalyst).
+def _shingle_expr(toks):
+    """Word 3-gram shingle array over a MATERIALIZED token-array column.
 
     tokens[i..i+2] joined with '_' for each valid start index; distinct.
 
-    Implemented as ONE ``aggregate`` fold over the token array, carrying
-    the previous two tokens in the accumulator.  The obvious form —
-    transform(sequence(...), i -> element_at(toks, i)...) — re-evaluates
-    the regex split for every element_at inside the lambda (no CSE across
-    lambda boundaries): ~300 tokenizations per document, benched 10× the
-    runtime of this fold at sf0.1.
+    ``toks`` must be a real attribute (projected by ``doc_shingles``),
+    never an inline ``split(...)`` expression: element_at inside the
+    lambda would re-evaluate the regex split per element (no CSE across
+    lambda boundaries — benched 10× slower at sf0.1).  Given a column
+    reference, transform-over-indices is O(n) per doc; the previous
+    aggregate/array_append fold was O(n²) in array copies and benched
+    3× slower at sf0.1.
     """
-    if n != 3:
-        raise NotImplementedError("fold is specialized to 3-gram shingles")
-    toks = F.split(F.lower(col), " ")
-    init = F.struct(
-        F.lit(None).cast("string").alias("p1"),
-        F.lit(None).cast("string").alias("p2"),
-        F.array().cast("array<string>").alias("gs"),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            "_", F.element_at(toks, i), F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2)
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= 3, grams).otherwise(F.array(F.concat_ws("_", toks)))
     )
 
-    def step(acc, t):
-        gs = F.when(
-            acc["p2"].isNotNull(),
-            F.array_append(acc["gs"], F.concat_ws("_", acc["p2"], acc["p1"], t)),
-        ).otherwise(acc["gs"])
-        return F.struct(t.alias("p1"), acc["p1"].alias("p2"), gs.alias("gs"))
 
-    folded = F.aggregate(toks, init, step, lambda acc: acc["gs"])
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, folded).otherwise(F.array(F.concat_ws("_", toks)))
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(id, n_toks, gs): tokenize each document ONCE into a projected
+    column, then build the 3-gram shingle array from it.
+
+    Downstream explodes of ``gs`` MUST use ``explode_outer``: a plain
+    explode triggers InferFiltersFromGenerate, which pushes
+    ``size(gs)>0 AND isnotnull(gs)`` beneath these projections —
+    substituting the whole shingle expression (with per-element split
+    re-evaluation) into the Filter, a measured 2× regression at sf0.1.
+    ``gs`` is non-empty by construction (text IS NOT NULL is filtered
+    here), so outer vs inner explode is semantically identical."""
+    return docs.filter(F.col(text_col).isNotNull()).withColumn(
+        "_toks", F.split(F.lower(text_col), " ")
+    ).select(
+        F.col(id_col),
+        F.size("_toks").alias("n_toks"),
+        _shingle_expr(F.col("_toks")).alias("gs"),
     )
 
 
@@ -124,8 +136,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     document K× per use site (no CSE across lambdas) and benched 25×
     slower at sf0.1.  One shuffle on doc id; xxhash64 is JVM-codegen'd.
     """
-    postings = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("g")
+    postings = doc_shingles(docs, id_col, text_col).select(
+        F.col(id_col), F.explode_outer("gs").alias("g")
     )
     sigs = postings.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(N_HASHES)]
@@ -238,31 +250,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(inter AS DOUBLE) / uni >= 0.2
     """,
     survey_ids=["K1"],
-    doc="Exact word-3-gram Jaccard via inverted-index pair generation: "
-        "pairs only materialize for docs sharing a shingle (cost Σ df² "
-        "over shingles ≪ N²; no cross join). Identical result set to the "
-        "brute-force all-pairs version for any threshold > 0.",
+    doc="Exact word-3-gram Jaccard via inverted-index pair generation "
+        "(set-similarity join per Vernica et al., SIGMOD 2010): group "
+        "postings by shingle, expand pairs inside each group — pairs only "
+        "materialize for docs sharing a shingle (cost Σ df² over shingles "
+        "≪ N²; no cross join). Identical result set to the brute-force "
+        "all-pairs version for any threshold > 0.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Group-then-expand beats a postings self-join: the shingle pipeline
+    # runs ONCE (a self-join recomputes it per side — no exchange reuse,
+    # measured) and the whole query is 2 shuffles: postings→group-by-g,
+    # pairs→group-by-(a,b).  Skew note for the 100 TB path: a high-df
+    # shingle makes a large ds array; production deployments cap df like
+    # minhash_candidates' bucket guard (uncapped here for exact oracle
+    # parity — the guarded variant is dedup_minhash_lsh).
     d = load_table(spark, sf_dir, "documents")
-    gsets = d.select("doc_id", shingles(F.col("text")).alias("gs")).filter(
-        F.size(F.split(F.lower("text"), " ")) >= 3
-    )
+    gsets = doc_shingles(d).filter(F.col("n_toks") >= 3)
     postings = gsets.select(
-        "doc_id", F.explode("gs").alias("g"), F.size("gs").alias("sz")
+        "doc_id", F.explode_outer("gs").alias("g"), F.size("gs").alias("sz")
     )
-    a, b = postings.alias("a"), postings.alias("b")
+    grouped = (
+        postings.groupBy("g")
+        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x: F.transform(
+                F.filter(ds, lambda y: y["doc_id"] > x["doc_id"]),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["sz"].alias("sz_a"),
+                    y["sz"].alias("sz_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        grouped.select(F.explode_outer(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(
             F.count("*").alias("inter"),
-            (F.any_value(F.col("a.sz")) + F.any_value(F.col("b.sz")) - F.count("*")).alias("uni"),
+            (F.any_value("p.sz_a") + F.any_value("p.sz_b") - F.count("*")).alias("uni"),
         )
     )
     jac = F.col("inter").cast("double") / F.col("uni")
@@ -289,8 +322,8 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     one hash aggregate — vs. 64 nested array folds per row, which blows
     up codegen (~50× slower, measured).  One shuffle on doc id.
     """
-    postings = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("g")
+    postings = doc_shingles(docs, id_col, text_col).select(
+        F.col(id_col), F.explode_outer("gs").alias("g")
     ).select(F.col(id_col), F.xxhash64("g").alias("h"))
     votes = postings.groupBy(id_col).agg(
         *[
