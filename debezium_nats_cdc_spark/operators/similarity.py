@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import register
-from ..functions.vectors import cosine_similarity, dot_product, l2_norm
+from ..functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    dot_product_arrow,
+    l2_norm,
+)
 from ..io import load_table
 
 
@@ -29,6 +34,13 @@ def _with_norm(df, emb_col: str = "embedding"):
 
 def _pair_cos(a_emb, b_emb, a_norm, b_norm):
     return dot_product(a_emb, b_emb) / (a_norm * b_norm)
+
+
+def _pair_cos_arrow(a_emb, b_emb, a_norm, b_norm):
+    """Arrow-batched pair cosine for candidate-VERIFICATION stages, where
+    pair count ≫ row count (see dot_product_arrow).  Norms stay JVM-side:
+    computed once per row before the join, not per pair."""
+    return dot_product_arrow(a_emb, b_emb) / (a_norm * b_norm)
 
 _ORACLE_COS = """
     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
@@ -135,8 +147,8 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.alias("a")
     b = e.alias("b")
     cos = F.round(
-        _pair_cos(F.col("a.embedding"), F.col("b.embedding"),
-                  F.col("a._norm"), F.col("b._norm")), 6
+        _pair_cos_arrow(F.col("a.embedding"), F.col("b.embedding"),
+                        F.col("a._norm"), F.col("b._norm")), 6
     ).cast("decimal(10,6)")
     return (
         a.join(
@@ -260,8 +272,8 @@ def sim_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = _with_norm(e.select("vec_id", "embedding", bucket.alias("bucket")))
     a, b = sk.alias("a"), sk.alias("b")
     cos = F.round(
-        _pair_cos(F.col("a.embedding"), F.col("b.embedding"),
-                  F.col("a._norm"), F.col("b._norm")), 6
+        _pair_cos_arrow(F.col("a.embedding"), F.col("b.embedding"),
+                        F.col("a._norm"), F.col("b._norm")), 6
     ).cast("decimal(10,6)")
     return (
         a.join(
