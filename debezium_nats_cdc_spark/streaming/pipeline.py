@@ -87,8 +87,18 @@ def _swap_write(df: DataFrame, final_dir: str) -> None:
 def process_batch(spark: SparkSession, batch: DataFrame, table: str,
                   dirs: PipelineDirs) -> None:
     """The foreachBatch body — also callable on a batch DataFrame
-    directly (the A2 snapshot path uses it for op='r' seeding)."""
-    batch = batch.persist()
+    directly (the A2 snapshot path uses it for op='r' seeding).
+
+    The micro-batch is materialized ONCE via localCheckpoint before the
+    multi-sink fan-out.  Each action inside foreachBatch otherwise
+    re-executes the full incremental plan INCLUDING the upstream stateful
+    dedup — measured: 6 state-store instances per shuffle partition and
+    6× state writes for this body's 6 actions; plain persist() does not
+    help because every action spawns a fresh IncrementalExecution whose
+    plan never cache-matches.  Lineage is cut, so a lost executor fails
+    the micro-batch and Structured Streaming replays it from the
+    checkpoint (the sinks are idempotent — module docstring)."""
+    batch = batch.localCheckpoint(eager=True)
     events = None
     try:
         # 1. rules fan-out -> validate -> event store + DLQ
@@ -118,7 +128,6 @@ def process_batch(spark: SparkSession, batch: DataFrame, table: str,
     finally:
         if events is not None:
             events.unpersist()
-        batch.unpersist()
 
 
 def start_table_pipeline(
