@@ -99,6 +99,11 @@ def process_batch(spark: SparkSession, batch: DataFrame, table: str,
     the micro-batch and Structured Streaming replays it from the
     checkpoint (the sinks are idempotent — module docstring)."""
     batch = batch.localCheckpoint(eager=True)
+    if batch.isEmpty():
+        # availableNow fires a final empty batch to advance the watermark;
+        # the state commit still happens upstream — skip the sink fan-out
+        # (6 no-op jobs + parquet writes, ~4 s per table, measured).
+        return
     events = None
     try:
         # 1. rules fan-out -> validate -> event store + DLQ
