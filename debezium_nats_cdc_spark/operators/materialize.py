@@ -58,7 +58,7 @@ def latest_state(unwrapped: DataFrame) -> DataFrame:
 
 
 def initial_state(batch_latest: DataFrame) -> DataFrame:
-    """First-ever batch -> state table rows (row fields + version +
+    """Batch candidates -> state-LOG rows (row fields + version +
     tombstone flag).  Deletes are KEPT as tombstones: under at-least-once
     delivery a stale insert redelivered later must find the newer delete
     and lose — dropping tombstones would resurrect deleted keys (found by
@@ -75,34 +75,35 @@ def initial_state(batch_latest: DataFrame) -> DataFrame:
 META_COLS = ["_pk", *VERSION_COLS, "_deleted"]
 
 
+def reduce_state(state: DataFrame) -> DataFrame:
+    """Collapse a state LOG to its newest row/tombstone per key.
+
+    The physical state table is LSM-shaped: each micro-batch APPENDS its
+    initial_state rows (O(batch), never O(state) — the reference SLO is
+    < 2 s per micro-batch, docs/system-design.md:328), duplicates from
+    at-least-once replays included; this reduction is run at read time
+    and at compaction.  Idempotent: reducing a reduced state is a no-op.
+    Exact replay duplicates tie on (_ts_ms, _change_key) and are
+    identical rows, so either winner yields the same state."""
+    w = W.partitionBy("_pk").orderBy(F.desc("_ts_ms"), F.desc("_change_key"))
+    return (
+        state.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def current_rows(state: DataFrame) -> DataFrame:
-    """The queryable view of a state table: live rows, no meta columns."""
-    return state.filter(~F.col("_deleted")).drop(*META_COLS)
+    """The queryable view of a state table/log: newest version per key,
+    live rows only, no meta columns."""
+    return reduce_state(state).filter(~F.col("_deleted")).drop(*META_COLS)
 
 
 def merge_state(current: DataFrame, batch_latest: DataFrame) -> DataFrame:
-    """Version-aware MERGE: among {stored row/tombstone, batch candidates}
-    per key, the newest (_ts_ms, _change_key) wins.  Implemented by
-    lifting stored rows back into candidate form and re-running the same
-    last-per-key reduction — one code path, one shuffle on the key.
-
-    Tombstones carry the key in ``_pk`` (their row fields are NULL)."""
-    row_cols = [c for c in current.columns if c not in META_COLS]
-    cur_cand = current.select(
-        F.col("_pk").alias("pk"),
-        F.when(F.col("_deleted"), "d").otherwise("k").alias("op"),
-        F.when(
-            ~F.col("_deleted"), F.struct(*[F.col(c) for c in row_cols])
-        ).alias("after"),
-        *[F.col(c) for c in VERSION_COLS],
-    )
-    merged = _reduce_last_per_key(cur_cand.unionByName(batch_latest))
-    return merged.select(
-        "after.*",
-        F.col("pk").alias("_pk"),
-        *VERSION_COLS,
-        (F.col("op") == "d").alias("_deleted"),
-    )
+    """Version-aware MERGE: among {stored rows/tombstones, batch
+    candidates} per key, the newest (_ts_ms, _change_key) wins — one
+    union + the same last-per-key reduction, one shuffle on the key."""
+    return reduce_state(current.unionByName(initial_state(batch_latest)))
 
 
 def expire_tombstones(state: DataFrame, older_than_ms: int,

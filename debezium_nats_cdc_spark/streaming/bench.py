@@ -47,10 +47,56 @@ def streaming_events_per_sec(spark: SparkSession, n_events: int = 500_000) -> di
         t0 = time.time()
         run_pipeline_until_done(spark, log_dir, root, tables=["employees"])
         wall = time.time() - t0
-        return {
+        out = {
             "stream_events": n_events,
             "stream_wall_sec": round(wall, 3),
             "stream_events_per_sec": round(n_events / wall, 1),
+        }
+        out.update(microbatch_latency(spark))
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def microbatch_latency(spark: SparkSession, n_batches: int = 20,
+                       events_per_batch: int = 1000) -> dict:
+    """P50/P95 micro-batch latency through the full pipeline — the
+    reference's end-to-end SLO is < 2 s P95 (docs/system-design.md:328).
+
+    Feeds one file per trigger (maxFilesPerTrigger=1) so each micro-batch
+    is a realistic ~1k-event increment against already-populated state,
+    and reads per-batch wall time from the query's own progress metrics
+    (triggerExecution covers offset mgmt + plan + execute + commit).
+    """
+    from .pipeline import PipelineDirs, start_table_pipeline
+
+    root = tempfile.mkdtemp(prefix="cdc-lat-")
+    try:
+        log_dir = os.path.join(root, "log")
+        fixtures.write_event_log(
+            _synthetic_updates(n_batches * events_per_batch),
+            log_dir,
+            events_per_file=events_per_batch,
+        )
+        dirs = PipelineDirs.under(root)
+        q = start_table_pipeline(spark, log_dir, "employees", dirs,
+                                 max_files_per_trigger=1)
+        q.awaitTermination()
+        durs = [
+            p["durationMs"]["triggerExecution"] / 1000.0
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        if not durs:
+            return {}
+        # first trigger pays one-time plan/codegen warmup; report it
+        # separately so the percentiles reflect steady state
+        warmup, steady = durs[0], sorted(durs[1:]) or [durs[0]]
+        return {
+            "stream_batch_warmup_sec": round(warmup, 3),
+            "stream_batch_p50_sec": round(steady[len(steady) // 2], 3),
+            "stream_batch_p95_sec": round(
+                steady[min(len(steady) - 1, int(len(steady) * 0.95))], 3),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
