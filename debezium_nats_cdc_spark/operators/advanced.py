@@ -32,30 +32,46 @@ from ._common import dec2
     """,
     survey_ids=["C6", "E2"],
     doc="As-of join (Spark has no native one): for each purchase, the "
-        "most recent click by the same user within a 1-day tolerance — "
-        "equi key + time band keeps it a hash join; argmax via "
-        "row_number. The attribution/point-in-time-correctness shape.",
+        "most recent click by the same user within a 1-day tolerance. "
+        "Union-tag-scan formulation: tag both sides, ONE shuffle+sort on "
+        "(user_id, ts), last(click, ignorenulls) carries the latest click "
+        "forward to each purchase row — O(P+C) per user vs the banded "
+        "self-join's O(P*C) blow-up on active keys (the skew that kills "
+        "attribution joins at 100 TB). Tolerance applied as a post-scan "
+        "filter. Ties (click at purchase ts) sort clicks first so "
+        "c.ts <= p.ts inclusive semantics hold.",
 )
 def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    p = e.filter(F.col("event_type") == "purchase").alias("p")
-    c = e.filter(F.col("event_type") == "click").alias("c")
-    joined = p.join(
-        c,
-        (F.col("p.user_id") == F.col("c.user_id"))
-        & (F.col("c.ts") <= F.col("p.ts"))
-        & (F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 1 DAY")),
+    tagged = e.filter(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == F.lit("purchase")).alias("is_p"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("c_ts"),
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("c_id"),
     )
-    w = W.partitionBy("p.event_id").orderBy(F.desc("c.ts"), F.desc("c.event_id"))
+    # clicks (is_p=false) sort before purchases at equal ts; within a
+    # click tie, ascending event_id => last() picks the max event_id,
+    # matching the argmax-by-(ts, event_id) contract of the oracle.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        tagged.withColumn("last_click_ts", F.last("c_ts", ignorenulls=True).over(w))
+        .withColumn("last_click_id", F.last("c_id", ignorenulls=True).over(w))
+        .filter(
+            F.col("is_p")
+            & (F.col("last_click_ts") >= F.col("ts") - F.expr("INTERVAL 1 DAY"))
+        )
         .select(
-            F.col("p.event_id").alias("p_event_id"),
-            F.col("p.ts").alias("p_ts"),
-            F.col("p.user_id").alias("user_id"),
-            F.col("c.event_id").alias("last_click_id"),
-            F.col("c.ts").alias("last_click_ts"),
+            F.col("event_id").alias("p_event_id"),
+            F.col("ts").alias("p_ts"),
+            "user_id",
+            F.col("last_click_id").alias("last_click_id"),
+            F.col("last_click_ts").alias("last_click_ts"),
         )
     )
 

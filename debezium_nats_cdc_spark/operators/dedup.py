@@ -156,6 +156,12 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
     (degenerate content) are dropped, as at web scale a single hot bucket
     would otherwise quadratically dominate.
     """
+    # Group-then-expand (same shape as dedup_ngram_jaccard): bucket rows
+    # group by band key, pairs expand inside each bucket array.  The
+    # signature pipeline runs ONCE — the previous bucket self-join (plus
+    # its separate skew-guard aggregation) evaluated it three times —
+    # and the skew guard is now free: the same collect_list that holds
+    # the bucket also measures it (2 <= size <= 1000).
     rows_per_band = N_HASHES // N_BANDS
     sig = minhash_signatures(docs, id_col, text_col)
     bands = sig.select(
@@ -177,25 +183,30 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
         ).alias("band"),
     ).select(id_col, "sig", "band.band_id", "band.band_hash")
 
-    # skew guard: drop degenerate buckets (> 1000 members)
-    sizes = bands.groupBy("band_id", "band_hash").count().filter(F.col("count") <= 1000)
-    bands = bands.join(sizes.select("band_id", "band_hash"), ["band_id", "band_hash"], "left_semi")
-
-    a = bands.alias("a")
-    b = bands.alias("b")
+    grouped = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig")).alias("ds"))
+        # skew guard: drop degenerate buckets (> 1000 members)
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= 1000))
+    )
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x: F.transform(
+                F.filter(ds, lambda y: y["id"] > x["id"]),
+                lambda y: F.struct(
+                    x["id"].alias("doc_a"),
+                    y["id"].alias("doc_b"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        grouped.select(F.explode_outer(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     est = F.aggregate(
@@ -362,6 +373,9 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         "band), verified by popcount(xor) ≤ 8.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Group-then-expand (see minhash_candidates): the signature pipeline
+    # — including its Arrow bit-vote stage — runs once, not once per
+    # join side.  Pairs expand inside each chunk bucket.
     d = load_table(spark, sf_dir, "documents")
     sigs = simhash_signatures(d)
     chunks = sigs.select(
@@ -381,20 +395,28 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "sig", "ck.chunk_id", "ck.chunk")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    grouped = (
+        chunks.groupBy("chunk_id", "chunk")
+        .agg(F.collect_list(F.struct(F.col("doc_id").alias("id"), "sig")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x: F.transform(
+                F.filter(ds, lambda y: y["id"] > x["id"]),
+                lambda y: F.struct(
+                    x["id"].alias("doc_a"),
+                    y["id"].alias("doc_b"),
+                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
+        grouped.select(F.explode_outer(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= 8)
         .orderBy("doc_a", "doc_b")
