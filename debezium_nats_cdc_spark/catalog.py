@@ -61,6 +61,7 @@ def _load_modules() -> None:
         similarity,
         text,
         multimodal,
+        curation,
     )
 
 

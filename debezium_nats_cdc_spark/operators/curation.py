@@ -1,0 +1,147 @@
+"""End-to-end corpus curation (SURVEY.md §2.K — driver mandate).
+
+The flagship training-data-pipeline composition: quality gate → exact
+dedup → greedy near-dup removal, as ONE declarative Spark plan.  This is
+the shape a 100 TB pretraining-corpus build actually runs (C4/RefinedWeb
+style): every stage is a DataFrame transform, so Catalyst fuses the
+gates into the scan and the only shuffles are the two the algorithm
+requires (content digest, shingle postings).
+
+Scale notes per stage:
+- quality gate: pure projection+filter, fused into the Parquet scan
+  (predicate on n_chars pushed down; token exprs evaluated post-scan).
+- exact dedup: one shuffle on md5(text) — 16-byte digest, not the body.
+- near-dup removal: inverted-index pair generation (group-then-expand,
+  see dedup.py) — pairs exist only where docs share a shingle; greedy
+  keep-lowest-id is deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import register
+from ..io import load_table
+from .dedup import doc_shingles
+from .text import _EN_STOPWORDS
+
+_STOP_SQL = "[" + ",".join(f"'{w}'" for w in _EN_STOPWORDS) + "]"
+
+_MIN_CHARS = 100
+_MIN_TOKENS = 20
+_MIN_STOPWORD_COVERAGE = 0.10
+_NEARDUP_JACCARD = 0.5
+
+
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, lang, source, n_chars, text
+      FROM documents
+      WHERE n_chars >= {_MIN_CHARS}
+        AND len(string_split(text, ' ')) >= {_MIN_TOKENS}
+        AND CAST(len(list_intersect(string_split(lower(text), ' '),
+                 {_STOP_SQL})) AS DOUBLE) / {len(_EN_STOPWORDS)}
+            >= {_MIN_STOPWORD_COVERAGE}
+    ),
+    exact AS (
+      SELECT doc_id, lang, source, n_chars, text FROM gated
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ),
+    tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM exact
+    ),
+    gsets AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || '_' || toks[i+1] || '_' || toks[i+2]
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1)]) AS gs
+      FROM tok WHERE len(toks) >= 3
+    ),
+    postings AS (
+      SELECT doc_id, unnest(gs) AS g, len(gs) AS sz FROM gsets
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS DOUBLE)
+               / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS jaccard
+      FROM postings a JOIN postings b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    losers AS (
+      SELECT DISTINCT doc_b FROM pairs WHERE jaccard >= {_NEARDUP_JACCARD}
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM exact
+    WHERE doc_id NOT IN (SELECT doc_b FROM losers)
+    """,
+    survey_ids=["K1", "K3"],
+    doc="End-to-end corpus curation: C4-style quality gate (length + "
+        "stopword coverage) → exact dedup (keep lowest doc_id per content "
+        "digest) → greedy near-dup removal (drop any doc whose word-3-gram "
+        "Jaccard vs an earlier surviving doc is >= 0.5). One declarative "
+        "plan; shuffles: digest groupBy + shingle postings groupBy + the "
+        "final anti-join (broadcast — the loser set is tiny).",
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    toks = F.split(F.lower("text"), " ")
+    coverage = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(w) for w in _EN_STOPWORDS]))
+    ).cast("double") / len(_EN_STOPWORDS)
+    gated = d.filter(
+        (F.col("n_chars") >= _MIN_CHARS)
+        & (F.size(F.split("text", " ")) >= _MIN_TOKENS)
+        & (coverage >= _MIN_STOPWORD_COVERAGE)
+    )
+
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # near-dup pairs over the exact survivors: inverted-index
+    # group-then-expand (the dedup_ngram_jaccard shape, df-uncapped for
+    # oracle parity; production caps df like minhash's bucket guard)
+    gsets = doc_shingles(exact).filter(F.col("n_toks") >= 3)
+    postings = gsets.select(
+        "doc_id", F.explode_outer("gs").alias("g"), F.size("gs").alias("sz")
+    )
+    grouped = (
+        postings.groupBy("g")
+        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x: F.transform(
+                F.filter(ds, lambda y: y["doc_id"] > x["doc_id"]),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["sz"].alias("sz_a"),
+                    y["sz"].alias("sz_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        grouped.select(F.explode_outer(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(
+            F.count("*").alias("inter"),
+            (F.any_value("p.sz_a") + F.any_value("p.sz_b") - F.count("*")).alias("uni"),
+        )
+    )
+    losers = pairs.filter(
+        F.col("inter").cast("double") / F.col("uni") >= _NEARDUP_JACCARD
+    ).select(F.col("doc_b").alias("doc_id")).distinct()
+
+    return exact.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
