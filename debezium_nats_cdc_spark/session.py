@@ -71,6 +71,16 @@ def get_session(app_name: str = "debezium-nats-cdc-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ContextCleaner frees localCheckpoint blocks, shuffle files, and
+        # terminated queries' state-store providers only after a JVM GC;
+        # Spark's periodic-GC default is 30 MINUTES, so a long-lived
+        # session accumulates until streaming throughput collapses
+        # (measured here: 30k -> 5k events/s over two bench runs; with a
+        # 30 s interval the same pipeline holds 75-100k events/s flat).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30s"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
