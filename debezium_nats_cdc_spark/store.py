@@ -77,6 +77,29 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 64,
+                   sort_cols: list[str] | None = None) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its join
+    key — the co-located-join layout for 100 TB fact-to-fact joins.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with ZERO exchanges: each task reads matching bucket files from both
+    sides (and with sort_cols, skips the sort too).  This is the Spark
+    analog of the reference's ClickHouse ORDER BY clustering
+    (docs/design.md:183) applied to join locality rather than scans:
+    pre-shuffle once at write time, join shuffle-free forever after.
+    Bucket count is a layout contract — size it to (largest fact size /
+    target task input) and keep it stable across writers.
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def expire_partitions(spark: SparkSession, path: str, keep_months: int) -> list[str]:
     """Retention job (F7): drop whole month partitions older than the
     horizon — pure directory-level delete, no data scan (the JetStream

@@ -85,3 +85,27 @@ def test_latest_state_single_shuffle(spark):
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges == 1
     assert "hashpartitioning(user_id" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-tag-scan as-of join must be ONE shuffle on user_id —
+    no join node at all (the banded self-join it replaced exploded on
+    hot keys)."""
+    import re
+
+    df = catalog.entries()["join_asof_last_click"].fn(spark, SF)
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+
+
+def test_corpus_curation_loser_antijoin_broadcasts(spark):
+    """The near-dup loser set is tiny relative to the corpus — the final
+    anti-join must broadcast it, never shuffle the surviving corpus."""
+    df = catalog.entries()["corpus_curation"].fn(spark, SF)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, at_least=1)
