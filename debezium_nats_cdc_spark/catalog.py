@@ -62,6 +62,7 @@ def _load_modules() -> None:
         text,
         multimodal,
         curation,
+        sampling,
     )
 
 

@@ -1,0 +1,79 @@
+"""Deterministic sampling / splitting operators (SURVEY.md §2.K —
+driver-mandate training-data pipeline).
+
+Train/val splits and stratified samples for corpus building.  Both are
+pure column expressions over content hashes — deterministic under any
+partitioning, cluster size, or row order (no rand(), no TABLESAMPLE,
+which is partition-dependent), and therefore reproducible between the
+Spark plan and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import register
+from ..io import load_table
+
+# first two hex chars of md5 < 'f3' => 243/256 ≈ 94.9% train fraction
+_TRAIN_HEX_CUTOFF = "f3"
+_STRATUM_CAP = 50
+
+
+@register(
+    "corpus_train_split",
+    oracle=f"""
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HEX_CUTOFF}'
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents)
+    GROUP BY split, lang
+    """,
+    survey_ids=["K1", "K3"],
+    doc="Deterministic ~95/5 train/val split: membership = md5(doc_id) "
+        "prefix below a hex cutoff. Hash-based (not rand/TABLESAMPLE) so "
+        "assignment is stable across runs, partitionings, and engines — "
+        "a doc never migrates between splits when the corpus is rebuilt.",
+)
+def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        < _TRAIN_HEX_CUTOFF,
+        "train",
+    ).otherwise("val")
+    return d.groupBy(split.alias("split"), "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {_STRATUM_CAP}
+    """,
+    survey_ids=["K1", "K3"],
+    doc=f"Stratified sample: {_STRATUM_CAP} docs per language, selected "
+        "by content-hash order (deterministic 'random'). One shuffle on "
+        "the stratum key; at 100 TB swap row_number for a per-partition "
+        "bounded top-k (rank pushdown keeps state at cap size).",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _STRATUM_CAP)
+        .select("doc_id", "lang", "n_chars")
+    )

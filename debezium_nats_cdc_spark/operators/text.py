@@ -180,3 +180,34 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("labeled_lang"),
         (hits >= 3).alias("looks_english"),
     )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+             AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text),
+                '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT) AS n_unique_tokens,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+    survey_ids=["K3"],
+    doc="BPE-ish regex tokenization (driver mandate: 'whitespace + a "
+        "BPE-ish regex'): letter-runs / digit-runs / single punctuation, "
+        "the GPT-2 pre-tokenizer shape. Counted vs whitespace tokens for "
+        "a per-doc tokens-per-word signal. Pure codegen'd projection — "
+        "a 100 TB scan-only op.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(
+        F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("n_unique_tokens"),
+        F.size(F.split("text", " ")).cast("int").alias("n_ws_tokens"),
+    )
