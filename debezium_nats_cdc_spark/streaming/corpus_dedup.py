@@ -1,0 +1,213 @@
+"""Streaming corpus dedup: incremental MinHash-LSH over a document stream.
+
+The batch dedup operators (operators/dedup.py) answer "which docs in
+this corpus are near-dups of each other".  A training-data INGEST
+pipeline asks the streaming form: as new documents arrive, which are
+near-dups of anything seen before — emit the fresh ones, quarantine the
+duplicates, and grow the index.  This is the content-addressed analog of
+the reference's broker dedup window (config/nats/stream.json:14), with
+"same message id" generalized to "same-enough text", and the window
+widened to forever.
+
+Design (scales like the batch LSH path — no cross join anywhere):
+- The accumulated state is a BAND INDEX: (band_id, band_hash, doc_id,
+  sig) rows for every accepted document, stored as an append-only
+  parquet log partitioned the same way every batch's probe join shuffles
+  — at 100 TB this is a bucketed table co-located with the probe.
+- Per micro-batch: signature the batch once (xxhash64 minhashes),
+  probe the index with an equi-join on (band_id, band_hash) — candidate
+  pairs only materialize for band collisions, verified by signature
+  Jaccard — and resolve batch-internal dups with the same
+  group-then-expand used in batch mode (lowest doc_id wins).
+- Survivors' bands APPEND to the index (O(batch) like the CDC state
+  log); duplicates append to a quarantine table with their match.
+- Idempotent under micro-batch replay: accepted/duplicate membership is
+  a pure function of (index contents, batch contents), and re-appended
+  band rows dedup at probe time (distinct candidate pairs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.dedup import N_BANDS, N_HASHES, minhash_signatures
+
+EST_JACCARD_THRESHOLD = 0.5
+_ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) -> one row per band: (band_id, band_hash, doc_id, sig)."""
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * _ROWS_PER_BAND + r + 1)
+                              for r in range(_ROWS_PER_BAND)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("band.band_id", "band.band_hash", "doc_id", "sig")
+
+
+def _est_jaccard(sig_a, sig_b):
+    matches = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return matches / F.lit(N_HASHES)
+
+
+def dedup_batch_against_index(batch_bands: DataFrame,
+                              index_bands: DataFrame | None) -> DataFrame:
+    """Resolve one batch: returns (doc_id, dup_of, est_jaccard) with
+    dup_of NULL for accepted docs.
+
+    Two candidate sources, both equi-joins on the band key:
+    1. probe: batch vs index — any index hit at/above threshold is a dup
+       (the index doc always wins; it arrived first).
+    2. intra-batch: group-then-expand on the batch's own bands — lowest
+       doc_id wins, and only among docs that survived the probe (a doc
+       that duplicates the index can't claim a batch-mate).
+    """
+    probe_matches = None
+    if index_bands is not None:
+        cand = (
+            batch_bands.alias("b")
+            .join(
+                index_bands.alias("i"),
+                (F.col("b.band_id") == F.col("i.band_id"))
+                & (F.col("b.band_hash") == F.col("i.band_hash"))
+                # replay guard: after a partially-committed batch the index
+                # may already hold this batch's own docs — never self-match
+                & (F.col("b.doc_id") != F.col("i.doc_id")),
+            )
+            .select(
+                F.col("b.doc_id").alias("doc_id"),
+                F.col("i.doc_id").alias("dup_of"),
+                F.col("b.sig").alias("sig_b"),
+                F.col("i.sig").alias("sig_i"),
+            )
+            .dropDuplicates(["doc_id", "dup_of"])
+        )
+        probe_matches = (
+            cand.withColumn("est_jaccard", _est_jaccard("sig_b", "sig_i"))
+            .filter(F.col("est_jaccard") >= EST_JACCARD_THRESHOLD)
+            .groupBy("doc_id")
+            .agg(
+                # best match = highest jaccard, ties to lowest doc id
+                F.max_by(
+                    "dup_of", F.struct(F.col("est_jaccard"), -F.col("dup_of"))
+                ).alias("dup_of"),
+                F.max("est_jaccard").alias("est_jaccard"),
+            )
+        )
+
+    # intra-batch pairs via group-then-expand (see operators/dedup.py)
+    grouped = (
+        batch_bands.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(F.struct(F.col("doc_id").alias("id"), "sig")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x: F.transform(
+                F.filter(ds, lambda y: y["id"] > x["id"]),
+                lambda y: F.struct(
+                    x["id"].alias("keeper"),
+                    y["id"].alias("doc_id"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    intra = (
+        grouped.select(F.explode_outer(pair_arr).alias("p"))
+        .select("p.keeper", "p.doc_id", "p.sig_a", "p.sig_b")
+        .dropDuplicates(["keeper", "doc_id"])
+        .withColumn("est_jaccard", _est_jaccard("sig_a", "sig_b"))
+        .filter(F.col("est_jaccard") >= EST_JACCARD_THRESHOLD)
+    )
+    if probe_matches is not None:
+        # a keeper that itself duplicates the index can't claim batch-mates
+        intra = intra.join(
+            probe_matches.select(F.col("doc_id").alias("keeper")),
+            "keeper",
+            "left_anti",
+        )
+    intra_matches = intra.groupBy("doc_id").agg(
+        F.min("keeper").alias("dup_of"),
+        F.max("est_jaccard").alias("est_jaccard"),
+    )
+
+    all_ids = batch_bands.select("doc_id").distinct()
+    matches = (
+        probe_matches.unionByName(intra_matches)
+        if probe_matches is not None
+        else intra_matches
+    )
+    best = matches.groupBy("doc_id").agg(
+        F.max_by(
+            "dup_of", F.struct(F.col("est_jaccard"), -F.col("dup_of"))
+        ).alias("dup_of"),
+        F.max("est_jaccard").alias("est_jaccard"),
+    )
+    return all_ids.join(best, "doc_id", "left")
+
+
+class CorpusDedupPipeline:
+    """foreachBatch-driven incremental dedup with an on-disk band index."""
+
+    def __init__(self, root: str):
+        self.index_dir = os.path.join(root, "band_index")
+        self.accepted_dir = os.path.join(root, "accepted")
+        self.quarantine_dir = os.path.join(root, "quarantine")
+        self.checkpoint_dir = os.path.join(root, "_checkpoints")
+
+    def _index(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(os.path.join(self.index_dir, "_SUCCESS")):
+            return None
+        return spark.read.parquet(self.index_dir)
+
+    def process_batch(self, spark: SparkSession, docs: DataFrame) -> None:
+        docs = docs.localCheckpoint(eager=True)
+        if docs.isEmpty():
+            return
+        bands = _bands(minhash_signatures(docs)).localCheckpoint(eager=True)
+        verdict = dedup_batch_against_index(bands, self._index(spark))
+        verdict = verdict.localCheckpoint(eager=True)
+
+        dup_ids = verdict.filter(F.col("dup_of").isNotNull())
+        accepted_ids = verdict.filter(F.col("dup_of").isNull()).select("doc_id")
+
+        (docs.join(dup_ids, "doc_id", "inner")
+             .write.mode("append").parquet(self.quarantine_dir))
+        (docs.join(accepted_ids, "doc_id", "left_semi")
+             .write.mode("append").parquet(self.accepted_dir))
+        (bands.join(accepted_ids, "doc_id", "left_semi")
+              .write.mode("append").parquet(self.index_dir))
+
+    def start(self, spark: SparkSession, stream: DataFrame,
+              available_now: bool = True):
+        writer = (
+            stream.writeStream.queryName("corpus-dedup")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .foreachBatch(lambda b, _e: self.process_batch(spark, b))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

@@ -1,0 +1,112 @@
+"""Streaming incremental corpus dedup (streaming/corpus_dedup.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from debezium_nats_cdc_spark.streaming.corpus_dedup import CorpusDedupPipeline
+
+DOC_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ]
+)
+
+_BASE = ("spark shuffle partition broadcast join window watermark state "
+         "checkpoint codegen arrow parquet bucket skew salt agg scan "
+         "filter project union explode")
+_OTHER = ("nats jetstream debezium binlog envelope subject wildcard "
+          "tombstone snapshot offset replay consumer durable ack redelivery "
+          "stream store retention")
+
+
+def _doc(doc_id: int, text: str) -> Row:
+    return Row(doc_id=doc_id, text=text)
+
+
+@pytest.fixture()
+def pipeline_run(spark, tmp_path):
+    """Feed two micro-batches through the dedup stream; return dirs."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    root = str(tmp_path / "dedup")
+
+    batch1 = [
+        _doc(1, _BASE),
+        _doc(2, _OTHER),
+        _doc(3, _BASE),  # intra-batch exact dup of 1
+    ]
+    batch2 = [
+        _doc(4, _BASE),  # cross-batch dup of 1 (via the band index)
+        _doc(5, _BASE + " " + _OTHER + " extra unrelated suffix tokens "
+             + _OTHER.upper().lower()[::-1]),
+    ]
+    spark.createDataFrame(batch1, DOC_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(in_dir, "b1")
+    )
+
+    pipe = CorpusDedupPipeline(root)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    q = pipe.start(spark, stream)
+    q.awaitTermination()
+
+    spark.createDataFrame(batch2, DOC_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(in_dir, "b2")
+    )
+    q = pipe.start(spark, stream)
+    q.awaitTermination()
+    return pipe
+
+
+def test_incremental_dedup(spark, pipeline_run):
+    pipe = pipeline_run
+    accepted = {
+        r.doc_id for r in spark.read.parquet(pipe.accepted_dir).collect()
+    }
+    quarantined = {
+        (r.doc_id, r.dup_of)
+        for r in spark.read.parquet(pipe.quarantine_dir).collect()
+    }
+    assert accepted == {1, 2, 5}
+    assert quarantined == {(3, 1), (4, 1)}
+
+
+def test_index_only_holds_accepted(spark, pipeline_run):
+    pipe = pipeline_run
+    idx_ids = {
+        r.doc_id
+        for r in spark.read.parquet(pipe.index_dir).select("doc_id").collect()
+    }
+    assert idx_ids == {1, 2, 5}
+
+
+def test_replay_membership_stable(spark, pipeline_run):
+    """Re-running a batch whose index append already committed must not
+    change accepted/duplicate membership (the replay guard)."""
+    pipe = pipeline_run
+    batch2 = spark.read.parquet(pipe.accepted_dir).filter(
+        F.col("doc_id") == 5
+    ).select("doc_id", "text")
+    pipe.process_batch(spark, batch2)
+    accepted = spark.read.parquet(pipe.accepted_dir).select("doc_id")
+    # doc 5 re-accepted (appended twice) but never quarantined
+    assert accepted.filter(F.col("doc_id") == 5).count() == 2
+    quarantined = {
+        r.doc_id for r in spark.read.parquet(pipe.quarantine_dir).collect()
+    }
+    assert 5 not in quarantined
