@@ -69,7 +69,7 @@ def streaming_events_per_sec(spark: SparkSession, n_events: int = 500_000) -> di
         shutil.rmtree(root, ignore_errors=True)
 
 
-def microbatch_latency(spark: SparkSession, n_batches: int = 20,
+def microbatch_latency(spark: SparkSession, n_batches: int = 40,
                        events_per_batch: int = 1000) -> dict:
     """P50/P95 micro-batch latency through the full pipeline — the
     reference's end-to-end SLO is < 2 s P95 (docs/system-design.md:328).

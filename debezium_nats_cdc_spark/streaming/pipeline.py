@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -113,6 +114,16 @@ def _swap_write(df: DataFrame, final_dir: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+# Serializes appends to SHARED output paths (events / audit / DLQ are
+# one table each, fed by every per-table query).  Spark's file committer
+# does not support two concurrent jobs on one output path — job commit
+# deletes the shared _temporary staging dir, corrupting the other job's
+# in-flight tasks.  One lock per driver is correct for any deployment
+# (a Spark app has exactly one driver); only the short append job
+# serializes, the batch computation still overlaps.
+_SHARED_SINK_LOCK = threading.Lock()
+
+
 def _sink_events(batch: DataFrame, table: str, dirs: PipelineDirs) -> None:
     """Rules fan-out -> validate -> event store + DLQ.  Persisted: the
     valid append and the DLQ check otherwise each recompute all rule
@@ -120,9 +131,11 @@ def _sink_events(batch: DataFrame, table: str, dirs: PipelineDirs) -> None:
     events = apply_rules(batch, table).persist()
     try:
         valid, dlq = split_valid(events)
-        store.append_events(valid, dirs.events)
+        with _SHARED_SINK_LOCK:
+            store.append_events(valid, dirs.events)
         if dlq.limit(1).count() > 0:
-            dlq.write.mode("append").parquet(dirs.dead_letter)
+            with _SHARED_SINK_LOCK:
+                dlq.write.mode("append").parquet(dirs.dead_letter)
     finally:
         events.unpersist()
 
@@ -131,7 +144,9 @@ def _sink_audit(batch: DataFrame, table: str, dirs: PipelineDirs) -> None:
     """Field-level audit trail (F6)."""
     cols = [f.name for f in TABLE_SCHEMAS[table].fields
             if f.name not in ("created_at", "updated_at")]
-    field_diff(batch, cols).write.mode("append").parquet(dirs.audit)
+    rows = field_diff(batch, cols)
+    with _SHARED_SINK_LOCK:
+        rows.write.mode("append").parquet(dirs.audit)
 
 
 def _sink_state(spark: SparkSession, batch: DataFrame, table: str,
@@ -217,13 +232,23 @@ def read_state(spark: SparkSession, dirs: PipelineDirs, table: str) -> DataFrame
 
 
 def run_pipeline_until_done(spark: SparkSession, log_dir: str, root: str,
-                            tables: list[str] | None = None) -> PipelineDirs:
+                            tables: list[str] | None = None,
+                            concurrent: bool = False) -> PipelineDirs:
     """Process everything currently in the change log, then stop.
 
-    Tables run sequentially here for deterministic tests; in production
-    the queries run concurrently (they're independent)."""
+    Per-table queries are independent (separate checkpoints, state dirs,
+    and event-store partitions are append-only), so ``concurrent=True``
+    starts them all and awaits together — the production shape, where N
+    source tables share the cluster instead of serializing.  Sequential
+    remains the default for deterministic test output ordering."""
     dirs = PipelineDirs.under(root)
-    for t in tables or list(RULES):
-        q = start_table_pipeline(spark, log_dir, t, dirs)
-        q.awaitTermination()
+    names = tables or list(RULES)
+    if concurrent:
+        queries = [start_table_pipeline(spark, log_dir, t, dirs) for t in names]
+        for q in queries:
+            q.awaitTermination()
+    else:
+        for t in names:
+            q = start_table_pipeline(spark, log_dir, t, dirs)
+            q.awaitTermination()
     return dirs

@@ -105,3 +105,27 @@ def test_thousand_updates_exactly_once(spark, tmp_path):
     ev = spark.read.parquet(dirs.events)
     assert ev.count() == 1000
     assert ev.select("event_id").distinct().count() == 1000
+
+
+def test_concurrent_tables_match_sequential(spark, tmp_path):
+    """concurrent=True (production shape: per-table queries share the
+    cluster) must produce the same event store as the sequential run —
+    the shared-sink lock makes simultaneous appends safe."""
+    root = str(tmp_path / "conc")
+    log_dir = os.path.join(root, "log")
+    events = fixtures.snapshot_events() + fixtures.golden_workload()
+    fixtures.write_event_log(events, log_dir, events_per_file=5)
+    dirs = run_pipeline_until_done(
+        spark, log_dir, root,
+        tables=["employees", "salary_changes", "leave_requests"],
+        concurrent=True,
+    )
+    ev = spark.read.parquet(dirs.events)
+    counts = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()}
+    assert counts["EmployeeHired"] == 1
+    assert counts["EmployeeDataUpdated"] == 1
+    assert counts["SalaryAdjusted"] == 1
+    assert counts["LeaveRequested"] == 1
+    emp = read_state(spark, dirs, "employees")
+    assert emp.count() == 3  # EMP999 net-deleted, seed remains
