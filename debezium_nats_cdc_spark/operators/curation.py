@@ -107,9 +107,11 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group-then-expand (the dedup_ngram_jaccard shape, df-uncapped for
     # oracle parity; production caps df like minhash's bucket guard)
     gsets = doc_shingles(exact).filter(F.col("n_toks") >= 3)
+    # 8-byte shingle hashes shuffle instead of shingle strings (see
+    # dedup_ngram_jaccard) — grouping-equivalent, half the shuffle bytes
     postings = gsets.select(
         "doc_id", F.explode_outer("gs").alias("g"), F.size("gs").alias("sz")
-    )
+    ).select("doc_id", F.xxhash64("g").alias("g"), "sz")
     grouped = (
         postings.groupBy("g")
         .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds"))

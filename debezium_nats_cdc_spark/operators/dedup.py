@@ -278,9 +278,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parity — the guarded variant is dedup_minhash_lsh).
     d = load_table(spark, sf_dir, "documents")
     gsets = doc_shingles(d).filter(F.col("n_toks") >= 3)
+    # shuffle 8-byte shingle hashes, not ~25-byte shingle strings: same
+    # grouping (equal shingles hash equal; xxhash64 collisions across
+    # ~n·|gs| distinct shingles are ~2^-64 — far below any dedup noise
+    # floor), half the shuffle bytes at 100 TB.
     postings = gsets.select(
         "doc_id", F.explode_outer("gs").alias("g"), F.size("gs").alias("sz")
-    )
+    ).select("doc_id", F.xxhash64("g").alias("g"), "sz")
     grouped = (
         postings.groupBy("g")
         .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds"))
