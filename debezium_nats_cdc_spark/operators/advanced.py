@@ -127,9 +127,9 @@ def cdc_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_length_percentiles",
     oracle="""
     SELECT lang,
-           CAST(ROUND(quantile_cont(n_chars, 0.5), 4) AS DECIMAL(18,4)) AS p50,
-           CAST(ROUND(quantile_cont(n_chars, 0.9), 4) AS DECIMAL(18,4)) AS p90,
-           CAST(ROUND(quantile_cont(n_chars, 0.99), 4) AS DECIMAL(18,4)) AS p99
+           CAST(CAST(ROUND(quantile_cont(n_chars, 0.5), 4) AS DECIMAL(18,4)) AS DOUBLE) AS p50,
+           CAST(CAST(ROUND(quantile_cont(n_chars, 0.9), 4) AS DECIMAL(18,4)) AS DOUBLE) AS p90,
+           CAST(CAST(ROUND(quantile_cont(n_chars, 0.99), 4) AS DECIMAL(18,4)) AS DOUBLE) AS p99
     FROM documents GROUP BY lang
     """,
     survey_ids=["K3", "D2"],
@@ -141,7 +141,7 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         *[
-            F.round(F.percentile("n_chars", q), 4).cast("decimal(18,4)").alias(name)
+            F.round(F.percentile("n_chars", q), 4).cast("decimal(18,4)").cast("double").alias(name)
             for q, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
         ]
     )
@@ -175,12 +175,12 @@ def cdc_tenure_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            strftime(o_orderdate, '%Y%m') AS order_month,
-           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date,
            lower(o_orderpriority) AS priority_lc,
            'ord.' || lower(o_orderstatus) || '.' || CAST(o_orderkey % 10 AS VARCHAR)
              AS routing_subject,
            COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
-           CAST(ROUND(o_totalprice, 0) AS DECIMAL(18,0)) AS price_rounded
+           CAST(CAST(ROUND(o_totalprice, 0) AS DECIMAL(18,0)) AS BIGINT) AS price_rounded
     FROM orders
     """,
     survey_ids=["G1", "G2", "G4", "G6", "G7"],
@@ -193,7 +193,8 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.date_format("o_orderdate", "yyyyMM").alias("order_month"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("date").alias("due_date"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd")
+        .alias("due_date"),
         F.lower("o_orderpriority").alias("priority_lc"),
         F.concat_ws(
             ".",
@@ -202,7 +203,7 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderkey") % 10).cast("string"),
         ).alias("routing_subject"),
         F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_label"),
-        F.round("o_totalprice", 0).cast("decimal(18,0)").alias("price_rounded"),
+        F.round("o_totalprice", 0).cast("decimal(18,0)").cast("bigint").alias("price_rounded"),
     )
 
 
@@ -227,9 +228,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT d.doc_id, d.lang, d.n_chars, e.label,
            CAST(len(e.embedding) AS INT) AS embedding_dim,
-           CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+           CAST(CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
                                              CAST(e.embedding AS DOUBLE[])), 4)
-                AS DECIMAL(10,4)) AS self_cos
+                AS DECIMAL(10,4)) AS DOUBLE) AS self_cos
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     """,
     survey_ids=["K4", "C1"],
@@ -252,6 +253,7 @@ def mm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("embedding").cast("int").alias("embedding_dim"),
             F.round(cosine_similarity("embedding", "embedding"), 4)
             .cast("decimal(10,4)")
+            .cast("double")
             .alias("self_cos"),
         )
     )

@@ -25,10 +25,10 @@ from ._common import dec2, money_sum
     "agg_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -44,9 +44,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            money_sum(dec2("l_quantity")).alias("sum_qty"),
-            money_sum(dec2("l_extendedprice")).alias("sum_base_price"),
-            money_sum(disc_price, scale4=True).alias("sum_disc_price"),
+            money_sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            money_sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            money_sum(disc_price, scale4=True).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -55,9 +55,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_daily_event_volume",
     oracle="""
-    SELECT CAST(ts AS DATE) AS event_day, event_type,
+    SELECT strftime(ts, '%Y-%m-%d') AS event_day, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
     survey_ids=["D4", "D2"],
@@ -68,11 +68,11 @@ def agg_daily_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(
-            F.col("ts").cast("date").alias("event_day"),
+            F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
             "event_type",
         ).agg(
             F.count("*").alias("n_events"),
-            money_sum(dec2("value")).alias("total_value"),
+            money_sum(dec2("value")).cast("double").alias("total_value"),
         )
     )
 
@@ -83,8 +83,8 @@ def agg_daily_event_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-           CAST(MIN(value) AS DECIMAL(18,2)) AS min_value,
-           CAST(MAX(value) AS DECIMAL(18,2)) AS max_value
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
     FROM events GROUP BY event_type
     """,
     survey_ids=["D3"],
@@ -96,8 +96,8 @@ def agg_metrics_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.min("value").cast("decimal(18,2)").alias("min_value"),
-        F.max("value").cast("decimal(18,2)").alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
     )
 
 
@@ -106,7 +106,7 @@ def agg_metrics_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            CAST(COUNT(c_custkey) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_acctbal
     FROM region
     JOIN nation ON n_regionkey = r_regionkey
     JOIN customer ON c_nationkey = n_nationkey
@@ -126,7 +126,7 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.rollup("r_name", "n_name").agg(
         F.count("c_custkey").alias("n_customers"),
-        money_sum(dec2("c_acctbal")).alias("total_acctbal"),
+        money_sum(dec2("c_acctbal")).cast("double").alias("total_acctbal"),
     )
 
 
@@ -135,7 +135,7 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -146,7 +146,7 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        money_sum(dec2("o_totalprice")).alias("total_price"),
+        money_sum(dec2("o_totalprice")).cast("double").alias("total_price"),
     )
 
 
@@ -154,10 +154,10 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot_returnflag",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O'
-                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "O",
-           CAST(SUM(CASE WHEN l_linestatus = 'F'
-                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "F"
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS "O",
+           CAST(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS DOUBLE) AS "F"
     FROM lineitem GROUP BY l_returnflag
     """,
     survey_ids=["D2"],
@@ -169,4 +169,6 @@ def agg_pivot_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(money_sum(dec2("l_quantity")))
+        .select("l_returnflag", F.col("O").cast("double").alias("O"),
+                F.col("F").cast("double").alias("F"))
     )

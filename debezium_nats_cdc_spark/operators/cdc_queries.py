@@ -192,7 +192,7 @@ def cdc_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
     survey_ids=["H7", "D1"],
@@ -208,7 +208,7 @@ def cdc_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         ).agg(
             F.count("*").alias("n_events"),
-            money_sum(dec2("value")).alias("total_value"),
+            money_sum(dec2("value")).cast("double").alias("total_value"),
         )
     )
 
@@ -240,11 +240,11 @@ def cdc_masking_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_union_heterogeneous",
     oracle="""
     SELECT 'customer' AS src, c_name AS entity_name,
-           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal, c_nationkey AS nation_key
+           c_acctbal AS acctbal, c_nationkey AS nation_key
     FROM customer
     UNION ALL
     SELECT 'supplier' AS src, s_name AS entity_name,
-           CAST(s_acctbal AS DECIMAL(18,2)) AS acctbal, s_nationkey AS nation_key
+           s_acctbal AS acctbal, s_nationkey AS nation_key
     FROM supplier
     """,
     survey_ids=["F1", "A9"],
@@ -256,13 +256,13 @@ def cdc_union_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         F.lit("customer").alias("src"),
         F.col("c_name").alias("entity_name"),
-        dec2("c_acctbal").alias("acctbal"),
+        F.col("c_acctbal").alias("acctbal"),
         F.col("c_nationkey").alias("nation_key"),
     )
     s = load_table(spark, sf_dir, "supplier").select(
         F.lit("supplier").alias("src"),
         F.col("s_name").alias("entity_name"),
-        dec2("s_acctbal").alias("acctbal"),
+        F.col("s_acctbal").alias("acctbal"),
         F.col("s_nationkey").alias("nation_key"),
     )
     return c.unionByName(s, allowMissingColumns=True)

@@ -256,7 +256,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           CAST(ROUND(CAST(inter AS DOUBLE) / uni, 4) AS DECIMAL(10,4)) AS jaccard
+           CAST(CAST(ROUND(CAST(inter AS DOUBLE) / uni, 4) AS DECIMAL(10,4)) AS DOUBLE) AS jaccard
     FROM pairs
     WHERE CAST(inter AS DOUBLE) / uni >= 0.2
     """,
@@ -319,7 +319,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(jac, 4).cast("decimal(10,4)").alias("jaccard"),
+            F.round(jac, 4).cast("decimal(10,4)").cast("double").alias("jaccard"),
         )
     )
 

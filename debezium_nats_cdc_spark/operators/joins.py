@@ -25,8 +25,8 @@ from ._common import dec2, money_sum
     "join_broadcast_enrich",
     oracle="""
     SELECT p_brand, s_name,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_items
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -49,7 +49,7 @@ def join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
         .groupBy("p_brand", "s_name")
         .agg(
-            money_sum(revenue, scale4=True).alias("revenue"),
+            money_sum(revenue, scale4=True).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -60,7 +60,7 @@ def join_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name, n_name,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_acctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -80,7 +80,7 @@ def join_hierarchy_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            money_sum(dec2("c_acctbal")).alias("total_acctbal"),
+            money_sum(dec2("c_acctbal")).cast("double").alias("total_acctbal"),
         )
     )
 
@@ -158,7 +158,7 @@ def join_anti_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_lineitems,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= o_orderdate
       AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
@@ -181,7 +181,7 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lineitems"),
-            money_sum(dec2("l_extendedprice")).alias("total_price"),
+            money_sum(dec2("l_extendedprice")).cast("double").alias("total_price"),
         )
     )
 
@@ -220,16 +220,18 @@ def join_event_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_top_orders",
     oracle="""
-    SELECT o_orderkey, o_orderdate,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-    GROUP BY o_orderkey, o_orderdate
-    ORDER BY revenue DESC, o_orderkey
-    LIMIT 10
+    SELECT o_orderkey, o_orderdate, CAST(revenue AS DOUBLE) AS revenue
+    FROM (
+      SELECT o_orderkey, o_orderdate,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10)
     """,
     survey_ids=["C1", "D2", "E1"],
     doc="TPC-H Q3-shaped top-N: fact-fact join shuffles on o_orderkey once; "
@@ -248,4 +250,5 @@ def join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(money_sum(revenue, scale4=True).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
+        .withColumn("revenue", F.col("revenue").cast("double"))
     )

@@ -50,7 +50,8 @@ _ORACLE_COS = """
 @register(
     "sim_cosine_topk",
     oracle=f"""
-    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk
+    SELECT query_id, neighbor_id, CAST(cos_sim AS DOUBLE) AS cos_sim,
+           CAST(rnk AS INT) AS rnk
     FROM (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
              CAST(ROUND({_ORACLE_COS}, 6) AS DECIMAL(10,6)) AS cos_sim,
@@ -86,6 +87,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
         .withColumn("rnk", F.col("rnk").cast("int"))
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
     )
 
 
@@ -93,7 +95,7 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_nearest_centroid",
     oracle=f"""
     SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
-           CAST(ROUND(AVG(cos_sim), 6) AS DECIMAL(10,6)) AS avg_cos
+           CAST(CAST(ROUND(AVG(cos_sim), 6) AS DECIMAL(10,6)) AS DOUBLE) AS avg_cos
     FROM (
       SELECT b.vec_id, a.vec_id AS centroid_id,
              CAST(ROUND({_ORACLE_COS}, 6) AS DECIMAL(10,6)) AS cos_sim,
@@ -124,7 +126,7 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
     return assigned.groupBy("centroid_id").agg(
         F.count("*").alias("n_members"),
-        F.round(F.avg("cos_sim"), 6).cast("decimal(10,6)").alias("avg_cos"),
+        F.round(F.avg("cos_sim"), 6).cast("decimal(10,6)").cast("double").alias("avg_cos"),
     )
 
 
@@ -132,7 +134,7 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_embedding_neardup",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(ROUND({_ORACLE_COS}, 6) AS DECIMAL(10,6)) AS cos_sim
+           CAST(CAST(ROUND({_ORACLE_COS}, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE ROUND({_ORACLE_COS}, 6) >= 0.35
@@ -162,6 +164,7 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.35)
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
     )
 
 
@@ -224,6 +227,7 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w_topk))
         .filter(F.col("rnk") <= k)
         .withColumn("rnk", F.col("rnk").cast("int"))
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
         .orderBy("query_id", "rnk")
     )
 
@@ -287,5 +291,6 @@ def sim_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.35)
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
         .orderBy("vec_a", "vec_b")
     )

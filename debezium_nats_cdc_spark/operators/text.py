@@ -31,8 +31,8 @@ def _tokens(col):
     SELECT doc_id, lang,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
            n_chars,
-           CAST(ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
-                AS DECIMAL(18,4)) AS chars_per_token
+           CAST(CAST(ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS chars_per_token
     FROM documents
     """,
     survey_ids=["K3"],
@@ -48,6 +48,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(F.col("n_chars").cast("double") / n_tokens, 4)
         .cast("decimal(18,4)")
+        .cast("double")
         .alias("chars_per_token"),
     )
 
@@ -56,10 +57,10 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_score",
     oracle="""
     SELECT doc_id,
-           CAST(ROUND(CAST(len(list_intersect(string_split(lower(text), ' '),
+           CAST(CAST(ROUND(CAST(len(list_intersect(string_split(lower(text), ' '),
                 ['the','and','of','to','a','in','is','it','that','for',
                  'on','with','as','was','at','by','an','be','this','are'])) AS DOUBLE)
-                / 20, 4) AS DECIMAL(10,4)) AS stopword_coverage,
+                / 20, 4) AS DECIMAL(10,4)) AS DOUBLE) AS stopword_coverage,
            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
            (n_chars >= 100 AND len(string_split(text, ' ')) >= 20) AS passes_length_gate
     FROM documents
@@ -77,6 +78,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(coverage.cast("double") / len(_EN_STOPWORDS), 4)
         .cast("decimal(10,4)")
+        .cast("double")
         .alias("stopword_coverage"),
         n_tokens.cast("int").alias("n_tokens"),
         ((F.col("n_chars") >= 100) & (n_tokens >= 20)).alias("passes_length_gate"),

@@ -24,7 +24,7 @@ from ._common import dec2
     "window_latest_state_per_key",
     oracle="""
     SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
-           CAST(value AS DECIMAL(18,2)) AS last_value, ts AS last_ts
+           value AS last_value, ts AS last_ts
     FROM events
     QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
     """,
@@ -43,7 +43,7 @@ def window_latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("event_id").alias("last_event_id"),
             F.col("event_type").alias("last_event_type"),
-            dec2("value").alias("last_value"),
+            F.col("value").alias("last_value"),
             F.col("ts").alias("last_ts"),
         )
     )
@@ -52,7 +52,7 @@ def window_latest_state_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_topk_per_group",
     oracle="""
-    SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total_price,
+    SELECT o_custkey, o_orderkey, o_totalprice AS total_price,
            CAST(rnk AS INT) AS rnk
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
@@ -73,7 +73,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             "o_orderkey",
-            dec2("o_totalprice").alias("total_price"),
+            F.col("o_totalprice").alias("total_price"),
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
@@ -83,9 +83,9 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2))
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS DOUBLE)
              AS running_spend
     FROM orders
     """,
@@ -103,17 +103,16 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(dec2("o_totalprice")).over(w).cast("decimal(38,2)").alias("running_spend"),
+        F.sum(dec2("o_totalprice")).over(w).cast("decimal(38,2)").cast("double")
+        .alias("running_spend"),
     )
 
 
 @register(
     "window_lag_timeline",
     oracle="""
-    SELECT user_id, event_id, ts,
-           CAST(value AS DECIMAL(18,2)) AS value,
-           CAST(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                AS DECIMAL(18,2)) AS prev_value
+    SELECT user_id, event_id, ts, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
     FROM events
     """,
     survey_ids=["E3"],
@@ -127,8 +126,8 @@ def window_lag_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "ts",
-        dec2("value").alias("value"),
-        F.lag("value").over(w).cast("decimal(18,2)").alias("prev_value"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
     )
 
 
@@ -136,8 +135,8 @@ def window_lag_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_field_diff_audit",
     oracle="""
     SELECT user_id AS entity_id, 'value' AS field, ts AS changed_at,
-           CAST(prev_value AS DECIMAL(18,2)) AS old_value,
-           CAST(value AS DECIMAL(18,2)) AS new_value
+           prev_value AS old_value,
+           value AS new_value
     FROM (
       SELECT user_id, ts, value,
              LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
@@ -161,7 +160,7 @@ def window_field_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("entity_id"),
             F.lit("value").alias("field"),
             F.col("ts").alias("changed_at"),
-            dec2("prev_value").alias("old_value"),
-            dec2("value").alias("new_value"),
+            F.col("prev_value").alias("old_value"),
+            F.col("value").alias("new_value"),
         )
     )
