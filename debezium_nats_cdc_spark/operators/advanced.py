@@ -209,17 +209,29 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; rows-only check
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           (abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+                - COUNT(DISTINCT user_id)) / COUNT(DISTINCT user_id) <= 0.05)
+             AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
     survey_ids=["D2"],
     doc="approx_count_distinct (HLL±5%): the mergeable-sketch path for "
         "100 TB distinct counts where exact COUNT(DISTINCT) would "
-        "shuffle every key.",
+        "shuffle every key. HLL registers are engine-specific, so the "
+        "cross-engine contract checked here is semantic: exact counts "
+        "match AND each engine's own sketch lands within the 5%% rsd "
+        "envelope (boolean compared, not the raw sketch estimate).",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id").cast("double")
+    exact = F.countDistinct("user_id")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
+        exact.alias("exact_users"),
+        (F.abs(approx - exact) / exact <= 0.05).alias("approx_within_5pct"),
     )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import register
 from ..io import load_table
-from .dedup import doc_shingles
+from .dedup import BUCKET_CAP, doc_shingles
 from .text import _EN_STOPWORDS
 
 _STOP_SQL = "[" + ",".join(f"'{w}'" for w in _EN_STOPWORDS) + "]"
@@ -61,11 +61,17 @@ _NEARDUP_JACCARD = 0.5
     postings AS (
       SELECT doc_id, unnest(gs) AS g, len(gs) AS sz FROM gsets
     ),
+    capped AS (
+      SELECT doc_id, g, sz FROM (
+        SELECT doc_id, g, sz, COUNT(*) OVER (PARTITION BY g) AS df
+        FROM postings)
+      WHERE df <= 1000
+    ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS DOUBLE)
                / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS jaccard
-      FROM postings a JOIN postings b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     ),
     losers AS (
@@ -81,7 +87,10 @@ _NEARDUP_JACCARD = 0.5
         "digest) → greedy near-dup removal (drop any doc whose word-3-gram "
         "Jaccard vs an earlier surviving doc is >= 0.5). One declarative "
         "plan; shuffles: digest groupBy + shingle postings groupBy + the "
-        "final anti-join (broadcast — the loser set is tiny).",
+        "final anti-join (strategy left to AQE: the loser set is unbounded "
+        "at corpus scale, so no broadcast hint). Shingles with df > 1000 "
+        "are dropped from pair generation (mirrored in the oracle) — the "
+        "stop-shingle skew guard, same recall bound as dedup_ngram_jaccard.",
 )
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -104,8 +113,8 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # near-dup pairs over the exact survivors: inverted-index
-    # group-then-expand (the dedup_ngram_jaccard shape, df-uncapped for
-    # oracle parity; production caps df like minhash's bucket guard)
+    # group-then-expand (the dedup_ngram_jaccard shape, df capped at
+    # BUCKET_CAP — mirrored in the oracle's windowed df filter)
     gsets = doc_shingles(exact).filter(F.col("n_toks") >= 3)
     # 8-byte shingle hashes shuffle instead of shingle strings (see
     # dedup_ngram_jaccard) — grouping-equivalent, half the shuffle bytes
@@ -115,7 +124,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         postings.groupBy("g")
         .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= BUCKET_CAP))
     )
     ds = F.col("ds")
     pair_arr = F.flatten(
@@ -144,6 +153,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("inter").cast("double") / F.col("uni") >= _NEARDUP_JACCARD
     ).select(F.col("doc_b").alias("doc_id")).distinct()
 
-    return exact.join(F.broadcast(losers), "doc_id", "left_anti").select(
+    # no broadcast hint: at 100 TB the near-dup loser set is a large
+    # fraction of the corpus — AQE broadcasts when it's actually small,
+    # shuffles otherwise (forcing broadcast here OOMs the driver at scale)
+    return exact.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )

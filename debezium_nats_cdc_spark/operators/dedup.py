@@ -78,6 +78,8 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
+BUCKET_CAP = 1000  # skew guard: drop degenerate blocking buckets
+_H2_MASK = (1 << 40) - 1  # keep h1 + 15*h2m < 2^61: no overflow either engine
 
 
 def _shingle_expr(toks):
@@ -128,19 +130,35 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """K minhash values per doc: min over shingles of xxhash64(seed, shingle).
+    """K minhash values per doc via md5 double-hashing (Kirsch-Mitzenmacher).
+
+    One md5 per posting yields two integers (h1: 60 bits, h2m: 40 bits,
+    parsed from hex — `conv` here ≡ `CAST('0x…' AS BIGINT)` in the DuckDB
+    oracle, verified identical); the K hash streams are h_i = h1 + i·h2m
+    (max < 2^61: overflow-free in both engines).  Double-hashing preserves
+    minwise-independence in practice (Kirsch & Mitzenmacher, ESA 2006) and
+    replaces K=16 xxhash64 calls per posting with ONE md5 + integer math —
+    and, unlike xxhash64, md5 exists in ANSI-SQL engines, which is what
+    makes `dedup_minhash_lsh` fully oracle-checkable.
 
     Shape matters: tokenize ONCE into posting rows (doc, shingle), then one
     grouped agg with K min-expressions.  The naive form — K array_min(
     transform(shingles(text))) column expressions — re-tokenizes the
     document K× per use site (no CSE across lambdas) and benched 25×
-    slower at sf0.1.  One shuffle on doc id; xxhash64 is JVM-codegen'd.
+    slower at sf0.1.  One shuffle on doc id; md5 is JVM-codegen'd.
     """
+    m = F.md5("g")
     postings = doc_shingles(docs, id_col, text_col).select(
         F.col(id_col), F.explode_outer("gs").alias("g")
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(m, 17, 15), 16, 10).cast("bigint")
+        .bitwiseAND(F.lit(_H2_MASK)).alias("h2m"),
     )
     sigs = postings.groupBy(id_col).agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("g"))).alias(f"h{i}") for i in range(N_HASHES)]
+        *[F.min(F.col("h1") + F.lit(i) * F.col("h2m")).alias(f"h{i}")
+          for i in range(N_HASHES)]
     )
     return sigs.select(
         F.col(id_col), F.array(*[f"h{i}" for i in range(N_HASHES)]).alias("sig")
@@ -163,6 +181,18 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
     # and the skew guard is now free: the same collect_list that holds
     # the bucket also measures it (2 <= size <= 1000).
     rows_per_band = N_HASHES // N_BANDS
+
+    def _band_hash(b: int):
+        # md5-of-concat band key folded to 60 bits — same derivation the
+        # DuckDB oracle uses, and an 8-byte shuffle key instead of a
+        # ~80-byte concatenated-sig string.
+        key = F.concat_ws(
+            "_",
+            *[F.element_at("sig", b * rows_per_band + r + 1)
+              for r in range(rows_per_band)],
+        )
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
     sig = minhash_signatures(docs, id_col, text_col)
     bands = sig.select(
         id_col,
@@ -172,10 +202,7 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * rows_per_band + r + 1)
-                              for r in range(rows_per_band)]
-                        ).alias("band_hash"),
+                        _band_hash(b).alias("band_hash"),
                     )
                     for b in range(N_BANDS)
                 ]
@@ -186,8 +213,8 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
     grouped = (
         bands.groupBy("band_id", "band_hash")
         .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig")).alias("ds"))
-        # skew guard: drop degenerate buckets (> 1000 members)
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= 1000))
+        # skew guard: drop degenerate buckets (> BUCKET_CAP members)
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= BUCKET_CAP))
     )
     ds = F.col("ds")
     pair_arr = F.flatten(
@@ -217,12 +244,74 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
     return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
+_SHINGLE_SQL = """
+    tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+      WHERE text IS NOT NULL
+    ),
+    gsets AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct([toks[i] || '_' || toks[i+1] || '_' || toks[i+2]
+                              for i in range(1, len(toks) - 2 + 1)])
+             ELSE [array_to_string(toks, '_')] END AS gs
+      FROM tok
+    ),
+    postings AS (SELECT doc_id, unnest(gs) AS g FROM gsets)
+"""
+
+
+def _minhash_oracle() -> str:
+    """Generated ANSI-SQL twin of the md5 minhash-LSH pipeline."""
+    rpb = N_HASHES // N_BANDS
+    sig_cols = ", ".join(f"MIN(h1 + {i} * h2m) AS s{i}" for i in range(N_HASHES))
+    all_sigs = ", ".join(f"s{i}" for i in range(N_HASHES))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"CAST(concat('0x', substr(md5(concat_ws('_', "
+        + ", ".join(f"s{b * rpb + r}" for r in range(rpb))
+        + f")), 1, 15)) AS BIGINT) AS band_hash, {all_sigs} FROM sigs"
+        for b in range(N_BANDS)
+    )
+    est = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    return f"""
+    WITH {_SHINGLE_SQL},
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h1,
+             CAST(concat('0x', substr(md5(g), 17, 15)) AS BIGINT) & {_H2_MASK} AS h2m
+      FROM postings
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
+    bands AS ({band_selects}),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz FROM bands
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ({est}) / {N_HASHES}.0 AS est_jaccard
+      FROM sized a JOIN sized b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      WHERE a.bsz BETWEEN 2 AND {BUCKET_CAP}
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM pairs
+    WHERE est_jaccard >= 0.5
+    """
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # banding pipeline is not ANSI-SQL-expressible; rows-only
+    oracle=_minhash_oracle(),
     survey_ids=["K1"],
-    doc="MinHash+LSH near-dup candidates: 16 xxhash64 minhashes, 4 bands, "
-        "bucket equi-join (no cross join), signature-estimated Jaccard ≥ 0.5.",
+    doc="MinHash+LSH near-dup candidates: 16 md5-derived minhashes "
+        "(Kirsch-Mitzenmacher double hashing), 4 bands, bucket equi-join "
+        "(no cross join), signature-estimated Jaccard ≥ 0.5. The whole "
+        "pipeline — hex-parsed hashes, band keys, skew cap — is mirrored "
+        "in a generated DuckDB oracle, so this is a full three-way "
+        "driver check, not rows-only.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -248,11 +337,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings AS (
       SELECT doc_id, unnest(gs) AS g, len(gs) AS sz FROM gsets
     ),
+    capped AS (
+      SELECT doc_id, g, sz FROM (
+        SELECT doc_id, g, sz, COUNT(*) OVER (PARTITION BY g) AS df
+        FROM postings)
+      WHERE df <= 1000
+    ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS inter,
              ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*) AS uni
-      FROM postings a JOIN postings b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -265,17 +360,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(set-similarity join per Vernica et al., SIGMOD 2010): group "
         "postings by shingle, expand pairs inside each group — pairs only "
         "materialize for docs sharing a shingle (cost Σ df² over shingles "
-        "≪ N²; no cross join). Identical result set to the brute-force "
-        "all-pairs version for any threshold > 0.",
+        "≪ N²; no cross join). Shingles with document frequency > 1000 "
+        "are dropped (mirrored in the oracle): a stop-shingle contributes "
+        "~0 Jaccard signal but unbounded pair cost, so the cap bounds "
+        "per-bucket work at 100 TB with a documented recall floor — a "
+        "pair is missed only if ALL of its shared shingles have df>1000, "
+        "i.e. both docs are near-duplicates of >1000 others already.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Group-then-expand beats a postings self-join: the shingle pipeline
     # runs ONCE (a self-join recomputes it per side — no exchange reuse,
     # measured) and the whole query is 2 shuffles: postings→group-by-g,
-    # pairs→group-by-(a,b).  Skew note for the 100 TB path: a high-df
-    # shingle makes a large ds array; production deployments cap df like
-    # minhash_candidates' bucket guard (uncapped here for exact oracle
-    # parity — the guarded variant is dedup_minhash_lsh).
+    # pairs→group-by-(a,b).  Skew guard: buckets above BUCKET_CAP (df of
+    # the shingle) are dropped, same bound the oracle applies.
     d = load_table(spark, sf_dir, "documents")
     gsets = doc_shingles(d).filter(F.col("n_toks") >= 3)
     # shuffle 8-byte shingle hashes, not ~25-byte shingle strings: same
@@ -288,7 +385,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         postings.groupBy("g")
         .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= BUCKET_CAP))
     )
     ds = F.col("ds")
     pair_arr = F.flatten(
@@ -327,18 +424,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- simhash --
 
 
+SIMHASH_BITS = 60  # md5-hex-derived: 15 hex chars parse losslessly to BIGINT
+_CHUNK_BITS = SIMHASH_BITS // 4
+
+
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """64-bit SimHash signature per document.
+    """60-bit SimHash signature per document (md5-derived shingle hashes).
 
     For each bit position, sum ±1 votes weighted by each shingle-hash's
-    bit; the sign of the sum is the output bit.  Shingle hashing
-    (xxhash64) stays JVM-side; the 64-way bit-vote tally runs as an
-    Arrow-batched numpy kernel over collect_list(h) per doc.  Measured
-    at sf0.1: 0.9 s vs 3.1 s for the pure-JVM form (64 sum(CASE) agg
-    buffers), with bit-identical output — votes are integer counts, so
-    there is no float-order hazard.  One shuffle on doc id either way;
-    per-doc state is just the shingle-hash list (bounded by doc length).
+    bit; the sign of the sum is the output bit.  Shingle hashing (md5 →
+    60-bit hex parse, the exact derivation the DuckDB oracle replays)
+    stays JVM-side; the 60-way bit-vote tally runs as an Arrow-batched
+    numpy kernel over collect_list(h) per doc.  Measured at sf0.1 (64-bit
+    xxhash64 variant): 0.9 s vs 3.1 s for the pure-JVM form (sum(CASE)
+    agg buffers per bit), with bit-identical output — votes are integer
+    counts, so there is no float-order hazard.  One shuffle on doc id
+    either way; per-doc state is just the shingle-hash list (bounded by
+    doc length).
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -349,18 +452,21 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
         out = np.empty(len(hs), dtype=np.int64)
         for i, arr in enumerate(hs):
-            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+            h = np.asarray(arr, dtype=np.int64)  # < 2^60, non-negative
+            bits = (h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.int64)) & 1
             votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
-            sig = np.uint64(0)
+            sig = 0
             for b in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sig)
+                sig |= 1 << int(b)
+            out[i] = sig
         return pd.Series(out)
 
     postings = doc_shingles(docs, id_col, text_col).select(
         F.col(id_col), F.explode_outer("gs").alias("g")
-    ).select(F.col(id_col), F.xxhash64("g").alias("h"))
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
     return (
         postings.groupBy(id_col)
         .agg(F.collect_list("h").alias("hs"))
@@ -368,13 +474,56 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _simhash_oracle() -> str:
+    """Generated ANSI-SQL twin of the 60-bit SimHash pipeline: per-bit
+    integer vote sums (no float hazard), sign → bit, 15-bit chunk
+    buckets, popcount-of-xor verify — identical integers end to end."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    chunk_selects = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {c} AS chunk_id, "
+        f"(sig >> {c * _CHUNK_BITS}) & {(1 << _CHUNK_BITS) - 1} AS chunk FROM sigs"
+        for c in range(4)
+    )
+    return f"""
+    WITH {_SHINGLE_SQL},
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+      FROM postings
+    ),
+    votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+    sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes),
+    chunks AS ({chunk_selects}),
+    sized AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY chunk_id, chunk) AS bsz FROM chunks
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      FROM sized a JOIN sized b
+        ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      WHERE a.bsz BETWEEN 2 AND {BUCKET_CAP}
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8
+    """
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # bit-fold pipeline: rows-only check
+    oracle=_simhash_oracle(),
     survey_ids=["K1"],
-    doc="SimHash near-dup: 64-bit signature, candidates bucketed on four "
-        "16-bit chunks (any-chunk-equal → Hamming ≤ 48 guaranteed recall "
-        "band), verified by popcount(xor) ≤ 8.",
+    doc="SimHash near-dup: 60-bit md5-derived signature, candidates "
+        "bucketed on four 15-bit chunks (any-chunk-equal → Hamming ≤ 45 "
+        "guaranteed recall band), verified by popcount(xor) ≤ 8. Chunk "
+        "buckets are skew-capped at BUCKET_CAP like minhash; the whole "
+        "integer pipeline is mirrored in a generated DuckDB oracle "
+        "(full three-way driver check, not rows-only).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Group-then-expand (see minhash_candidates): the signature pipeline
@@ -390,8 +539,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_id"),
-                        F.shiftrightunsigned("sig", 16 * c)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("sig", _CHUNK_BITS * c)
+                        .bitwiseAND(F.lit((1 << _CHUNK_BITS) - 1))
                         .alias("chunk"),
                     )
                     for c in range(4)
@@ -402,7 +551,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         chunks.groupBy("chunk_id", "chunk")
         .agg(F.collect_list(F.struct(F.col("doc_id").alias("id"), "sig")).alias("ds"))
-        .filter(F.size("ds") >= 2)
+        # skew guard: same cap as minhash_candidates — one degenerate
+        # chunk bucket would otherwise go quadratic at scale
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= BUCKET_CAP))
     )
     ds = F.col("ds")
     pair_arr = F.flatten(
@@ -413,7 +564,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda y: F.struct(
                     x["id"].alias("doc_a"),
                     y["id"].alias("doc_b"),
-                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).alias("hamming"),
+                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).cast("int")
+                    .alias("hamming"),
                 ),
             ),
         )

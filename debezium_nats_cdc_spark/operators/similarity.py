@@ -47,6 +47,72 @@ _ORACLE_COS = """
 """
 
 
+def _hyperplanes(dim: int = 64, n_planes: int = 8) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed seed, no RNG state)."""
+    import math
+
+    planes = []
+    for p in range(n_planes):
+        # xorshift-ish deterministic stream; good enough for LSH directions
+        vals = []
+        state = (p + 1) * 2654435761 % (2**32)
+        for _ in range(dim):
+            state ^= (state << 13) % (2**64)
+            state ^= state >> 7
+            state ^= (state << 17) % (2**64)
+            state %= 2**64
+            vals.append((state / 2**64) * 2.0 - 1.0)
+        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / norm for v in vals])
+    return planes
+
+
+def _bucket_col(emb_col: str = "embedding", planes: list[list[float]] | None = None):
+    """Random-hyperplane LSH bucket id: one sign bit per plane, packed.
+
+    Pure Catalyst fold per plane — the identical dot products (same fold
+    order, same literals) are what the DuckDB oracle's
+    list_inner_product computes, so bucket ids match across engines."""
+    bucket = None
+    for i, plane in enumerate(planes if planes is not None else _hyperplanes()):
+        bit = (
+            F.when(
+                dot_product(F.col(emb_col), F.array(*[F.lit(v) for v in plane])) >= 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+        )
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def _bucket_sql(emb_expr: str = "embedding",
+                planes: list[list[float]] | None = None) -> str:
+    """SQL twin of _bucket_col for the DuckDB oracles (plane literals
+    embedded at full repr precision — parses to the identical doubles)."""
+    terms = []
+    for i, plane in enumerate(planes if planes is not None else _hyperplanes()):
+        lits = ", ".join(repr(v) for v in plane)
+        terms.append(
+            f"(CASE WHEN list_inner_product(CAST({emb_expr} AS DOUBLE[]), "
+            f"CAST([{lits}] AS DOUBLE[])) >= 0 THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+# banded multi-table LSH for near-dup blocking: T tables of B planes each;
+# a pair is a candidate if ANY table's bucket matches (OR-amplification —
+# recall 1-(1-p^B)^T vs the single-table p^(T*B), same reason minhash
+# bands beat one long signature). Tables share one 16-plane sketch pass.
+_NEARDUP_TABLES = 4
+_NEARDUP_PLANES_PER_TABLE = 4
+
+
+def _neardup_tables() -> list[list[list[float]]]:
+    planes = _hyperplanes(n_planes=_NEARDUP_TABLES * _NEARDUP_PLANES_PER_TABLE)
+    b = _NEARDUP_PLANES_PER_TABLE
+    return [planes[t * b:(t + 1) * b] for t in range(_NEARDUP_TABLES)]
+
+
 @register(
     "sim_cosine_topk",
     oracle=f"""
@@ -130,53 +196,142 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _neardup_oracle() -> str:
+    buckets = ", ".join(
+        f"{_bucket_sql('embedding', tbl)} AS b{t}"
+        for t, tbl in enumerate(_neardup_tables())
+    )
+    tables = " UNION ALL ".join(
+        f"SELECT vec_id, label, embedding, {t} AS table_id, b{t} AS bucket FROM sk"
+        for t in range(_NEARDUP_TABLES)
+    )
+    return f"""
+    WITH sk AS (
+      SELECT vec_id, label, embedding, {buckets}
+      FROM embeddings
+    ),
+    bands AS ({tables}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             a.embedding AS emb_a, b.embedding AS emb_b
+      FROM bands a JOIN bands b
+        ON a.table_id = b.table_id AND a.bucket = b.bucket
+       AND a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           CAST(CAST(ROUND(list_cosine_similarity(
+                CAST(emb_a AS DOUBLE[]), CAST(emb_b AS DOUBLE[])), 6)
+                AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim
+    FROM cand
+    WHERE ROUND(list_cosine_similarity(
+          CAST(emb_a AS DOUBLE[]), CAST(emb_b AS DOUBLE[])), 6) >= 0.35
+    """
+
+
 @register(
     "sim_embedding_neardup",
-    oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           CAST(CAST(ROUND({_ORACLE_COS}, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND({_ORACLE_COS}, 6) >= 0.35
-    """,
+    oracle=_neardup_oracle(),
     survey_ids=["K1", "K2"],
-    doc="Embedding-cosine near-duplicate pairs, label-blocked: candidate "
-        "pairs only form within a blocking key (here the cluster label — "
-        "at scale, an LSH bucket), never a full cross join.",
+    doc="Embedding-cosine near-duplicate pairs via banded multi-table "
+        "hyperplane LSH (4 tables × 4 planes, OR-amplified — recall "
+        "1-(1-p^4)^4 at the 0.35 threshold vs p^16 single-table): "
+        "candidate pairs only form inside a (table, bucket, label) "
+        "blocking key, never per-label (low cardinality → quadratic "
+        "blocks) and never a cross join. The oracle replays the "
+        "identical 16-plane sketch.",
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = F.round(
-        _pair_cos_arrow(F.col("a.embedding"), F.col("b.embedding"),
-                        F.col("a._norm"), F.col("b._norm")), 6
-    ).cast("decimal(10,6)")
-    return (
+    sk = e.select(
+        "vec_id", "label", "embedding", "_norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        _bucket_col("embedding", tbl).alias("bucket"),
+                    )
+                    for t, tbl in enumerate(_neardup_tables())
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "label", "embedding", "_norm", "tb.table_id", "tb.bucket")
+    a, b = sk.alias("a"), sk.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label"))
+            (F.col("a.table_id") == F.col("b.table_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
+            F.col("a.embedding").alias("emb_a"),
+            F.col("b.embedding").alias("emb_b"),
+            F.col("a._norm").alias("norm_a"),
+            F.col("b._norm").alias("norm_b"),
         )
+        .dropDuplicates(["vec_a", "vec_b"])  # OR across tables
+    )
+    cos = F.round(
+        _pair_cos_arrow(F.col("emb_a"), F.col("emb_b"),
+                        F.col("norm_a"), F.col("norm_b")), 6
+    ).cast("decimal(10,6)")
+    return (
+        cand.select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.35)
         .withColumn("cos_sim", F.col("cos_sim").cast("double"))
     )
 
 
+_IVF_ORACLE = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS cell_id, emb AS c_emb FROM e WHERE vec_id < 16),
+    assigned AS (
+      SELECT vec_id, emb, cell_id FROM (
+        SELECT v.vec_id, v.emb, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY CAST(ROUND(list_cosine_similarity(c.c_emb, v.emb), 6)
+                               AS DECIMAL(10,6)) DESC, c.cell_id) AS rn
+        FROM e v CROSS JOIN cents c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, q_emb, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY CAST(ROUND(list_cosine_similarity(c.c_emb, q.emb), 6)
+                               AS DECIMAL(10,6)) DESC, c.cell_id) AS rn
+        FROM e q CROSS JOIN cents c WHERE q.vec_id < 8)
+      WHERE rn <= 4)
+    SELECT query_id, neighbor_id, CAST(cos_sim AS DOUBLE) AS cos_sim,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(ROUND(list_cosine_similarity(a.emb, p.q_emb), 6)
+                  AS DECIMAL(10,6)) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY p.query_id
+               ORDER BY CAST(ROUND(list_cosine_similarity(a.emb, p.q_emb), 6)
+                             AS DECIMAL(10,6)) DESC, a.vec_id) AS rnk
+      FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
+      WHERE a.vec_id <> p.query_id)
+    WHERE rnk <= 5
+"""
+
+
 @register(
     "sim_ivf_probe_topk",
-    oracle=None,  # two-stage quantized search: rows-only check
+    oracle=_IVF_ORACLE,
     survey_ids=["K2"],
     doc="IVF probe-time search: assign corpus to C=16 coarse centroids "
         "(one broadcast pass), then for each query scan only its nprobe=4 "
         "nearest cells — a bucket equi-join on cell id touching ~nprobe/C "
         "of the corpus instead of all of it. The partition-pruned ANN "
-        "layout for 100 TB: cells map to partitions of a bucketed table.",
+        "layout for 100 TB: cells map to partitions of a bucketed table. "
+        "Assignment/probe ordering uses 6dp-rounded cosines with id "
+        "tiebreaks, making the two-stage search engine-reproducible — the "
+        "DuckDB oracle replays it stage by stage (full three-way check).",
 )
 def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells, nprobe, k = 16, 4, 5
@@ -186,7 +341,9 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_emb"),
         F.col("_norm").alias("c_norm"),
     )
-    cell_cos = _pair_cos(F.col("c_emb"), F.col("embedding"), F.col("c_norm"), F.col("_norm"))
+    cell_cos = F.round(
+        _pair_cos(F.col("c_emb"), F.col("embedding"), F.col("c_norm"), F.col("_norm")), 6
+    ).cast("decimal(10,6)")
     # index build: nearest centroid per vector (IVF assignment)
     w_assign = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell_id"))
     indexed = (
@@ -202,7 +359,9 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("_norm").alias("q_norm"),
     )
-    probe_cos = _pair_cos(F.col("c_emb"), F.col("q_emb"), F.col("c_norm"), F.col("q_norm"))
+    probe_cos = F.round(
+        _pair_cos(F.col("c_emb"), F.col("q_emb"), F.col("c_norm"), F.col("q_norm")), 6
+    ).cast("decimal(10,6)")
     w_probe = W.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell_id"))
     probes = (
         q.join(F.broadcast(cents))
@@ -232,48 +391,29 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(dim: int = 64, n_planes: int = 8) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes (fixed seed, no RNG state)."""
-    import math
-
-    planes = []
-    for p in range(n_planes):
-        # xorshift-ish deterministic stream; good enough for LSH directions
-        vals = []
-        state = (p + 1) * 2654435761 % (2**32)
-        for _ in range(dim):
-            state ^= (state << 13) % (2**64)
-            state ^= state >> 7
-            state ^= (state << 17) % (2**64)
-            state %= 2**64
-            vals.append((state / 2**64) * 2.0 - 1.0)
-        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
-        planes.append([v / norm for v in vals])
-    return planes
-
-
 @register(
     "sim_lsh_bucketed_neardup",
-    oracle=None,  # hyperplane-LSH pipeline: rows-only check
+    oracle=f"""
+    WITH sk AS (
+      SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(CAST(ROUND({_ORACLE_COS}, 6) AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim
+    FROM sk a JOIN sk b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND({_ORACLE_COS}, 6) >= 0.35
+    """,
     survey_ids=["K2", "K1"],
     doc="Scale path: random-hyperplane LSH — 8-bit sign sketch per vector, "
         "bucket equi-join, cosine verify ≥ 0.35. Candidate cost ∝ Σ bucket² "
         "(≈N²/256 for balanced buckets) instead of N²; buckets co-locate "
-        "via one hash shuffle.",
+        "via one hash shuffle. The oracle replays the identical plane "
+        "sketch (full three-way driver check, not rows-only).",
 )
 def sim_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    planes = _hyperplanes()
-    bucket = None
-    for i, plane in enumerate(planes):
-        bit = (
-            F.when(
-                dot_product(F.col("embedding"), F.array(*[F.lit(v) for v in plane])) >= 0,
-                F.lit(1 << i),
-            ).otherwise(F.lit(0))
-        )
-        bucket = bit if bucket is None else bucket + bit
-    sk = _with_norm(e.select("vec_id", "embedding", bucket.alias("bucket")))
+    sk = _with_norm(e.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket")))
     a, b = sk.alias("a"), sk.alias("b")
     cos = F.round(
         _pair_cos_arrow(F.col("a.embedding"), F.col("b.embedding"),

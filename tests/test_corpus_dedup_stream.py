@@ -49,8 +49,12 @@ def pipeline_run(spark, tmp_path):
     ]
     batch2 = [
         _doc(4, _BASE),  # cross-batch dup of 1 (via the band index)
-        _doc(5, _BASE + " " + _OTHER + " extra unrelated suffix tokens "
-             + _OTHER.upper().lower()[::-1]),
+        # overlaps doc 1 (shares _BASE) but true Jaccard ≈ 0.15 — far
+        # enough under the 0.5 threshold that any 16-hash minhash
+        # estimate stays below it (the previous ~0.39 fixture sat close
+        # enough to the boundary to flip when the hash family changed)
+        _doc(5, _BASE + " " + _OTHER + " "
+             + " ".join(f"unrelated{i} filler{i}" for i in range(30))),
     ]
     spark.createDataFrame(batch1, DOC_SCHEMA).coalesce(1).write.parquet(
         os.path.join(in_dir, "b1")
