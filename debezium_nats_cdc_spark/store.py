@@ -35,21 +35,27 @@ def to_store_rows(events: DataFrame) -> DataFrame:
     )
 
 
-def append_events(events: DataFrame, path: str) -> None:
-    """Append domain events, month-partitioned and cluster-sorted.
+def clustered_store_rows(events: DataFrame) -> DataFrame:
+    """Storage rows, task-locally sorted for row-group min/max skipping.
 
     No repartition("event_month"): a micro-batch usually spans one month,
     and hashing on it would collapse the write to a single task.  Instead
     each task sorts its slice by (month, clustering keys) and writes one
-    file per month — parallel writes, per-file clustering preserved for
-    row-group skipping.  A periodic compaction (compact_store) re-sorts
-    partitions globally when file counts grow.
+    file per month — parallel writes, per-file clustering preserved.  A
+    periodic compaction (compact_store) re-sorts partitions globally when
+    file counts grow.
     """
+    return to_store_rows(events).sortWithinPartitions(
+        "event_month", "event_type", "event_timestamp", "aggregate_id"
+    )
+
+
+def append_events(events: DataFrame, path: str) -> None:
+    """Plain (at-least-once) append of domain events, month-partitioned
+    and cluster-sorted.  The streaming pipeline instead publishes via
+    streaming/txn.py's epoch-keyed commit protocol for replay safety."""
     (
-        to_store_rows(events)
-        .sortWithinPartitions(
-            "event_month", "event_type", "event_timestamp", "aggregate_id"
-        )
+        clustered_store_rows(events)
         .write.mode("append")
         .partitionBy("event_month")
         .parquet(path)

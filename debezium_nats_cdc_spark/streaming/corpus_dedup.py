@@ -21,18 +21,21 @@ Design (scales like the batch LSH path — no cross join anywhere):
   group-then-expand used in batch mode (lowest doc_id wins).
 - Survivors' bands APPEND to the index (O(batch) like the CDC state
   log); duplicates append to a quarantine table with their match.
-- Idempotent under micro-batch replay: accepted/duplicate membership is
-  a pure function of (index contents, batch contents), and re-appended
-  band rows dedup at probe time (distinct candidate pairs).
+- EXACTLY-ONCE under micro-batch replay: all three appends publish
+  through streaming/txn.py's epoch-keyed commit protocol, so a replayed
+  batch re-publishes identical files (or is skipped if already
+  committed) instead of duplicating accepted/quarantine/index rows.
 """
 
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import N_BANDS, N_HASHES, minhash_signatures
+from .txn import append_exactly_once
 
 EST_JACCARD_THRESHOLD = 0.5
 _ROWS_PER_BAND = N_HASHES // N_BANDS
@@ -177,13 +180,17 @@ class CorpusDedupPipeline:
         self.accepted_dir = os.path.join(root, "accepted")
         self.quarantine_dir = os.path.join(root, "quarantine")
         self.checkpoint_dir = os.path.join(root, "_checkpoints")
+        self.txn_dir = os.path.join(root, "_txn")
 
     def _index(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.exists(os.path.join(self.index_dir, "_SUCCESS")):
+        if not os.path.isdir(self.index_dir):
+            return None
+        if not any(Path(self.index_dir).glob("*.parquet")):
             return None
         return spark.read.parquet(self.index_dir)
 
-    def process_batch(self, spark: SparkSession, docs: DataFrame) -> None:
+    def process_batch(self, spark: SparkSession, docs: DataFrame,
+                      epoch_id: int | None = None) -> None:
         docs = docs.localCheckpoint(eager=True)
         if docs.isEmpty():
             return
@@ -194,19 +201,27 @@ class CorpusDedupPipeline:
         dup_ids = verdict.filter(F.col("dup_of").isNotNull())
         accepted_ids = verdict.filter(F.col("dup_of").isNull()).select("doc_id")
 
-        (docs.join(dup_ids, "doc_id", "inner")
-             .write.mode("append").parquet(self.quarantine_dir))
-        (docs.join(accepted_ids, "doc_id", "left_semi")
-             .write.mode("append").parquet(self.accepted_dir))
-        (bands.join(accepted_ids, "doc_id", "left_semi")
-              .write.mode("append").parquet(self.index_dir))
+        self._append(docs.join(dup_ids, "doc_id", "inner"),
+                     self.quarantine_dir, "quarantine", epoch_id)
+        self._append(docs.join(accepted_ids, "doc_id", "left_semi"),
+                     self.accepted_dir, "accepted", epoch_id)
+        self._append(bands.join(accepted_ids, "doc_id", "left_semi"),
+                     self.index_dir, "index", epoch_id)
+
+    def _append(self, df: DataFrame, final_dir: str, sink: str,
+                epoch_id: int | None) -> None:
+        if epoch_id is None:  # ad-hoc batch call — no replay to guard
+            df.write.mode("append").parquet(final_dir)
+        else:
+            append_exactly_once(df, final_dir, f"{sink}-{epoch_id}",
+                                self.txn_dir)
 
     def start(self, spark: SparkSession, stream: DataFrame,
               available_now: bool = True):
         writer = (
             stream.writeStream.queryName("corpus-dedup")
             .option("checkpointLocation", self.checkpoint_dir)
-            .foreachBatch(lambda b, _e: self.process_batch(spark, b))
+            .foreachBatch(lambda b, e: self.process_batch(spark, b, e))
         )
         if available_now:
             writer = writer.trigger(availableNow=True)

@@ -5,12 +5,14 @@ readStream(change log) -> unwrap -> watermarked dedup -> foreachBatch:
     field-diff -> audit trail append
     latest-state merge -> materialized current-state table
 
-One streaming query per source table; offset/exactly-once bookkeeping is
-Structured Streaming checkpointing (reference: Debezium offset file +
-JetStream redelivery, SURVEY §2.A1/F5).  Sinks are idempotent under
-micro-batch replay: event/audit appends key on deterministic ids, and
-the state table is last-writer-wins per key, so re-running a batch
-converges (effective exactly-once).
+One streaming query per source table; offset bookkeeping is Structured
+Streaming checkpointing (reference: Debezium offset file + JetStream
+redelivery, SURVEY §2.A1/F5).  Sinks are EXACTLY-ONCE under micro-batch
+replay: every append publishes through streaming/txn.py's epoch-keyed
+commit protocol (staging dir -> token-tagged rename -> atomic marker),
+so a batch replayed after a mid-fan-out crash re-publishes the exact
+same files instead of duplicating rows, and an already-committed sink
+is skipped outright.
 
 Scale notes: the micro-batch is persisted once and shared by all rule
 branches (multicast F2 — one source scan, N filters); the only shuffles
@@ -24,8 +26,6 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -45,6 +45,7 @@ from ..operators.validate import split_valid
 from ..schemas import TABLE_SCHEMAS
 from ..sources.cdc import read_change_stream
 from .. import store
+from .txn import append_exactly_once
 
 DEDUP_WATERMARK = "120 seconds"  # broker duplicate_window, config/nats/stream.json:14
 
@@ -56,6 +57,7 @@ class PipelineDirs:
     dead_letter: str
     state: str
     checkpoints: str
+    txn: str
 
     @classmethod
     def under(cls, root: str) -> "PipelineDirs":
@@ -65,8 +67,12 @@ class PipelineDirs:
             dead_letter=os.path.join(root, "dead_letter"),
             state=os.path.join(root, "state"),
             checkpoints=os.path.join(root, "_checkpoints"),
+            # commit markers + staging live OUTSIDE the sink dirs so
+            # state compaction/swap rewrites never erase commit history
+            txn=os.path.join(root, "_txn"),
         )
-        for p in (d.events, d.audit, d.dead_letter, d.state, d.checkpoints):
+        for p in (d.events, d.audit, d.dead_letter, d.state, d.checkpoints,
+                  d.txn):
             os.makedirs(p, exist_ok=True)
         return d
 
@@ -85,6 +91,7 @@ def _maybe_compact(spark: SparkSession, state_dir: str) -> None:
     The horizon is EVENT time, anchored to the newest version in the
     state (a watermark, like the dedup operator's) — wall clock would
     mis-expire when replaying historical logs."""
+    recover_state_dir(state_dir)
     try:
         n_files = sum(1 for f in os.listdir(state_dir) if f.endswith(".parquet"))
     except FileNotFoundError:
@@ -103,68 +110,96 @@ def _swap_write(df: DataFrame, final_dir: str) -> None:
 
     Writing to the directory being read is unsafe; write to a sibling
     staging dir, then swap.  Equivalent of MERGE without Delta in this
-    container (SURVEY §7 risk 1).
+    container (SURVEY §7 risk 1).  Crash-safe: a stale ``.old`` from a
+    prior crash is cleared before the swap (rename onto it would fail
+    ENOTEMPTY), and the brief missing-dir window between the two renames
+    is healed by ``recover_state_dir`` at every read/compact entry.
     """
     staging = final_dir + ".staging"
-    df.write.mode("overwrite").parquet(staging)
     old = final_dir + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    df.write.mode("overwrite").parquet(staging)
     if os.path.exists(final_dir):
         os.rename(final_dir, old)
     os.rename(staging, final_dir)
     shutil.rmtree(old, ignore_errors=True)
 
 
-# Serializes appends to SHARED output paths (events / audit / DLQ are
-# one table each, fed by every per-table query).  Spark's file committer
-# does not support two concurrent jobs on one output path — job commit
-# deletes the shared _temporary staging dir, corrupting the other job's
-# in-flight tasks.  One lock per driver is correct for any deployment
-# (a Spark app has exactly one driver); only the short append job
-# serializes, the batch computation still overlaps.
-_SHARED_SINK_LOCK = threading.Lock()
+def recover_state_dir(final_dir: str) -> None:
+    """Heal a crash inside ``_swap_write``: if the final dir is missing,
+    restore the complete staging generation (preferred — it is newer;
+    ``_SUCCESS`` proves the write finished) or the displaced ``.old``."""
+    if os.path.exists(final_dir):
+        return
+    staging = final_dir + ".staging"
+    old = final_dir + ".old"
+    if os.path.exists(os.path.join(staging, "_SUCCESS")):
+        os.rename(staging, final_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.exists(old):
+        os.rename(old, final_dir)
 
 
-def _sink_events(batch: DataFrame, table: str, dirs: PipelineDirs) -> None:
+def _sink_events(batch: DataFrame, table: str, dirs: PipelineDirs,
+                 epoch_id: int | None) -> None:
     """Rules fan-out -> validate -> event store + DLQ.  Persisted: the
     valid append and the DLQ check otherwise each recompute all rule
     branches."""
     events = apply_rules(batch, table).persist()
     try:
         valid, dlq = split_valid(events)
-        with _SHARED_SINK_LOCK:
-            store.append_events(valid, dirs.events)
+        _append(store.clustered_store_rows(valid), dirs.events,
+                f"events-{table}", epoch_id, dirs, ["event_month"])
         if dlq.limit(1).count() > 0:
-            with _SHARED_SINK_LOCK:
-                dlq.write.mode("append").parquet(dirs.dead_letter)
+            _append(dlq, dirs.dead_letter, f"dlq-{table}", epoch_id, dirs)
     finally:
         events.unpersist()
 
 
-def _sink_audit(batch: DataFrame, table: str, dirs: PipelineDirs) -> None:
+def _sink_audit(batch: DataFrame, table: str, dirs: PipelineDirs,
+                epoch_id: int | None) -> None:
     """Field-level audit trail (F6)."""
     cols = [f.name for f in TABLE_SCHEMAS[table].fields
             if f.name not in ("created_at", "updated_at")]
     rows = field_diff(batch, cols)
-    with _SHARED_SINK_LOCK:
-        rows.write.mode("append").parquet(dirs.audit)
+    _append(rows, dirs.audit, f"audit-{table}", epoch_id, dirs)
 
 
 def _sink_state(spark: SparkSession, batch: DataFrame, table: str,
-                dirs: PipelineDirs) -> None:
+                dirs: PipelineDirs, epoch_id: int | None) -> None:
     """Materialized current state — LSM-shaped: APPEND this batch's
     newest-per-key rows (O(batch)), compact when the log grows.  A full
     read-merge-rewrite here would be O(state) per micro-batch and was
-    the latency ceiling (P95 10 s vs the < 2 s SLO).  Replayed batches
-    append duplicate rows; reduce_state collapses them, so the queryable
-    view still converges (F5 contract)."""
+    the latency ceiling (P95 10 s vs the < 2 s SLO).  The epoch-keyed
+    append makes replays exact even across a compaction boundary (a
+    replayed already-committed epoch is skipped, so compacted-away rows
+    are not re-introduced); reduce_state additionally collapses any
+    legacy duplicates, so the queryable view converges either way (F5)."""
     latest = batch_latest_with_deletes(batch)
     state_dir = os.path.join(dirs.state, table)
-    initial_state(latest).write.mode("append").parquet(state_dir)
+    _append(initial_state(latest), state_dir, f"state-{table}", epoch_id, dirs)
     _maybe_compact(spark, state_dir)
 
 
+def _append(df: DataFrame, final_dir: str, sink: str, epoch_id: int | None,
+            dirs: PipelineDirs, partition_by: list[str] | None = None) -> None:
+    """Epoch-committed append when running under a streaming epoch;
+    plain append for ad-hoc batch callers (no replay to guard against).
+    Concurrent per-table queries are safe either way: every txn staging
+    write has a private output path, and the ad-hoc path is only used
+    single-threaded (snapshot seeding, tests)."""
+    if epoch_id is None:
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(final_dir)
+    else:
+        append_exactly_once(df, final_dir, f"{sink}-{epoch_id}", dirs.txn,
+                            partition_by)
+
+
 def process_batch(spark: SparkSession, batch: DataFrame, table: str,
-                  dirs: PipelineDirs) -> None:
+                  dirs: PipelineDirs, epoch_id: int | None = None) -> None:
     """The foreachBatch body — also callable on a batch DataFrame
     directly (the A2 snapshot path uses it for op='r' seeding).
 
@@ -191,9 +226,9 @@ def process_batch(spark: SparkSession, batch: DataFrame, table: str,
         return
     with ThreadPoolExecutor(max_workers=3) as pool:
         futures = [
-            pool.submit(_sink_events, batch, table, dirs),
-            pool.submit(_sink_audit, batch, table, dirs),
-            pool.submit(_sink_state, spark, batch, table, dirs),
+            pool.submit(_sink_events, batch, table, dirs, epoch_id),
+            pool.submit(_sink_audit, batch, table, dirs, epoch_id),
+            pool.submit(_sink_state, spark, batch, table, dirs, epoch_id),
         ]
         for f in futures:
             f.result()  # re-raise sink failures -> batch retries
@@ -217,7 +252,7 @@ def start_table_pipeline(
     writer = (
         deduped.writeStream.queryName(f"cdc-{table}")
         .option("checkpointLocation", os.path.join(dirs.checkpoints, table))
-        .foreachBatch(lambda b, _epoch: process_batch(spark, b, table, dirs))
+        .foreachBatch(lambda b, epoch: process_batch(spark, b, table, dirs, epoch))
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -228,7 +263,9 @@ def read_state(spark: SparkSession, dirs: PipelineDirs, table: str) -> DataFrame
     """Materialized current state of one source table (live rows only —
     the physical table also holds versioned tombstones; see
     operators/materialize.py)."""
-    return current_rows(spark.read.parquet(os.path.join(dirs.state, table)))
+    state_dir = os.path.join(dirs.state, table)
+    recover_state_dir(state_dir)
+    return current_rows(spark.read.parquet(state_dir))
 
 
 def run_pipeline_until_done(spark: SparkSession, log_dir: str, root: str,

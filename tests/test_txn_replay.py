@@ -1,0 +1,127 @@
+"""Replay-safety of the epoch-keyed sink commit protocol (F5 contract).
+
+The reference's delivery chain (JetStream ack + redelivery,
+docs/system-design.md:548-552; store-first ordering docs/design.md:570-583)
+means a consumer crash mid-batch re-delivers the batch, and the store
+must not duplicate.  Spark's foreachBatch gives the same contract only
+if the sinks are epoch-transactional — these tests crash/replay the
+protocol at every window.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from debezium_nats_cdc_spark.sources import fixtures
+from debezium_nats_cdc_spark.streaming.pipeline import (
+    PipelineDirs,
+    _swap_write,
+    process_batch,
+    recover_state_dir,
+)
+from debezium_nats_cdc_spark.streaming.txn import append_exactly_once, committed
+from tests.conftest import load_envelopes
+
+
+def _rows(spark, n, start=0):
+    return spark.range(start, start + n).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    )
+
+
+def test_replayed_token_is_skipped(spark, tmp_root):
+    final = os.path.join(tmp_root, "sink")
+    txn = os.path.join(tmp_root, "txn")
+    df = _rows(spark, 10)
+    assert append_exactly_once(df, final, "s-0", txn) is True
+    # replay: same epoch token -> publish skipped, no duplicate rows
+    assert append_exactly_once(df, final, "s-0", txn) is False
+    assert spark.read.parquet(final).count() == 10
+    assert committed("s-0", txn)
+
+
+def test_half_publish_is_healed_on_replay(spark, tmp_root):
+    """Crash after moving a file prefix but before the marker: the
+    replay must converge to exactly one copy of the batch."""
+    final = os.path.join(tmp_root, "sink")
+    txn = os.path.join(tmp_root, "txn")
+    append_exactly_once(_rows(spark, 10), final, "s-0", txn)
+    # simulate the crashed half-publish of epoch 1: stray token files
+    # in the final dir, NO commit marker
+    for i in range(3):
+        shutil.copy(
+            next(Path(final).glob("s-0-*.parquet")),
+            os.path.join(final, f"s-1-{i:05d}.parquet"),
+        )
+    assert spark.read.parquet(final).count() > 10  # corrupted view
+    append_exactly_once(_rows(spark, 5, start=100), final, "s-1", txn)
+    out = spark.read.parquet(final)
+    assert out.count() == 15  # 10 (epoch 0) + 5 (epoch 1), strays gone
+    assert out.select("id").distinct().count() == 15
+
+
+def test_distinct_epochs_both_land(spark, tmp_root):
+    final = os.path.join(tmp_root, "sink")
+    txn = os.path.join(tmp_root, "txn")
+    append_exactly_once(_rows(spark, 10), final, "s-0", txn)
+    append_exactly_once(_rows(spark, 7, start=50), final, "s-1", txn)
+    assert spark.read.parquet(final).count() == 17
+
+
+def test_partitioned_publish_preserves_layout(spark, tmp_root):
+    final = os.path.join(tmp_root, "sink")
+    txn = os.path.join(tmp_root, "txn")
+    df = _rows(spark, 10).withColumn("p", (F.col("id") % 2).cast("string"))
+    append_exactly_once(df, final, "s-0", txn, partition_by=["p"])
+    append_exactly_once(df, final, "s-0", txn, partition_by=["p"])
+    assert os.path.isdir(os.path.join(final, "p=0"))
+    assert spark.read.parquet(final).count() == 10
+
+
+def test_swap_write_clears_stale_old_and_recovers(spark, tmp_root):
+    final = os.path.join(tmp_root, "state")
+    _swap_write(_rows(spark, 5), final)
+    # crash leftover: a stale .old from a prior generation
+    os.makedirs(final + ".old", exist_ok=True)
+    Path(final + ".old", "junk").write_text("x")
+    _swap_write(_rows(spark, 6), final)  # must not ENOTEMPTY
+    assert spark.read.parquet(final).count() == 6
+    assert not os.path.exists(final + ".old")
+
+    # crash window: final renamed away, staging complete, swap not done
+    _rows(spark, 7).write.mode("overwrite").parquet(final + ".staging")
+    os.rename(final, final + ".old")
+    recover_state_dir(final)  # prefers the newer complete staging
+    assert spark.read.parquet(final).count() == 7
+    assert not os.path.exists(final + ".old")
+
+
+def test_pipeline_batch_replay_no_duplicates(spark, tmp_root):
+    """Full foreachBatch body replayed with the same epoch: event store,
+    audit trail, and state log must be byte-stable (no extra rows)."""
+    from debezium_nats_cdc_spark.operators.unwrap import unwrap
+
+    dirs = PipelineDirs.under(tmp_root)
+    batch = unwrap(load_envelopes(
+        spark, fixtures.snapshot_events() + fixtures.golden_workload(),
+        "employees",
+    ))
+    process_batch(spark, batch, "employees", dirs, epoch_id=0)
+    counts = {
+        "events": spark.read.parquet(dirs.events).count(),
+        "audit": spark.read.parquet(dirs.audit).count(),
+        "state": spark.read.parquet(os.path.join(dirs.state, "employees")).count(),
+    }
+    # replay the same epoch (crash-after-partial-commit recovery path)
+    process_batch(spark, batch, "employees", dirs, epoch_id=0)
+    assert spark.read.parquet(dirs.events).count() == counts["events"]
+    assert spark.read.parquet(dirs.audit).count() == counts["audit"]
+    state_dir = os.path.join(dirs.state, "employees")
+    assert spark.read.parquet(state_dir).count() == counts["state"]
+    # a NEW epoch still lands
+    process_batch(spark, batch.limit(0), "employees", dirs, epoch_id=1)
+    assert spark.read.parquet(dirs.events).count() == counts["events"]
