@@ -131,6 +131,55 @@ ENVELOPE_SCHEMAS: dict[str, T.StructType] = {
     t: envelope_schema(s) for t, s in TABLE_SCHEMAS.items()
 }
 
+# ------------------------------------------------------ schema history --
+
+# A3: the FileSchemaHistory analog (reference
+# config/debezium/application.properties:15-16) — every version a table's
+# row schema has ever had, in order.  Debezium records DDL so envelopes
+# from any binlog position can be decoded; here the engine enforces the
+# compatible subset (append-only, nullable-only) so that ONE current
+# schema decodes every historical envelope: missing fields read as NULL
+# (older producer), unknown fields are ignored (newer producer), and
+# state tables written across versions merge (parquet mergeSchema).
+SCHEMA_HISTORY: dict[str, list[T.StructType]] = {
+    t: [s] for t, s in TABLE_SCHEMAS.items()
+}
+
+
+def evolve_table_schema(table: str,
+                        new_fields: list[T.StructField]) -> T.StructType:
+    """Register schema version N+1 for a table: the old schema plus
+    appended NULLABLE fields (the only evolution Debezium's
+    newer-fields-nullable contract allows without a migration).  Updates
+    the live TABLE_SCHEMAS/ENVELOPE_SCHEMAS used by readers, sinks, and
+    the audit differ; a restarted checkpointed pipeline picks the new
+    version up and keeps processing (tests/test_schema_evolution_live)."""
+    for f in new_fields:
+        if not f.nullable:
+            raise ValueError(
+                f"schema evolution for {table!r} must add nullable fields; "
+                f"{f.name!r} is NOT NULL (requires a backfill migration)"
+            )
+        if f.name in TABLE_SCHEMAS[table].fieldNames():
+            raise ValueError(f"{table}.{f.name} already exists")
+    new = T.StructType(TABLE_SCHEMAS[table].fields + list(new_fields))
+    TABLE_SCHEMAS[table] = new
+    ENVELOPE_SCHEMAS[table] = envelope_schema(new)
+    SCHEMA_HISTORY[table].append(new)
+    return new
+
+
+def rollback_table_schema(table: str) -> T.StructType:
+    """Drop the newest schema version (test/ops helper — data written
+    under the dropped version stays readable, extra fields ignored)."""
+    history = SCHEMA_HISTORY[table]
+    if len(history) < 2:
+        raise ValueError(f"{table} has no evolved versions to roll back")
+    history.pop()
+    TABLE_SCHEMAS[table] = history[-1]
+    ENVELOPE_SCHEMAS[table] = envelope_schema(history[-1])
+    return history[-1]
+
 # ----------------------------------------------------------- domain out --
 
 # docs/system-design.md:189-209; worked example docs/design.md:218-243

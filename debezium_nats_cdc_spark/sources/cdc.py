@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..schemas import ENVELOPE_SCHEMAS
-from .fixtures import DB, TOPIC_PREFIX
+from .fixtures import DB, TOPIC_PREFIX, subject_for
 
 
 def _with_subject_and_time(df: DataFrame) -> DataFrame:
@@ -57,3 +57,60 @@ def read_change_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.json(path)
     return _with_subject_and_time(df.filter(F.col("payload.source.table") == table))
+
+
+# ------------------------------------------------- broker-record source --
+
+# The exact column set Spark's Kafka source yields (and the shape the
+# reference's Debezium server publishes to NATS: per-table topic, record
+# key = serialized PK, record value = the JSON envelope —
+# config/debezium/application.properties:20-27).  A directory of parquet
+# files with this schema is the container stand-in for the broker; against
+# a real deployment only the reader line changes:
+#   spark.readStream.format("kafka")
+#        .option("subscribe", subject_for(table)).load()
+# and parse_broker_records consumes it unchanged.
+BROKER_RECORD_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def parse_broker_records(records: DataFrame, table: str) -> DataFrame:
+    """Kafka-record rows -> typed change envelopes for one table.
+
+    Dispatch is broker-native: filter on the per-table TOPIC first (the
+    reference's one-topic-per-table routing) so other tables' records are
+    dropped on a cheap string equality BEFORE any JSON parsing, then
+    deserialize the value bytes against the table's envelope schema.
+    """
+    env = (
+        records.filter(F.col("topic") == subject_for(table))
+        .select(
+            F.from_json(
+                F.col("value").cast("string"), ENVELOPE_SCHEMAS[table]
+            ).alias("e")
+        )
+        .select("e.*")
+    )
+    return _with_subject_and_time(env)
+
+
+def read_broker_log(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """Batch read of a broker-record directory for one table."""
+    return parse_broker_records(
+        spark.read.schema(BROKER_RECORD_SCHEMA).parquet(path), table
+    )
+
+
+def read_broker_stream(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming read of a broker-record directory (A1 adapter path)."""
+    reader = spark.readStream.schema(BROKER_RECORD_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_broker_records(reader.parquet(path), table)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 
 # fixed clock for the workload (FIXTURES.md §3): CURDATE() = 2026-01-01
 BASE_TS_MS = 1767225600000  # 2026-01-01T00:00:00Z
@@ -160,4 +161,52 @@ def write_event_log(events: list[dict], directory: str,
         with open(path, "w") as f:
             for ev in events[fi:fi + events_per_file]:
                 f.write(json.dumps(ev) + "\n")
+    return directory
+
+
+def write_broker_log(events: list[dict], directory: str,
+                     events_per_file: int = 100,
+                     n_partitions: int = 3) -> str:
+    """Write envelopes as Kafka-record-shaped parquet (sources/cdc.py
+    BROKER_RECORD_SCHEMA): per-table topic, key = serialized PK (hash-
+    partitioned on it, preserving the broker's per-key ordering
+    guarantee), value = envelope bytes — the on-the-wire shape the
+    reference's Debezium server publishes
+    (config/debezium/application.properties:20-27)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(directory, exist_ok=True)
+    offsets: dict[tuple[str, int], int] = {}
+    schema = pa.schema([
+        ("key", pa.binary()),
+        ("value", pa.binary()),
+        ("topic", pa.string()),
+        ("partition", pa.int32()),
+        ("offset", pa.int64()),
+        ("timestamp", pa.timestamp("us")),
+        ("timestampType", pa.int32()),
+    ])
+    for fi in range(0, len(events), events_per_file):
+        rows = {name: [] for name in schema.names}
+        for ev in events[fi:fi + events_per_file]:
+            payload = ev["payload"]
+            table = payload["source"]["table"]
+            row = payload.get("after") or payload.get("before") or {}
+            key = json.dumps({"id": row.get("id")}).encode()
+            topic = subject_for(table)
+            part = zlib.crc32(key) % n_partitions  # broker key-hash routing
+            off = offsets.get((topic, part), 0)
+            offsets[(topic, part)] = off + 1
+            rows["key"].append(key)
+            rows["value"].append(json.dumps(ev).encode())
+            rows["topic"].append(topic)
+            rows["partition"].append(part)
+            rows["offset"].append(off)
+            rows["timestamp"].append(payload["ts_ms"] * 1000)
+            rows["timestampType"].append(0)
+        pq.write_table(
+            pa.table(rows, schema=schema),
+            os.path.join(directory, f"records-{fi // events_per_file:05d}.parquet"),
+        )
     return directory

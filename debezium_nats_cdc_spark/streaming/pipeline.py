@@ -43,7 +43,7 @@ from ..operators.rules import RULES, apply_rules
 from ..operators.unwrap import unwrap
 from ..operators.validate import split_valid
 from ..schemas import TABLE_SCHEMAS
-from ..sources.cdc import read_change_stream
+from ..sources.cdc import read_broker_stream, read_change_stream
 from .. import store
 from .txn import append_exactly_once
 
@@ -98,7 +98,11 @@ def _maybe_compact(spark: SparkSession, state_dir: str) -> None:
         return
     if n_files < COMPACT_FILE_THRESHOLD:
         return
-    reduced = reduce_state(spark.read.parquet(state_dir))
+    # mergeSchema: the log may span schema versions (A3) — older files
+    # lack newly-added nullable columns
+    reduced = reduce_state(
+        spark.read.option("mergeSchema", "true").parquet(state_dir)
+    )
     max_ts = reduced.agg(F.max("_ts_ms")).first()[0]
     if max_ts is not None:
         reduced = expire_tombstones(reduced, TOMBSTONE_HORIZON_MS, max_ts)
@@ -241,9 +245,16 @@ def start_table_pipeline(
     dirs: PipelineDirs,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    source: str = "json",
 ):
-    """Start the checkpointed streaming query for one source table."""
-    stream = read_change_stream(spark, log_dir, table, max_files_per_trigger)
+    """Start the checkpointed streaming query for one source table.
+
+    ``source="json"`` reads the Debezium-JSON file log; ``source="broker"``
+    reads Kafka-record-shaped files through the A1 adapter
+    (sources/cdc.py BROKER_RECORD_SCHEMA) — everything downstream of the
+    envelope parse is identical."""
+    read = read_broker_stream if source == "broker" else read_change_stream
+    stream = read(spark, log_dir, table, max_files_per_trigger)
     deduped = (
         unwrap(stream)
         .withWatermark("event_time", DEDUP_WATERMARK)
@@ -265,12 +276,16 @@ def read_state(spark: SparkSession, dirs: PipelineDirs, table: str) -> DataFrame
     operators/materialize.py)."""
     state_dir = os.path.join(dirs.state, table)
     recover_state_dir(state_dir)
-    return current_rows(spark.read.parquet(state_dir))
+    # mergeSchema: state logs written across schema versions (A3)
+    return current_rows(
+        spark.read.option("mergeSchema", "true").parquet(state_dir)
+    )
 
 
 def run_pipeline_until_done(spark: SparkSession, log_dir: str, root: str,
                             tables: list[str] | None = None,
-                            concurrent: bool = False) -> PipelineDirs:
+                            concurrent: bool = False,
+                            source: str = "json") -> PipelineDirs:
     """Process everything currently in the change log, then stop.
 
     Per-table queries are independent (separate checkpoints, state dirs,
@@ -281,11 +296,12 @@ def run_pipeline_until_done(spark: SparkSession, log_dir: str, root: str,
     dirs = PipelineDirs.under(root)
     names = tables or list(RULES)
     if concurrent:
-        queries = [start_table_pipeline(spark, log_dir, t, dirs) for t in names]
+        queries = [start_table_pipeline(spark, log_dir, t, dirs, source=source)
+                   for t in names]
         for q in queries:
             q.awaitTermination()
     else:
         for t in names:
-            q = start_table_pipeline(spark, log_dir, t, dirs)
+            q = start_table_pipeline(spark, log_dir, t, dirs, source=source)
             q.awaitTermination()
     return dirs
