@@ -63,17 +63,25 @@ def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_ids=["K1", "K3"],
     doc=f"Stratified sample: {_STRATUM_CAP} docs per language, selected "
-        "by content-hash order (deterministic 'random'). One shuffle on "
-        "the stratum key; at 100 TB swap row_number for a per-partition "
-        "bounded top-k (rank pushdown keeps state at cap size).",
+        "by content-hash order (deterministic 'random'). Salted two-phase "
+        "top-k: phase 1 ranks within (lang, salt-of-doc_id) — 32 balanced "
+        "buckets per stratum, so no single task ever sorts a whole "
+        "language (at 100 TB one language can be half the corpus) — and "
+        "phase 2 re-ranks the surviving <= 32*cap rows per stratum. "
+        "Identical rows to a single global rank: any global top-cap row "
+        "has < cap same-language predecessors overall, hence < cap in "
+        "its own salt bucket, so phase 1 never drops it.",
 )
 def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
-    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    salt = F.pmod(F.xxhash64("doc_id"), F.lit(32))
+    local = W.partitionBy("lang", salt).orderBy(h, "doc_id")
+    merged = W.partitionBy("lang").orderBy(h, "doc_id")
     return (
-        d.withColumn("_rn", F.row_number().over(w))
+        d.withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= _STRATUM_CAP)  # state O(cap) per bucket
+        .withColumn("_rn", F.row_number().over(merged))
         .filter(F.col("_rn") <= _STRATUM_CAP)
         .select("doc_id", "lang", "n_chars")
     )

@@ -104,8 +104,26 @@ def test_asof_join_single_shuffle(spark):
 
 
 def test_corpus_curation_loser_antijoin_broadcasts(spark):
-    """The near-dup loser set is tiny relative to the corpus — the final
-    anti-join must broadcast it, never shuffle the surviving corpus."""
+    """With no forced hint (the loser set is unbounded at corpus scale),
+    the cost model still broadcasts the small loser side when it IS
+    small — the sf0.001 plan must show a broadcast anti-join, chosen by
+    statistics rather than a driver-OOM-risking F.broadcast()."""
     df = catalog.entries()["corpus_curation"].fn(spark, SF)
     assert_no_cartesian(df)
     assert_broadcast_join(df, at_least=1)
+
+
+def test_stratified_sample_salted_topk(spark):
+    """The stratified sample must rank in two phases — first within
+    (lang, salt) so no task ever sorts a whole language stratum, then a
+    re-rank over the <= 32*cap survivors per language."""
+    import re
+
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    df = catalog.entries()["corpus_stratified_sample"].fn(spark, SF)
+    plan = formatted_plan(df)
+    windows = re.findall(r"^\(\d+\) Window", plan, re.MULTILINE)
+    assert len(windows) >= 2  # AQE explain repeats subtrees
+    # phase-1 exchange is salted (lang + pmod(xxhash64(doc_id)))
+    assert "pmod(xxhash64(doc_id" in plan
