@@ -39,6 +39,40 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def plane_sign_word_arrow(emb: Column | str,
+                          planes: list[list[float]]) -> Column:
+    """Packed sign word of K hyperplane dot products in ONE Arrow kernel
+    (bit i = 1 iff dot(emb, planes[i]) >= 0) — the LSH sketch hot path.
+
+    K Catalyst fold-dots per row are interpreted per element (K=16 at
+    64-dim = 1024 lambda evaluations per row; sim_embedding_neardup
+    measured 4.3 s at sf0.1 that way).  The kernel loops over DIMENSIONS
+    (64 vectorized ops over the whole batch×K matrix), accumulating in
+    float64 strictly left-to-right over dims — the SAME association
+    order as the Catalyst fold and DuckDB's list_inner_product, so sign
+    bits are bit-identical across all three engines (oracle contract;
+    a blocked/pairwise matmul would round differently near zero).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rows = [list(map(float, p)) for p in planes]
+
+    @pandas_udf("long")
+    def _word(col):
+        import numpy as np
+        import pandas as pd
+
+        M = np.asarray(rows, dtype=np.float64)            # K × dim
+        A = np.vstack(col.to_numpy()).astype(np.float64)  # n × dim
+        acc = np.zeros((A.shape[0], M.shape[0]), dtype=np.float64)
+        for d in range(A.shape[1]):                       # sequential fold
+            acc += A[:, d:d + 1] * M[:, d]
+        powers = (1 << np.arange(M.shape[0], dtype=np.int64))
+        return pd.Series(((acc >= 0) @ powers).astype(np.int64))
+
+    return _word(_c(emb))
+
+
 def dot_product_arrow(a: Column | str, b: Column | str) -> Column:
     """Σ aᵢ·bᵢ via an Arrow-batched numpy kernel — the hot-path variant.
 

@@ -21,6 +21,7 @@ from ..functions.vectors import (
     dot_product,
     dot_product_arrow,
     l2_norm,
+    plane_sign_word_arrow,
 )
 from ..io import load_table
 
@@ -67,28 +68,12 @@ def _hyperplanes(dim: int = 64, n_planes: int = 8) -> list[list[float]]:
     return planes
 
 
-def _bucket_col(emb_col: str = "embedding", planes: list[list[float]] | None = None):
-    """Random-hyperplane LSH bucket id: one sign bit per plane, packed.
-
-    Pure Catalyst fold per plane — the identical dot products (same fold
-    order, same literals) are what the DuckDB oracle's
-    list_inner_product computes, so bucket ids match across engines."""
-    bucket = None
-    for i, plane in enumerate(planes if planes is not None else _hyperplanes()):
-        bit = (
-            F.when(
-                dot_product(F.col(emb_col), F.array(*[F.lit(v) for v in plane])) >= 0,
-                F.lit(1 << i),
-            ).otherwise(F.lit(0))
-        )
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
-
-
 def _bucket_sql(emb_expr: str = "embedding",
                 planes: list[list[float]] | None = None) -> str:
-    """SQL twin of _bucket_col for the DuckDB oracles (plane literals
-    embedded at full repr precision — parses to the identical doubles)."""
+    """SQL twin of plane_sign_word_arrow for the DuckDB oracles (plane
+    literals embedded at full repr precision — parses to the identical
+    doubles; list_inner_product folds in the same sequential order the
+    Arrow kernel accumulates, so sign bits match bitwise)."""
     terms = []
     for i, plane in enumerate(planes if planes is not None else _hyperplanes()):
         lits = ", ".join(repr(v) for v in plane)
@@ -242,6 +227,13 @@ def _neardup_oracle() -> str:
 )
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    # all 16 plane signs in ONE Arrow kernel; per-table 4-bit buckets are
+    # then integer slices of the word (plane 4t+j <-> table t bit j, the
+    # same numbering _bucket_sql gives the oracle's per-table sketches)
+    b = _NEARDUP_PLANES_PER_TABLE
+    word = plane_sign_word_arrow(
+        "embedding", _hyperplanes(n_planes=_NEARDUP_TABLES * b)
+    )
     sk = e.select(
         "vec_id", "label", "embedding", "_norm",
         F.explode(
@@ -249,9 +241,10 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("table_id"),
-                        _bucket_col("embedding", tbl).alias("bucket"),
+                        F.shiftrightunsigned(word, t * b)
+                        .bitwiseAND(F.lit((1 << b) - 1)).alias("bucket"),
                     )
-                    for t, tbl in enumerate(_neardup_tables())
+                    for t in range(_NEARDUP_TABLES)
                 ]
             )
         ).alias("tb"),
@@ -413,7 +406,10 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    sk = _with_norm(e.select("vec_id", "embedding", _bucket_col("embedding").alias("bucket")))
+    sk = _with_norm(e.select(
+        "vec_id", "embedding",
+        plane_sign_word_arrow("embedding", _hyperplanes()).alias("bucket"),
+    ))
     a, b = sk.alias("a"), sk.alias("b")
     cos = F.round(
         _pair_cos_arrow(F.col("a.embedding"), F.col("b.embedding"),
