@@ -63,6 +63,7 @@ def _load_modules() -> None:
         multimodal,
         curation,
         sampling,
+        quantize,
     )
 
 

@@ -159,3 +159,125 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# ------------------------------------------------- decontamination -----
+
+_DECON_N = 8          # 8-gram overlap, the usual eval-contamination unit
+_DECON_THRESHOLD = 0.10
+# same deterministic split the train/val splitter uses (sampling.py)
+_DECON_CUTOFF = "f3"
+
+
+def _decon_oracle() -> str:
+    i_hi = f"len(toks) - {_DECON_N - 1}"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {_DECON_N} THEN
+               list_distinct([array_to_string(toks[i:i+{_DECON_N - 1}], '_')
+                              for i in range(1, {i_hi} + 1)])
+             ELSE [] END AS gs,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_DECON_CUTOFF}'
+               AS is_train
+      FROM tok
+    ),
+    train_grams AS (
+      SELECT DISTINCT CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS g
+      FROM (SELECT unnest(gs) AS g FROM grams WHERE is_train)
+    ),
+    val_postings AS (
+      SELECT doc_id, CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS g
+      FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE NOT is_train)
+    ),
+    stats AS (
+      SELECT v.doc_id,
+             COUNT(DISTINCT v.g) AS n_grams,
+             COUNT(DISTINCT CASE WHEN t.g IS NOT NULL THEN v.g END) AS n_shared
+      FROM val_postings v LEFT JOIN train_grams t ON v.g = t.g
+      GROUP BY v.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(CAST(ROUND(COALESCE(CAST(s.n_shared AS DOUBLE)
+                                    / NULLIF(s.n_grams, 0), 0.0), 6)
+                AS DECIMAL(10,6)) AS DOUBLE) AS contamination,
+           COALESCE(CAST(s.n_shared AS DOUBLE) / NULLIF(s.n_grams, 0), 0.0)
+             >= {_DECON_THRESHOLD} AS contaminated
+    FROM (SELECT doc_id FROM grams WHERE NOT is_train) d
+    LEFT JOIN stats s ON d.doc_id = s.doc_id
+    """
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=_decon_oracle(),
+    survey_ids=["K1", "K3"],
+    doc=f"Train/val decontamination: for every VAL doc (same md5-prefix "
+        "split as corpus_train_split), the fraction of its distinct "
+        f"word-{_DECON_N}-grams that also occur anywhere in TRAIN — the "
+        "leakage check an eval set needs before the train corpus ships. "
+        "Scale shape: the train side collapses to a DISTINCT 8-byte "
+        "gram-hash set BEFORE the join, so the join is 1:1 on a unique "
+        "key (no posting-list blowup, no df cap needed — unlike the "
+        "pairwise Jaccard ops, doc identity on the train side is not "
+        "required). One shuffle per side + one equi-join.",
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= _DECON_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (_DECON_N - 1)),
+                lambda i: F.array_join(F.slice(toks, i, _DECON_N), "_"),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_train = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < _DECON_CUTOFF
+    )
+    base = d.select("doc_id", grams.alias("gs"), is_train.alias("is_train"))
+
+    g60 = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+    train_grams = (
+        base.filter("is_train")
+        .select(F.explode("gs").alias("g"))
+        .select(g60.alias("g"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    val_postings = (
+        base.filter(~F.col("is_train"))
+        # explode_outer keeps zero-gram val docs in the report
+        .select("doc_id", F.explode_outer("gs").alias("g"))
+        .select("doc_id", g60.alias("g"))
+    )
+    stats = (
+        val_postings.join(train_grams, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("g").alias("n_grams"),
+            F.count_distinct(F.when(F.col("hit").isNotNull(), F.col("g")))
+            .alias("n_shared"),
+        )
+    )
+    ratio = F.coalesce(
+        F.col("n_shared").cast("double") / F.nullif(F.col("n_grams"), F.lit(0)),
+        F.lit(0.0),
+    )
+    return stats.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        F.round(ratio, 6).cast("decimal(10,6)").cast("double")
+        .alias("contamination"),
+        (ratio >= _DECON_THRESHOLD).alias("contaminated"),
+    )

@@ -1,0 +1,97 @@
+"""Embedding quantization (SURVEY.md §2.K2 — driver-mandate pipeline).
+
+Per-vector symmetric int8 quantization — the storage/ANN compression
+step a 100 TB embedding table runs before indexing (4x smaller than
+float32, SIMD-friendly dot products at query time).  Pure Catalyst
+array lambdas: scale = max|x|/127 (an order-independent max, so
+bit-identical across engines with no rounding tricks), q_i =
+round(x_i/scale) — by construction |q_i| <= 127, no clamp branch —
+and the reconstruction RMSE as the quality metric.
+
+All per-vector: no shuffle at all — this is a map-only projection that
+scales embarrassingly (the plan is scan -> project, nothing else).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register
+from ..io import load_table
+
+_QMAX = 127
+
+_QUANT_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, label, emb,
+             list_max(list_transform(emb, x -> abs(x))) / {_QMAX}.0 AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, label, emb, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(emb, x -> CAST(round(x / scale) AS INT))
+                  ELSE list_transform(emb, x -> 0) END AS qv
+      FROM s
+    )
+    SELECT vec_id, label,
+           CAST(CAST(ROUND(scale, 6) AS DECIMAL(10,6)) AS DOUBLE) AS scale,
+           CAST(CAST(ROUND(
+             sqrt(list_sum([power(emb[i] - qv[i] * scale, 2)
+                            for i in range(1, len(emb) + 1)]) / len(emb)),
+             6) AS DECIMAL(10,6)) AS DOUBLE) AS rmse,
+           CAST(len(list_filter(qv, x -> abs(x) = {_QMAX})) AS INT)
+             AS n_saturated
+    FROM q
+"""
+
+
+@register(
+    "emb_quantize_int8",
+    oracle=_QUANT_ORACLE,
+    survey_ids=["K2"],
+    doc="Symmetric int8 quantization per embedding: scale = max|x|/127 "
+        "(order-independent, so cross-engine exact), quantized values "
+        "round(x/scale) with |q| <= 127 by construction, reconstruction "
+        "RMSE at 6dp as the quality gate, and the saturated-lane count. "
+        "Map-only plan — zero shuffles; the compressed form is what a "
+        "100 TB ANN index stores and scans.",
+)
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    absmax = F.aggregate(
+        emb, F.lit(0.0), lambda a, v: F.greatest(a, F.abs(v.cast("double")))
+    )
+    # internal names are _-prefixed: in the final select the OUTPUT is
+    # also called "scale", and Spark's lateral column alias resolution
+    # would silently rebind F.col("scale") inside the rmse expression to
+    # the 6dp-ROUNDED output, skewing the metric (caught by the oracle)
+    d = e.select("vec_id", "label", "embedding",
+                 (absmax / F.lit(float(_QMAX))).alias("_scale"))
+    q = F.when(
+        F.col("_scale") > 0,
+        F.transform(emb, lambda x: F.round(x.cast("double") / F.col("_scale"))
+                    .cast("int")),
+    ).otherwise(F.transform(emb, lambda x: F.lit(0)))
+    d = d.withColumn("_qv", q)
+    sq = F.aggregate(
+        F.zip_with(
+            emb, F.col("_qv"),
+            lambda x, qv: F.pow(x.cast("double") - qv.cast("double") * F.col("_scale"),
+                                F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    rmse = F.sqrt(sq / F.size(emb))
+    return d.select(
+        "vec_id", "label",
+        F.round("_scale", 6).cast("decimal(10,6)").cast("double").alias("scale"),
+        F.round(rmse, 6).cast("decimal(10,6)").cast("double").alias("rmse"),
+        F.size(F.filter("_qv", lambda v: F.abs(v) == _QMAX)).cast("int")
+        .alias("n_saturated"),
+    )
