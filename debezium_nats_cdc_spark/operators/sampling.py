@@ -85,3 +85,77 @@ def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= _STRATUM_CAP)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+_PACK_MAX_TOKENS = 2048
+_PACK_BUCKETS = 64
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split(coalesce(text, ''), ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % {_PACK_BUCKETS} AS bucket
+      FROM documents
+    ),
+    run AS (
+      SELECT bucket, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS running
+      FROM base
+    ),
+    assigned AS (
+      SELECT bucket,
+             CAST(floor((running - n_tokens) / {_PACK_MAX_TOKENS}.0) AS BIGINT)
+               AS seq_id,
+             n_tokens
+      FROM run
+    )
+    SELECT bucket, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+    FROM assigned GROUP BY bucket, seq_id
+    """,
+    survey_ids=["K1", "K3"],
+    doc=f"Sequence packing for training batches: docs are hash-routed to "
+        f"{_PACK_BUCKETS} independent buckets (so packing parallelizes — "
+        "a single global concat order would serialize the corpus through "
+        "one task at 100 TB), ordered deterministically by content hash "
+        "within each bucket, and streamed into "
+        f"{_PACK_MAX_TOKENS}-token "
+        "sequences by running-total binning (a doc starts the sequence "
+        "its start offset falls in). Output: per-sequence fill stats. "
+        "One window shuffle on the bucket key; everything else is "
+        "map-side.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    g60 = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint")
+    base = d.select(
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+        .alias("n_tokens"),
+        h.alias("_h"),
+        (g60 % _PACK_BUCKETS).alias("bucket"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.sum("n_tokens").over(w)
+    assigned = base.select(
+        "bucket",
+        F.floor((running - F.col("n_tokens")) / F.lit(float(_PACK_MAX_TOKENS)))
+        .cast("bigint").alias("seq_id"),
+        "n_tokens",
+    )
+    return assigned.groupBy("bucket", "seq_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+    )

@@ -213,3 +213,65 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("int").alias("n_unique_tokens"),
         F.size(F.split("text", " ")).cast("int").alias("n_ws_tokens"),
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, string_split(lower(coalesce(text, '')), ' ') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(toks) >= 3 THEN
+               [toks[i] || '_' || toks[i+1] || '_' || toks[i+2]
+                for i in range(1, len(toks) - 2 + 1)]
+             ELSE [] END AS gs
+      FROM tok
+    )
+    SELECT doc_id, lang,
+           CAST(len(gs) AS INT) AS n_grams,
+           CAST(len(list_distinct(gs)) AS INT) AS n_distinct,
+           CAST(CAST(ROUND(CASE WHEN len(gs) > 0 THEN
+                  1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+                  ELSE 0.0 END, 6) AS DECIMAL(10,6)) AS DOUBLE) AS rep_ratio,
+           (CASE WHEN len(gs) > 0 THEN
+              1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+              ELSE 0.0 END) > 0.2 AS is_repetitive
+    FROM grams
+    """,
+    survey_ids=["K3"],
+    doc="Repetition quality filter (Gopher/C4-style): fraction of "
+        "duplicated word-3-grams within each doc — boilerplate and "
+        "looping text score high and get flagged (> 0.2). Pure per-doc "
+        "projection: no shuffle, no join; fuses into the corpus scan "
+        "alongside the other quality gates.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    n = F.size(toks)
+    gs = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws("_", F.element_at(toks, i),
+                                  F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", "lang", gs.alias("_gs"))
+    n_grams = F.size("_gs")
+    n_distinct = F.size(F.array_distinct("_gs"))
+    ratio = F.when(
+        n_grams > 0,
+        F.lit(1.0) - n_distinct.cast("double") / n_grams,
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id", "lang",
+        n_grams.cast("int").alias("n_grams"),
+        n_distinct.cast("int").alias("n_distinct"),
+        F.round(ratio, 6).cast("decimal(10,6)").cast("double").alias("rep_ratio"),
+        (ratio > 0.2).alias("is_repetitive"),
+    )
