@@ -1,0 +1,112 @@
+"""Semantic unit tests for the r2 corpus operators — crafted inputs with
+hand-computable answers (the sf oracles check engine parity; these check
+the operators mean what they claim).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, lang string, source string, n_chars int, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_repetition_filter_flags_looping_text(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.text import text_repetition_filter
+
+    loop = " ".join(["spam ham eggs"] * 20)          # 3-gram loop
+    clean = " ".join(f"w{i}" for i in range(60))     # all distinct
+    path = str(tmp_path / "documents.parquet")
+    _docs(spark, [
+        (1, "en", "s", len(loop), loop),
+        (2, "en", "s", len(clean), clean),
+    ]).write.parquet(path)
+    out = {r["doc_id"]: r for r in
+           text_repetition_filter(spark, str(tmp_path)).collect()}
+    assert out[1]["is_repetitive"] and out[1]["rep_ratio"] > 0.8
+    assert not out[2]["is_repetitive"] and out[2]["rep_ratio"] == 0.0
+    # n_grams = n_tokens - 2
+    assert out[2]["n_grams"] == 58 and out[2]["n_distinct"] == 58
+
+
+def test_pack_sequences_conserves_tokens_and_fills(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.sampling import (
+        _PACK_MAX_TOKENS,
+        corpus_pack_sequences,
+    )
+
+    rows = [(i, "en", "s", 10, " ".join(f"t{j}" for j in range(500)))
+            for i in range(40)]  # 40 docs x 500 tokens
+    path = str(tmp_path / "documents.parquet")
+    _docs(spark, rows).write.parquet(path)
+    out = corpus_pack_sequences(spark, str(tmp_path)).collect()
+    # token conservation: every token lands in exactly one sequence
+    assert sum(r["seq_tokens"] for r in out) == 40 * 500
+    assert sum(r["n_docs"] for r in out) == 40
+    # seq ids within each bucket are dense from 0
+    by_bucket: dict[int, list[int]] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["seq_id"])
+    for seqs in by_bucket.values():
+        assert sorted(seqs) == list(range(len(seqs)))
+    # a sequence never starts past the previous one's running total:
+    # per-bucket totals imply fill <= max+one-doc-overhang
+    for r in out:
+        assert r["seq_tokens"] <= _PACK_MAX_TOKENS + 500
+
+
+def test_decontaminate_detects_planted_leak(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.curation import (
+        _DECON_CUTOFF,
+        corpus_decontaminate,
+    )
+    import hashlib
+
+    def is_train(doc_id: int) -> bool:
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[:2] < _DECON_CUTOFF
+
+    train_id = next(i for i in range(1000) if is_train(i))
+    val_id = next(i for i in range(1000) if not is_train(i))
+    clean_val = next(i for i in range(val_id + 1, 2000) if not is_train(i))
+
+    leaked = " ".join(f"leak{j}" for j in range(20))   # 20 tokens shared
+    path = str(tmp_path / "documents.parquet")
+    _docs(spark, [
+        (train_id, "en", "s", 10, leaked + " trainextra1 trainextra2"),
+        (val_id, "en", "s", 10, leaked + " valextra1 valextra2"),
+        (clean_val, "en", "s", 10, " ".join(f"c{j}" for j in range(30))),
+    ]).write.parquet(path)
+    out = {r["doc_id"]: r for r in
+           corpus_decontaminate(spark, str(tmp_path)).collect()}
+    assert set(out) == {val_id, clean_val}  # report covers ALL val docs
+    assert out[val_id]["contaminated"] and out[val_id]["n_shared"] >= 13
+    assert not out[clean_val]["contaminated"]
+    assert out[clean_val]["n_shared"] == 0
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.quantize import emb_quantize_int8
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [(i, i % 3, rng.normal(size=16).astype("float32").tolist())
+            for i in range(50)]
+    rows.append((99, 0, [0.0] * 16))  # zero vector: scale 0 guard
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["vec_id"]: r for r in
+           emb_quantize_int8(spark, str(tmp_path)).collect()}
+    assert len(out) == 51
+    for vid, r in out.items():
+        if vid == 99:
+            assert r["scale"] == 0.0 and r["rmse"] == 0.0
+            continue
+        # max quantization error per lane is scale/2 -> rmse <= scale/2
+        assert r["rmse"] <= r["scale"] / 2 + 1e-6
+        assert 1 <= r["n_saturated"] <= 16  # the max lane hits 127
