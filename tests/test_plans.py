@@ -127,3 +127,43 @@ def test_stratified_sample_salted_topk(spark):
     assert len(windows) >= 2  # AQE explain repeats subtrees
     # phase-1 exchange is salted (lang + pmod(xxhash64(doc_id)))
     assert "pmod(xxhash64(doc_id" in plan
+
+
+def test_quantize_is_map_only(spark):
+    """int8 quantization must be a pure scan->project plan: any Exchange
+    means a shuffle crept into a per-row operator."""
+    import re
+
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    df = catalog.entries()["emb_quantize_int8"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert not re.search(r"^\(\d+\) Exchange", plan, re.MULTILINE), plan
+
+
+def test_decontaminate_join_no_blowup(spark):
+    """The train side must aggregate to a DISTINCT gram set BEFORE the
+    join (1:1 on a unique key — no posting-list pair blowup), and the
+    plan must not contain a cartesian product."""
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    df = catalog.entries()["corpus_decontaminate"].fn(spark, SF)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    # the distinct (HashAggregate on the gram key) must feed the join,
+    # not follow it
+    assert "HashAggregate" in plan and "Join" in plan
+
+
+def test_pack_sequences_two_shuffles_max(spark):
+    """Packing: one exchange for the bucket window + one for the final
+    per-sequence rollup — anything more means the bucket partitioning
+    was not reused."""
+    import re
+
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    df = catalog.entries()["corpus_pack_sequences"].fn(spark, SF)
+    plan = formatted_plan(df)
+    n = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n <= 2, plan
