@@ -125,3 +125,63 @@ def test_pipeline_batch_replay_no_duplicates(spark, tmp_root):
     # a NEW epoch still lands
     process_batch(spark, batch.limit(0), "employees", dirs, epoch_id=1)
     assert spark.read.parquet(dirs.events).count() == counts["events"]
+
+
+def test_random_crash_injection_converges(spark, tmp_root):
+    """Property: crash the publish protocol at ANY step boundary, replay,
+    and the final table equals exactly one copy of every epoch's batch.
+
+    Steps crashed between: staging written -> strays cleaned -> files
+    moved (also mid-move) -> marker written.  Each epoch is attempted
+    through a crashing publisher at every injection point, then replayed
+    cleanly — convergence must hold regardless of where the crash hit.
+    """
+    import itertools
+
+    from debezium_nats_cdc_spark.streaming import txn
+
+    final = os.path.join(tmp_root, "sink")
+    tdir = os.path.join(tmp_root, "txn")
+
+    class Crash(Exception):
+        pass
+
+    def crashing_publish(staging, final_dir, token, crash_after_files):
+        """_publish clone that dies after moving crash_after_files files."""
+        src_root = Path(staging)
+        dest_root = Path(final_dir)
+        if dest_root.exists():
+            for stale in dest_root.rglob(token + "-*"):
+                stale.unlink()
+        files = sorted(p for p in src_root.rglob("*")
+                       if p.is_file() and not p.name.startswith(("_", ".")))
+        for i, src in enumerate(files):
+            if i == crash_after_files:
+                raise Crash
+            dest_dir = dest_root / src.parent.relative_to(src_root)
+            dest_dir.mkdir(parents=True, exist_ok=True)
+            os.replace(src, dest_dir / f"{token}-{i:05d}.parquet")
+
+    # deterministic schedule of injection points per epoch
+    injection = itertools.cycle([0, 1, 2, 99])  # 99 => after all moves,
+    #                                                 before the marker
+    for epoch in range(6):
+        df = _rows(spark, 8, start=epoch * 100)
+        token = f"s-{epoch}"
+        # attempt 1: staged write succeeds, publish crashes mid-move
+        staging = os.path.join(tdir, token + ".staging")
+        os.makedirs(tdir, exist_ok=True)
+        df.write.mode("overwrite").parquet(staging)
+        try:
+            crashing_publish(staging, final, token, next(injection))
+        except Crash:
+            pass
+        assert not txn.committed(token, tdir)  # crash => no marker
+        # replay (Structured Streaming re-runs the batch)
+        assert txn.append_exactly_once(df, final, token, tdir) is True
+
+    out = spark.read.parquet(final)
+    assert out.count() == 6 * 8
+    assert out.select("id").distinct().count() == 6 * 8
+    for epoch in range(6):
+        assert txn.committed(f"s-{epoch}", tdir)
