@@ -322,10 +322,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle="""
-    WITH tok AS (
+# shared by dedup_ngram_jaccard and dedup_cluster_assign's oracles:
+# word-3-gram inverted-index pair generation with the df<=1000 skew cap,
+# thresholded at Jaccard >= 0.2
+_JACCARD_PAIRS_SQL = """
+    tok AS (
       SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
     ),
     gsets AS (
@@ -343,17 +344,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM postings)
       WHERE df <= 1000
     ),
-    pairs AS (
+    rawpairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS inter,
              ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*) AS uni
       FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
+    ),
+    jpairs AS (
+      SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jac
+      FROM rawpairs WHERE CAST(inter AS DOUBLE) / uni >= 0.2
     )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_SQL}
     SELECT doc_a, doc_b,
-           CAST(CAST(ROUND(CAST(inter AS DOUBLE) / uni, 4) AS DECIMAL(10,4)) AS DOUBLE) AS jaccard
-    FROM pairs
-    WHERE CAST(inter AS DOUBLE) / uni >= 0.2
+           CAST(CAST(ROUND(jac, 4) AS DECIMAL(10,4)) AS DOUBLE) AS jaccard
+    FROM jpairs
     """,
     survey_ids=["K1"],
     doc="Exact word-3-gram Jaccard via inverted-index pair generation "
@@ -576,4 +587,91 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= 8)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ------------------------------------------------ cluster assignment ---
+
+
+_CC_ROUNDS = 8  # propagate+jump per round => handles diameter >= 2^8
+
+
+def _cluster_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_JACCARD_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jpairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM jpairs
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach
+             GROUP BY node)
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM comp
+    """
+
+
+@register(
+    "dedup_cluster_assign",
+    oracle=_cluster_oracle(),
+    survey_ids=["K1"],
+    doc="Near-dup CLUSTERS from pairwise matches: connected components "
+        "over the n-gram-Jaccard edge set, labels = min doc_id per "
+        "component (the canonical representative a dedup pass keeps). "
+        "Iterative min-label propagation with pointer jumping — each "
+        "round relabels via neighbors AND jumps to the label's label, "
+        "so label distance doubles per round (the large-star/small-star "
+        "shape from the MapReduce CC literature); 8 rounds covers any "
+        "component diameter " "up to 2^8. Every round is two hash-join "
+        "shuffles on doc id over the (tiny) matched-doc set — never the "
+        "corpus — with eager truncation so the plan stays linear in "
+        "rounds. The oracle computes the true transitive closure via a "
+        "recursive CTE; agreement proves the fixed point was reached.",
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    sym = e.union(
+        e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = (
+        sym.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lbl", F.col("doc_id"))
+    )
+    # matched-doc set is small (only docs with >= 1 near-dup pair), so the
+    # per-round joins are cheap; localCheckpoint keeps the lineage linear
+    # (each round references the previous labels twice — without the cut
+    # the logical plan doubles per round)
+    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(_CC_ROUNDS):
+        nbr = (
+            sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("lbl").alias("_nlbl"))
+        )
+        labels = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least("lbl", F.coalesce("_nlbl", F.col("lbl"))).alias("lbl"),
+        )
+        # pointer jump: lbl <- label(lbl); invariant lbl <= doc_id makes
+        # the jumped label always <= the current one
+        jump = labels.select(
+            F.col("doc_id").alias("lbl"), F.col("lbl").alias("_jlbl")
+        )
+        labels = labels.join(jump, "lbl", "left").select(
+            "doc_id", F.coalesce("_jlbl", F.col("lbl")).alias("lbl")
+        )
+        labels = labels.localCheckpoint(eager=True)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
     )

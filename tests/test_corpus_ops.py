@@ -110,3 +110,25 @@ def test_quantize_int8_roundtrip_error_bound(spark, tmp_path):
         # max quantization error per lane is scale/2 -> rmse <= scale/2
         assert r["rmse"] <= r["scale"] / 2 + 1e-6
         assert 1 <= r["n_saturated"] <= 16  # the max lane hits 127
+
+
+def test_cluster_assign_chains_transitively(spark, tmp_path):
+    """A->B->C near-dup chain (A~C not directly similar) must land in ONE
+    cluster with the min doc_id as representative."""
+    from debezium_nats_cdc_spark.operators.dedup import dedup_cluster_assign
+
+    base = [f"tok{i}" for i in range(30)]
+    a = " ".join(base)
+    b = " ".join(base[10:] + [f"x{i}" for i in range(10)])   # overlaps a
+    c = " ".join(base[20:] + [f"x{i}" for i in range(20)])   # overlaps b, not a
+    lone = " ".join(f"z{i}" for i in range(30))
+    path = str(tmp_path / "documents.parquet")
+    _docs(spark, [
+        (1, "en", "s", 10, a), (2, "en", "s", 10, b),
+        (3, "en", "s", 10, c), (4, "en", "s", 10, lone),
+    ]).write.parquet(path)
+    out = {r["doc_id"]: r for r in
+           dedup_cluster_assign(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}  # lone doc has no pairs -> not clustered
+    assert {r["cluster_id"] for r in out.values()} == {1}
+    assert all(r["cluster_size"] == 3 for r in out.values())
