@@ -430,3 +430,110 @@ def sim_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_sim", F.col("cos_sim").cast("double"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ------------------------------------------------- k-means refinement --
+
+_KMEANS_ORACLE = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cell_id, emb AS c_emb FROM e WHERE vec_id < 16),
+    a0 AS (
+      SELECT vec_id, emb, cell_id FROM (
+        SELECT v.vec_id, v.emb, c.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY CAST(ROUND(list_cosine_similarity(c.c_emb, v.emb), 6)
+                               AS DECIMAL(10,6)) DESC, c.cell_id) AS rn
+        FROM e v CROSS JOIN c0 c) WHERE rn = 1),
+    m AS (
+      SELECT cell_id, i,
+             SUM(CAST(emb[i] AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+      FROM a0 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t
+      GROUP BY cell_id, i),
+    c1 AS (
+      SELECT cell_id, list(CAST(s AS DOUBLE) / n ORDER BY i) AS c_emb
+      FROM m GROUP BY cell_id),
+    a1 AS (
+      SELECT vec_id, cell_id, cos FROM (
+        SELECT v.vec_id, c.cell_id,
+               CAST(ROUND(list_cosine_similarity(c.c_emb, v.emb), 6)
+                    AS DECIMAL(10,6)) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY CAST(ROUND(list_cosine_similarity(c.c_emb, v.emb), 6)
+                               AS DECIMAL(10,6)) DESC, c.cell_id) AS rn
+        FROM e v CROSS JOIN c1 c) WHERE rn = 1)
+    SELECT cell_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(ROUND(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 6)
+                AS DECIMAL(10,6)) AS DOUBLE) AS avg_cos
+    FROM a1 GROUP BY cell_id
+"""
+
+
+@register(
+    "sim_kmeans_refine",
+    oracle=_KMEANS_ORACLE,
+    survey_ids=["K2"],
+    doc="One Lloyd iteration refining the IVF coarse quantizer: assign "
+        "every vector to its nearest seed centroid, recompute centroids "
+        "as per-dimension means, re-assign, and report per-cell size + "
+        "mean cosine compactness. The iterative-ML-on-DataFrames "
+        "pattern with EXACT cross-engine parity: per-dimension sums "
+        "accumulate in DECIMAL(28,12) (associative, order-independent "
+        "— float partial-aggregation order differs between engines and "
+        "runs), and the mean is decimal-sum cast to double over the "
+        "count, which is correctly rounded and identical everywhere. "
+        "Scale shape: assignment is a broadcast join against 16 "
+        "centroids (map-side); the centroid update is one groupBy "
+        "(cell, dim) shuffle of scalar values.",
+)
+def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_cells = 16
+    e = _with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", "_norm"
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        cos = F.round(
+            _pair_cos(F.col("c_emb"), F.col("embedding"),
+                      F.col("c_norm"), F.col("_norm")), 6
+        ).cast("decimal(10,6)")
+        w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell_id"))
+        return (
+            e.join(F.broadcast(cents))
+            .withColumn("cos", cos)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "embedding", "cell_id", "cos")
+        )
+
+    cents0 = e.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    a0 = assign(cents0)
+    dims = a0.select("cell_id", F.posexplode("embedding").alias("pos", "val"))
+    m = dims.groupBy("cell_id", "pos").agg(
+        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    cents1 = (
+        m.select("cell_id", "pos",
+                 (F.col("s").cast("double") / F.col("n")).alias("mv"))
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda x: x["mv"],
+            ).alias("c_emb")
+        )
+        .withColumn("c_norm", l2_norm(F.col("c_emb")))
+    )
+    a1 = assign(cents1)
+    avg = F.sum("cos").cast("double") / F.count("*")
+    return a1.groupBy("cell_id").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(avg, 6).cast("decimal(10,6)").cast("double").alias("avg_cos"),
+    )
