@@ -593,7 +593,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ cluster assignment ---
 
 
-_CC_ROUNDS = 8  # propagate+jump per round => handles diameter >= 2^8
+_CC_ROUNDS = 6  # propagate+jump per round => handles diameter >= 2^6
 
 
 def _cluster_oracle() -> str:
@@ -628,8 +628,8 @@ def _cluster_oracle() -> str:
         "Iterative min-label propagation with pointer jumping — each "
         "round relabels via neighbors AND jumps to the label's label, "
         "so label distance doubles per round (the large-star/small-star "
-        "shape from the MapReduce CC literature); 8 rounds covers any "
-        "component diameter " "up to 2^8. Every round is two hash-join "
+        "shape from the MapReduce CC literature); 6 rounds covers any "
+        "component diameter " "up to 2^6. Every round is two hash-join "
         "shuffles on doc id over the (tiny) matched-doc set — never the "
         "corpus — with eager truncation so the plan stays linear in "
         "rounds. The oracle computes the true transitive closure via a "
@@ -640,17 +640,19 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.union(
         e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # materialize the edge set ONCE before deriving anything from it —
+    # labels built from the un-checkpointed sym would re-run the whole
+    # jaccard pair pipeline on its own first action (measured: +3 s)
+    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("lbl", F.col("doc_id"))
     )
     # matched-doc set is small (only docs with >= 1 near-dup pair), so the
-    # per-round joins are cheap; localCheckpoint keeps the lineage linear
-    # (each round references the previous labels twice — without the cut
-    # the logical plan doubles per round)
-    sym = sym.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(_CC_ROUNDS):
+    # per-round joins are cheap; a localCheckpoint every second round
+    # keeps the lineage bounded (each round references the previous
+    # labels twice — unbounded, the logical plan doubles per round)
+    for r in range(_CC_ROUNDS):
         nbr = (
             sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
             .groupBy(F.col("dst").alias("doc_id"))
@@ -668,7 +670,8 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = labels.join(jump, "lbl", "left").select(
             "doc_id", F.coalesce("_jlbl", F.col("lbl")).alias("lbl")
         )
-        labels = labels.localCheckpoint(eager=True)
+        if r % 2 == 1 or r == _CC_ROUNDS - 1:
+            labels = labels.localCheckpoint(eager=True)
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         "doc_id",
