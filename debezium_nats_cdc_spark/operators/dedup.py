@@ -637,12 +637,28 @@ def _cluster_oracle() -> str:
 )
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    sym = e.union(
-        e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    labels = connected_components(e, rounds=_CC_ROUNDS)
+    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "lbl").select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )
+
+
+def connected_components(pairs: DataFrame, rounds: int = _CC_ROUNDS) -> DataFrame:
+    """(doc_a, doc_b) undirected pairs -> (doc_id, lbl) with lbl = min
+    id in the node's component.  Min-label propagation with pointer
+    jumping; ``rounds`` bounds the reachable diameter at 2^rounds.
+
+    Property-tested against a union-find reference over random graphs
+    (tests/test_corpus_ops.py)."""
+    sym = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # materialize the edge set ONCE before deriving anything from it —
     # labels built from the un-checkpointed sym would re-run the whole
-    # jaccard pair pipeline on its own first action (measured: +3 s)
+    # upstream pair pipeline on its own first action (measured: +3 s)
     sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("src").alias("doc_id")).distinct()
@@ -652,7 +668,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-round joins are cheap; a localCheckpoint every second round
     # keeps the lineage bounded (each round references the previous
     # labels twice — unbounded, the logical plan doubles per round)
-    for r in range(_CC_ROUNDS):
+    for r in range(rounds):
         nbr = (
             sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
             .groupBy(F.col("dst").alias("doc_id"))
@@ -670,11 +686,6 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = labels.join(jump, "lbl", "left").select(
             "doc_id", F.coalesce("_jlbl", F.col("lbl")).alias("lbl")
         )
-        if r % 2 == 1 or r == _CC_ROUNDS - 1:
+        if r % 2 == 1 or r == rounds - 1:
             labels = labels.localCheckpoint(eager=True)
-    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "lbl").select(
-        "doc_id",
-        F.col("lbl").alias("cluster_id"),
-        F.col("cluster_size").cast("bigint").alias("cluster_size"),
-    )
+    return labels

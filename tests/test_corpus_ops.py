@@ -132,3 +132,43 @@ def test_cluster_assign_chains_transitively(spark, tmp_path):
     assert set(out) == {1, 2, 3}  # lone doc has no pairs -> not clustered
     assert {r["cluster_id"] for r in out.values()} == {1}
     assert all(r["cluster_size"] == 3 for r in out.values())
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property: over random graphs, the distributed pointer-jumping
+    loop must agree with a sequential union-find on every node."""
+    import random
+
+    from debezium_nats_cdc_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randint(5, 60)
+        m = rng.randint(1, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        # include one long path to stress diameter
+        chain = list(range(100, 100 + rng.randint(3, 20)))
+        edges += list(zip(chain, chain[1:]))
+
+        parent = {}
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for a, b in edges:
+            union(a, b)
+        expected = {x: find(x) for x in parent}
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["doc_id"]: r["lbl"]
+               for r in connected_components(df, rounds=6).collect()}
+        assert got == expected, f"trial {trial}: {got} != {expected}"
