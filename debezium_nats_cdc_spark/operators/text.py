@@ -275,3 +275,88 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio, 6).cast("decimal(10,6)").cast("double").alias("rep_ratio"),
         (ratio > 0.2).alias("is_repetitive"),
     )
+
+
+# same deterministic split the train/val splitter uses (sampling.py)
+_LM_CUTOFF = "f3"
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_LM_CUTOFF}'
+               AS is_train,
+             unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+      FROM documents
+    ),
+    model AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tok WHERE is_train
+      GROUP BY tok
+    ),
+    consts AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t_total,
+             CAST(COUNT(*) AS BIGINT) AS v_size
+      FROM model
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(ROUND(ln((COALESCE(m.c, 0) + 1.0) / (c0.t_total + c0.v_size)), 9)
+                  AS DECIMAL(18,9)) AS lp,
+             (m.tok IS NULL) AS oov
+      FROM tok d CROSS JOIN consts c0 LEFT JOIN model m ON d.tok = m.tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(CAST(ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
+                AS DECIMAL(12,6)) AS DOUBLE) AS avg_logprob,
+           CAST(CAST(ROUND(CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS DOUBLE)
+                           / COUNT(*), 6) AS DECIMAL(10,6)) AS DOUBLE) AS oov_rate
+    FROM scored GROUP BY doc_id
+    """,
+    survey_ids=["K3"],
+    doc="Unigram-LM quality score (perplexity proxy): add-one-smoothed "
+        "token logprobs under a model fit on the TRAIN split (same "
+        "md5-prefix split as corpus_train_split), averaged per doc, plus "
+        "the OOV rate — gibberish and wrong-language docs score low. "
+        "Cross-engine float discipline: each token's ln() rounds to "
+        "DECIMAL(18,9) BEFORE the per-doc sum, so the aggregation is "
+        "exact-decimal (associative — float sums would differ with "
+        "partial-agg order), and the mean is decimal-sum/count. Scale "
+        "shape: the model is one vocab-sized groupBy; scoring is one "
+        "equi-join on token; the two model scalars broadcast.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < _LM_CUTOFF)
+        .alias("is_train"),
+        F.explode(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "))
+        .alias("tok"),
+    )
+    model = toks.filter("is_train").groupBy("tok").agg(F.count("*").alias("c"))
+    consts = model.agg(
+        F.sum("c").cast("bigint").alias("t_total"),
+        F.count("*").cast("bigint").alias("v_size"),
+    )
+    lp = F.round(
+        F.log((F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+              / (F.col("t_total") + F.col("v_size"))),
+        9,
+    ).cast("decimal(18,9)")
+    scored = (
+        toks.crossJoin(F.broadcast(consts))
+        .join(model, "tok", "left")
+        .select("doc_id", lp.alias("lp"), F.col("c").isNull().alias("oov"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6)
+        .cast("decimal(12,6)").cast("double").alias("avg_logprob"),
+        F.round(
+            F.sum(F.when(F.col("oov"), 1).otherwise(0)).cast("double")
+            / F.count("*"), 6
+        ).cast("decimal(10,6)").cast("double").alias("oov_rate"),
+    )
