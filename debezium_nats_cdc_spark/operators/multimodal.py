@@ -110,3 +110,118 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return with_payload.mapInPandas(extract, _FEATURE_SCHEMA).orderBy("doc_id")
+
+
+_N_SAMPLES = 8
+_FPS = 25
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS duration_ms,
+             octet_length(CAST(text AS BLOB)) * {_FPS} // 1000 AS n_frames
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_frames, i AS sample_ord,
+             i * (n_frames - 1) // {_N_SAMPLES - 1} AS frame_idx
+      FROM v CROSS JOIN (SELECT unnest(range(0, {_N_SAMPLES})) AS i) t
+      WHERE n_frames >= {_N_SAMPLES}
+    )
+    SELECT doc_id, n_frames, CAST(sample_ord AS INT) AS sample_ord, frame_idx,
+           frame_idx * 1000 // {_FPS} AS ts_ms
+    FROM s
+    """,
+    survey_ids=["K4"],
+    doc=f"Video frame-sampling PLAN: uniform {_N_SAMPLES}-frame schedule "
+        "per clip (frame indices + timestamps from the typed metadata — "
+        "duration is derived deterministically from payload length here, "
+        "since the container has no real media). All integer arithmetic, "
+        "one generator — no Python. The schedule rows are what the "
+        "decode stage (mapInPandas, see mm_feature_extract) consumes to "
+        "extract exactly those frames instead of decoding whole clips: "
+        "at 100 TB of video, sampling before decode is the difference "
+        "between reading 8 frames and reading every frame.",
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    v = d.select(
+        "doc_id",
+        F.octet_length(payload).cast("bigint").alias("duration_ms"),
+        (F.octet_length(payload).cast("bigint") * _FPS / 1000)
+        .cast("bigint").alias("n_frames"),
+    ).filter(F.col("n_frames") >= _N_SAMPLES)
+    s = v.select(
+        "doc_id",
+        "n_frames",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_SAMPLES - 1))).alias("sample_ord"),
+    )
+    frame_idx = (
+        F.col("sample_ord").cast("bigint") * (F.col("n_frames") - 1)
+        / (_N_SAMPLES - 1)
+    ).cast("bigint")
+    return s.select(
+        "doc_id",
+        "n_frames",
+        F.col("sample_ord").cast("int").alias("sample_ord"),
+        frame_idx.alias("frame_idx"),
+        (frame_idx * 1000 / _FPS).cast("bigint").alias("ts_ms"),
+    )
+
+
+_MAX_SIDE = 512
+
+
+@register(
+    "mm_resize_plan",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id,
+             32 + CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 2048
+               AS width,
+             32 + CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 2048
+               AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           CASE WHEN greatest(width, height) <= {_MAX_SIDE} THEN width
+                ELSE width * {_MAX_SIDE} // greatest(width, height) END
+             AS out_width,
+           CASE WHEN greatest(width, height) <= {_MAX_SIDE} THEN height
+                ELSE height * {_MAX_SIDE} // greatest(width, height) END
+             AS out_height,
+           greatest(width, height) > {_MAX_SIDE} AS needs_resize
+    FROM dims
+    """,
+    survey_ids=["K4"],
+    doc=f"Image resize PLAN: cap the longest side at {_MAX_SIDE}px "
+        "preserving aspect ratio, in pure integer arithmetic (w*cap/max "
+        "— no float rounding to disagree across engines). Source dims "
+        "are derived deterministically from the content digest (no real "
+        "images in the container); on a real cluster they come from the "
+        "typed metadata struct and the pixel work runs in the decode "
+        "stage (mapInPandas), touching only rows with needs_resize.",
+)
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = F.md5("text")
+    w = F.lit(32) + F.conv(F.substring(m, 1, 4), 16, 10).cast("bigint") % 2048
+    h = F.lit(32) + F.conv(F.substring(m, 5, 4), 16, 10).cast("bigint") % 2048
+    dims = d.select("doc_id", w.alias("width"), h.alias("height"))
+    mx = F.greatest("width", "height")
+    out_w = F.when(mx <= _MAX_SIDE, F.col("width")).otherwise(
+        (F.col("width") * _MAX_SIDE / mx).cast("bigint")
+    )
+    out_h = F.when(mx <= _MAX_SIDE, F.col("height")).otherwise(
+        (F.col("height") * _MAX_SIDE / mx).cast("bigint")
+    )
+    return dims.select(
+        "doc_id", "width", "height",
+        out_w.alias("out_width"),
+        out_h.alias("out_height"),
+        (mx > _MAX_SIDE).alias("needs_resize"),
+    )
