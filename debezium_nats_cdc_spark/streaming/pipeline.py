@@ -246,13 +246,21 @@ def start_table_pipeline(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     source: str = "json",
+    per_key_partitions: int | None = None,
 ):
     """Start the checkpointed streaming query for one source table.
 
     ``source="json"`` reads the Debezium-JSON file log; ``source="broker"``
     reads Kafka-record-shaped files through the A1 adapter
     (sources/cdc.py BROKER_RECORD_SCHEMA) — everything downstream of the
-    envelope parse is identical."""
+    envelope parse is identical.
+
+    ``per_key_partitions`` (H5, docs/design.md:511): hash-partition the
+    micro-batch on the aggregate key so all events of one aggregate land
+    in one task — the per-aggregate ordering the reference pins via
+    JetStream subject partitioning.  Size it to the executor count on a
+    cluster; leave None locally (the per-key groupBys in the sinks
+    already co-locate per key for correctness)."""
     read = read_broker_stream if source == "broker" else read_change_stream
     stream = read(spark, log_dir, table, max_files_per_trigger)
     deduped = (
@@ -260,6 +268,11 @@ def start_table_pipeline(
         .withWatermark("event_time", DEDUP_WATERMARK)
         .dropDuplicatesWithinWatermark(["change_key"])
     )
+    if per_key_partitions is not None:
+        deduped = deduped.repartition(
+            per_key_partitions,
+            F.coalesce(F.col("after.id"), F.col("before.id")),
+        )
     writer = (
         deduped.writeStream.queryName(f"cdc-{table}")
         .option("checkpointLocation", os.path.join(dirs.checkpoints, table))

@@ -129,3 +129,29 @@ def test_concurrent_tables_match_sequential(spark, tmp_path):
     assert counts["LeaveRequested"] == 1
     emp = read_state(spark, dirs, "employees")
     assert emp.count() == 3  # EMP999 net-deleted, seed remains
+
+
+def test_per_key_partitioning_same_results(spark, tmp_path):
+    """H5: hash-partitioning micro-batches on the aggregate key (the
+    cluster-scale ordering knob) must not change any sink's contents."""
+    import os as _os
+
+    from debezium_nats_cdc_spark.streaming.pipeline import (
+        PipelineDirs,
+        read_state,
+        start_table_pipeline,
+    )
+
+    root = str(tmp_path)
+    log_dir = _os.path.join(root, "log")
+    events = fixtures.snapshot_events() + fixtures.golden_workload()
+    fixtures.write_event_log(events, log_dir, events_per_file=5)
+    dirs = PipelineDirs.under(root)
+    q = start_table_pipeline(spark, log_dir, "employees", dirs,
+                             per_key_partitions=4)
+    q.awaitTermination()
+    emp = read_state(spark, dirs, "employees")
+    assert sorted(r["employee_number"] for r in emp.collect()) == [
+        "EMP001", "EMP002", "EMP003"]
+    ev = spark.read.parquet(dirs.events)
+    assert ev.filter("event_type = 'EmployeeHired'").count() == 1
