@@ -213,17 +213,21 @@ def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            (abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
-                - COUNT(DISTINCT user_id)) / COUNT(DISTINCT user_id) <= 0.05)
-             AS approx_within_5pct
+                - COUNT(DISTINCT user_id)) / COUNT(DISTINCT user_id) <= 0.2)
+             AS approx_within_20pct
     FROM events GROUP BY event_type
     """,
     survey_ids=["D2"],
-    doc="approx_count_distinct (HLL±5%): the mergeable-sketch path for "
+    doc="approx_count_distinct (HLL, rsd 5%): the mergeable-sketch path "
         "100 TB distinct counts where exact COUNT(DISTINCT) would "
         "shuffle every key. HLL registers are engine-specific, so the "
         "cross-engine contract checked here is semantic: exact counts "
-        "match AND each engine's own sketch lands within the 5%% rsd "
-        "envelope (boolean compared, not the raw sketch estimate).",
+        "match AND each engine's own sketch lands within a 20%% (4-sigma "
+        "at rsd 0.05) envelope — wide enough that two INDEPENDENT "
+        "sketches virtually never straddle the boundary, so the boolean "
+        "compares equal across engines (a tight 1-sigma bound would "
+        "hash-mismatch whenever one engine's estimate is merely "
+        "average-bad).",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
@@ -231,7 +235,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = F.countDistinct("user_id")
     return e.groupBy("event_type").agg(
         exact.alias("exact_users"),
-        (F.abs(approx - exact) / exact <= 0.05).alias("approx_within_5pct"),
+        (F.abs(approx - exact) / exact <= 0.2).alias("approx_within_20pct"),
     )
 
 

@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import register
+from ..functions.hashing import md5_60
 from ..io import load_table
-from .dedup import BUCKET_CAP, doc_shingles
+from .dedup import doc_shingles, jaccard_pair_counts
+from .sampling import TRAIN_HEX_CUTOFF, is_train_expr
 from .text import _EN_STOPWORDS
 
 _STOP_SQL = "[" + ",".join(f"'{w}'" for w in _EN_STOPWORDS) + "]"
@@ -112,42 +114,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
     )
 
-    # near-dup pairs over the exact survivors: inverted-index
-    # group-then-expand (the dedup_ngram_jaccard shape, df capped at
-    # BUCKET_CAP — mirrored in the oracle's windowed df filter)
-    gsets = doc_shingles(exact).filter(F.col("n_toks") >= 3)
-    # 8-byte shingle hashes shuffle instead of shingle strings (see
-    # dedup_ngram_jaccard) — grouping-equivalent, half the shuffle bytes
-    postings = gsets.select(
-        "doc_id", F.explode_outer("gs").alias("g"), F.size("gs").alias("sz")
-    ).select("doc_id", F.xxhash64("g").alias("g"), "sz")
-    grouped = (
-        postings.groupBy("g")
-        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= BUCKET_CAP))
-    )
-    ds = F.col("ds")
-    pair_arr = F.flatten(
-        F.transform(
-            ds,
-            lambda x: F.transform(
-                F.filter(ds, lambda y: y["doc_id"] > x["doc_id"]),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["sz"].alias("sz_a"),
-                    y["sz"].alias("sz_b"),
-                ),
-            ),
-        )
-    )
-    pairs = (
-        grouped.select(F.explode_outer(pair_arr).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(
-            F.count("*").alias("inter"),
-            (F.any_value("p.sz_a") + F.any_value("p.sz_b") - F.count("*")).alias("uni"),
-        )
+    # near-dup pairs over the exact survivors: the shared Vernica-style
+    # inverted-index pipeline (dedup.jaccard_pair_counts — identical
+    # skew cap and pair semantics as dedup_ngram_jaccard, mirrored in
+    # this oracle's windowed df filter)
+    pairs = jaccard_pair_counts(
+        doc_shingles(exact).filter(F.col("n_toks") >= 3)
     )
     losers = pairs.filter(
         F.col("inter").cast("double") / F.col("uni") >= _NEARDUP_JACCARD
@@ -165,8 +137,6 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DECON_N = 8          # 8-gram overlap, the usual eval-contamination unit
 _DECON_THRESHOLD = 0.10
-# same deterministic split the train/val splitter uses (sampling.py)
-_DECON_CUTOFF = "f3"
 
 
 def _decon_oracle() -> str:
@@ -182,7 +152,7 @@ def _decon_oracle() -> str:
                list_distinct([array_to_string(toks[i:i+{_DECON_N - 1}], '_')
                               for i in range(1, {i_hi} + 1)])
              ELSE [] END AS gs,
-             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_DECON_CUTOFF}'
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{TRAIN_HEX_CUTOFF}'
                AS is_train
       FROM tok
     ),
@@ -241,12 +211,10 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    is_train = (
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < _DECON_CUTOFF
-    )
-    base = d.select("doc_id", grams.alias("gs"), is_train.alias("is_train"))
+    base = d.select("doc_id", grams.alias("gs"),
+                    is_train_expr().alias("is_train"))
 
-    g60 = F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint")
+    g60 = md5_60("g")
     train_grams = (
         base.filter("is_train")
         .select(F.explode("gs").alias("g"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import register
+from ..functions.hashing import md5_60
 from ..io import load_table
 
 # ---------------------------------------------------------------- exact --
@@ -191,7 +192,7 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
             *[F.element_at("sig", b * rows_per_band + r + 1)
               for r in range(rows_per_band)],
         )
-        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+        return md5_60(key)
 
     sig = minhash_signatures(docs, id_col, text_col)
     bands = sig.select(
@@ -358,38 +359,22 @@ _JACCARD_PAIRS_SQL = """
 """
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH {_JACCARD_PAIRS_SQL}
-    SELECT doc_a, doc_b,
-           CAST(CAST(ROUND(jac, 4) AS DECIMAL(10,4)) AS DOUBLE) AS jaccard
-    FROM jpairs
-    """,
-    survey_ids=["K1"],
-    doc="Exact word-3-gram Jaccard via inverted-index pair generation "
-        "(set-similarity join per Vernica et al., SIGMOD 2010): group "
-        "postings by shingle, expand pairs inside each group — pairs only "
-        "materialize for docs sharing a shingle (cost Σ df² over shingles "
-        "≪ N²; no cross join). Shingles with document frequency > 1000 "
-        "are dropped (mirrored in the oracle): a stop-shingle contributes "
-        "~0 Jaccard signal but unbounded pair cost, so the cap bounds "
-        "per-bucket work at 100 TB with a documented recall floor — a "
-        "pair is missed only if ALL of its shared shingles have df>1000, "
-        "i.e. both docs are near-duplicates of >1000 others already.",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Group-then-expand beats a postings self-join: the shingle pipeline
-    # runs ONCE (a self-join recomputes it per side — no exchange reuse,
-    # measured) and the whole query is 2 shuffles: postings→group-by-g,
-    # pairs→group-by-(a,b).  Skew guard: buckets above BUCKET_CAP (df of
-    # the shingle) are dropped, same bound the oracle applies.
-    d = load_table(spark, sf_dir, "documents")
-    gsets = doc_shingles(d).filter(F.col("n_toks") >= 3)
-    # shuffle 8-byte shingle hashes, not ~25-byte shingle strings: same
-    # grouping (equal shingles hash equal; xxhash64 collisions across
-    # ~n·|gs| distinct shingles are ~2^-64 — far below any dedup noise
-    # floor), half the shuffle bytes at 100 TB.
+def jaccard_pair_counts(gsets: DataFrame) -> DataFrame:
+    """(doc_id, gs) shingle sets -> (doc_a, doc_b, inter, uni) via the
+    Vernica-style inverted-index group-then-expand (shared by
+    dedup_ngram_jaccard and corpus_curation — keep their skew caps and
+    pair semantics in lockstep).
+
+    Group-then-expand beats a postings self-join: the shingle pipeline
+    runs ONCE (a self-join recomputes it per side — no exchange reuse,
+    measured) and the whole pipeline is 2 shuffles: postings→group-by-g,
+    pairs→group-by-(a,b).  Skew guard: buckets above BUCKET_CAP (df of
+    the shingle) are dropped, the same bound the oracles apply.
+    Postings shuffle 8-byte shingle hashes, not ~25-byte shingle
+    strings: same grouping (equal shingles hash equal; xxhash64
+    collisions across ~n·|gs| distinct shingles are ~2^-64 — far below
+    any dedup noise floor), half the shuffle bytes at 100 TB.
+    """
     postings = gsets.select(
         "doc_id", F.explode_outer("gs").alias("g"), F.size("gs").alias("sz")
     ).select("doc_id", F.xxhash64("g").alias("g"), "sz")
@@ -413,7 +398,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    pairs = (
+    return (
         grouped.select(F.explode_outer(pair_arr).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(
@@ -421,6 +406,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.any_value("p.sz_a") + F.any_value("p.sz_b") - F.count("*")).alias("uni"),
         )
     )
+
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_PAIRS_SQL}
+    SELECT doc_a, doc_b,
+           CAST(CAST(ROUND(jac, 4) AS DECIMAL(10,4)) AS DOUBLE) AS jaccard
+    FROM jpairs
+    """,
+    survey_ids=["K1"],
+    doc="Exact word-3-gram Jaccard via inverted-index pair generation "
+        "(set-similarity join per Vernica et al., SIGMOD 2010): group "
+        "postings by shingle, expand pairs inside each group — pairs only "
+        "materialize for docs sharing a shingle (cost Σ df² over shingles "
+        "≪ N²; no cross join). Shingles with document frequency > 1000 "
+        "are dropped (mirrored in the oracle): a stop-shingle contributes "
+        "~0 Jaccard signal but unbounded pair cost, so the cap bounds "
+        "per-bucket work at 100 TB with a documented recall floor — a "
+        "pair is missed only if ALL of its shared shingles have df>1000, "
+        "i.e. both docs are near-duplicates of >1000 others already.",
+)
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pair_counts(doc_shingles(d).filter(F.col("n_toks") >= 3))
     jac = F.col("inter").cast("double") / F.col("uni")
     return (
         pairs.filter(jac >= 0.2)
@@ -476,7 +488,7 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col), F.explode_outer("gs").alias("g")
     ).select(
         F.col(id_col),
-        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("bigint").alias("h"),
+        md5_60("g").alias("h"),
     )
     return (
         postings.groupBy(id_col)

@@ -15,8 +15,20 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..catalog import register
 from ..io import load_table
 
-# first two hex chars of md5 < 'f3' => 243/256 ≈ 94.9% train fraction
-_TRAIN_HEX_CUTOFF = "f3"
+# first two hex chars of md5 < 'f3' => 243/256 ≈ 94.9% train fraction.
+# THE canonical split: corpus_decontaminate and text_unigram_logprob
+# import this so their notion of "train" can never drift from the
+# splitter's.
+TRAIN_HEX_CUTOFF = "f3"
+_TRAIN_HEX_CUTOFF = TRAIN_HEX_CUTOFF  # internal alias
+
+
+def is_train_expr(doc_id_col: str = "doc_id"):
+    """Column: True iff the doc falls in the train split."""
+    return (
+        F.substring(F.md5(F.col(doc_id_col).cast("string")), 1, 2)
+        < TRAIN_HEX_CUTOFF
+    )
 _STRATUM_CAP = 50
 
 
@@ -41,11 +53,7 @@ _STRATUM_CAP = 50
 )
 def corpus_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    split = F.when(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-        < _TRAIN_HEX_CUTOFF,
-        "train",
-    ).otherwise("val")
+    split = F.when(is_train_expr(), "train").otherwise("val")
     return d.groupBy(split.alias("split"), "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),

@@ -234,25 +234,32 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     word = plane_sign_word_arrow(
         "embedding", _hyperplanes(n_planes=_NEARDUP_TABLES * b)
     )
+    # blocking rows carry ONLY (vec_id, label, table_id, bucket) — the
+    # 64-float vectors would otherwise ride the explode (4 copies per
+    # side) through the self-join shuffle AND the pair dedup; ids-only
+    # blocking cuts the dominant shuffle bytes ~4x, and the vectors join
+    # back exactly once per deduped pair side
     sk = e.select(
-        "vec_id", "label", "embedding", "_norm",
+        "vec_id", "label", word.alias("_w")
+    ).select(
+        "vec_id", "label",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(t).alias("table_id"),
-                        F.shiftrightunsigned(word, t * b)
+                        F.shiftrightunsigned("_w", t * b)
                         .bitwiseAND(F.lit((1 << b) - 1)).alias("bucket"),
                     )
                     for t in range(_NEARDUP_TABLES)
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "label", "embedding", "_norm", "tb.table_id", "tb.bucket")
-    a, b = sk.alias("a"), sk.alias("b")
-    cand = (
+    ).select("vec_id", "label", "tb.table_id", "tb.bucket")
+    a, bb = sk.alias("a"), sk.alias("b")
+    cand_ids = (
         a.join(
-            b,
+            bb,
             (F.col("a.table_id") == F.col("b.table_id"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.label") == F.col("b.label"))
@@ -261,13 +268,16 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("emb_a"),
-            F.col("b.embedding").alias("emb_b"),
-            F.col("a._norm").alias("norm_a"),
-            F.col("b._norm").alias("norm_b"),
         )
         .dropDuplicates(["vec_a", "vec_b"])  # OR across tables
     )
+    vecs_a = e.select(F.col("vec_id").alias("vec_a"),
+                      F.col("embedding").alias("emb_a"),
+                      F.col("_norm").alias("norm_a"))
+    vecs_b = e.select(F.col("vec_id").alias("vec_b"),
+                      F.col("embedding").alias("emb_b"),
+                      F.col("_norm").alias("norm_b"))
+    cand = cand_ids.join(vecs_a, "vec_a").join(vecs_b, "vec_b")
     cos = F.round(
         _pair_cos_arrow(F.col("emb_a"), F.col("emb_b"),
                         F.col("norm_a"), F.col("norm_b")), 6

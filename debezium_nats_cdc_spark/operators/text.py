@@ -277,8 +277,10 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# same deterministic split the train/val splitter uses (sampling.py)
-_LM_CUTOFF = "f3"
+# the canonical train/val split (import, never re-declare: drift here
+# would score docs against a model fit on a different split)
+from .sampling import TRAIN_HEX_CUTOFF as _LM_CUTOFF
+from .sampling import is_train_expr as _lm_is_train
 
 
 @register(
@@ -331,8 +333,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
-        (F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < _LM_CUTOFF)
-        .alias("is_train"),
+        _lm_is_train().alias("is_train"),
         F.explode(F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " "))
         .alias("tok"),
     )

@@ -14,8 +14,9 @@ Design (scales like the batch LSH path — no cross join anywhere):
   sig) rows for every accepted document, stored as an append-only
   parquet log partitioned the same way every batch's probe join shuffles
   — at 100 TB this is a bucketed table co-located with the probe.
-- Per micro-batch: signature the batch once (xxhash64 minhashes),
-  probe the index with an equi-join on (band_id, band_hash) — candidate
+- Per micro-batch: signature the batch once (md5 double-hashed
+  minhashes, operators/dedup.py), probe the index with an equi-join on
+  (band_id, band_hash) — candidate
   pairs only materialize for band collisions, verified by signature
   Jaccard — and resolve batch-internal dups with the same
   group-then-expand used in batch mode (lowest doc_id wins).
@@ -172,6 +173,12 @@ def dedup_batch_against_index(batch_bands: DataFrame,
     return all_ids.join(best, "doc_id", "left")
 
 
+# the signature family persisted in the band index; bump whenever the
+# hash derivation changes (a stale index would match NOTHING from new
+# batches — near-dups of previously-accepted docs would silently pass)
+INDEX_FORMAT = "minhash-md5km-16x4"
+
+
 class CorpusDedupPipeline:
     """foreachBatch-driven incremental dedup with an on-disk band index."""
 
@@ -187,13 +194,30 @@ class CorpusDedupPipeline:
             return None
         if not any(Path(self.index_dir).glob("*.parquet")):
             return None
+        marker = Path(self.index_dir, "._format")
+        stamped = marker.read_text() if marker.exists() else "<none>"
+        if stamped != INDEX_FORMAT:
+            raise ValueError(
+                f"band index at {self.index_dir} was built with signature "
+                f"format {stamped!r}, engine now uses {INDEX_FORMAT!r} — "
+                "hashes from different families never collide, so probing "
+                "would silently accept every near-duplicate. Rebuild the "
+                "index (reprocess the corpus) or pin the old engine."
+            )
         return spark.read.parquet(self.index_dir)
+
+    def _stamp_format(self) -> None:
+        marker = Path(self.index_dir, "._format")
+        if not marker.exists():
+            marker.parent.mkdir(parents=True, exist_ok=True)
+            marker.write_text(INDEX_FORMAT)
 
     def process_batch(self, spark: SparkSession, docs: DataFrame,
                       epoch_id: int | None = None) -> None:
         docs = docs.localCheckpoint(eager=True)
         if docs.isEmpty():
             return
+        self._stamp_format()
         bands = _bands(minhash_signatures(docs)).localCheckpoint(eager=True)
         verdict = dedup_batch_against_index(bands, self._index(spark))
         verdict = verdict.localCheckpoint(eager=True)
@@ -218,6 +242,16 @@ class CorpusDedupPipeline:
 
     def start(self, spark: SparkSession, stream: DataFrame,
               available_now: bool = True):
+        # fresh checkpoint => epoch ids restart at 0; stale commit
+        # markers from a previous run would silently skip every publish
+        # (see pipeline._reset_stale_txn_markers)
+        offsets = os.path.join(self.checkpoint_dir, "offsets")
+        if not (os.path.isdir(offsets) and os.listdir(offsets)):
+            import glob
+            import shutil
+
+            for p in glob.glob(os.path.join(self.txn_dir, "*")):
+                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
         writer = (
             stream.writeStream.queryName("corpus-dedup")
             .option("checkpointLocation", self.checkpoint_dir)

@@ -181,6 +181,12 @@ def _sink_state(spark: SparkSession, batch: DataFrame, table: str,
     legacy duplicates, so the queryable view converges either way (F5)."""
     latest = batch_latest_with_deletes(batch)
     state_dir = os.path.join(dirs.state, table)
+    # heal a compaction crash BEFORE appending: if the state dir is
+    # missing (crash between _swap_write's renames), the txn publish
+    # would otherwise recreate it holding only this epoch's rows, and
+    # the next compaction would overwrite the orphaned full-state
+    # staging copy — silently losing all prior state
+    recover_state_dir(state_dir)
     _append(initial_state(latest), state_dir, f"state-{table}", epoch_id, dirs)
     _maybe_compact(spark, state_dir)
 
@@ -238,6 +244,23 @@ def process_batch(spark: SparkSession, batch: DataFrame, table: str,
             f.result()  # re-raise sink failures -> batch retries
 
 
+def _reset_stale_txn_markers(dirs: PipelineDirs, table: str) -> None:
+    """Epoch ids restart at 0 when a query starts from a FRESH checkpoint
+    (reset/deleted/new location).  Old commit markers would then match
+    the new run's epochs and silently skip every batch's publish.  A
+    fresh checkpoint has no offsets log yet — clear the table's markers
+    so the new run re-publishes from scratch; an existing checkpoint
+    (crash restart) keeps its markers, preserving exactly-once replay."""
+    import glob
+
+    offsets = os.path.join(dirs.checkpoints, table, "offsets")
+    if os.path.isdir(offsets) and os.listdir(offsets):
+        return  # established checkpoint: markers are live replay state
+    for sink in ("events", "dlq", "audit", "state"):
+        for p in glob.glob(os.path.join(dirs.txn, f"{sink}-{table}-*")):
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+
+
 def start_table_pipeline(
     spark: SparkSession,
     log_dir: str,
@@ -261,6 +284,7 @@ def start_table_pipeline(
     JetStream subject partitioning.  Size it to the executor count on a
     cluster; leave None locally (the per-key groupBys in the sinks
     already co-locate per key for correctness)."""
+    _reset_stale_txn_markers(dirs, table)
     read = read_broker_stream if source == "broker" else read_change_stream
     stream = read(spark, log_dir, table, max_files_per_trigger)
     deduped = (

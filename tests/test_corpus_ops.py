@@ -61,14 +61,13 @@ def test_pack_sequences_conserves_tokens_and_fills(spark, tmp_path):
 
 
 def test_decontaminate_detects_planted_leak(spark, tmp_path):
-    from debezium_nats_cdc_spark.operators.curation import (
-        _DECON_CUTOFF,
-        corpus_decontaminate,
-    )
+    from debezium_nats_cdc_spark.operators.curation import corpus_decontaminate
+    from debezium_nats_cdc_spark.operators.sampling import TRAIN_HEX_CUTOFF
     import hashlib
 
     def is_train(doc_id: int) -> bool:
-        return hashlib.md5(str(doc_id).encode()).hexdigest()[:2] < _DECON_CUTOFF
+        return (hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+                < TRAIN_HEX_CUTOFF)
 
     train_id = next(i for i in range(1000) if is_train(i))
     val_id = next(i for i in range(1000) if not is_train(i))
