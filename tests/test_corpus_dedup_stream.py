@@ -114,3 +114,33 @@ def test_replay_membership_stable(spark, pipeline_run):
         r.doc_id for r in spark.read.parquet(pipe.quarantine_dir).collect()
     }
     assert 5 not in quarantined
+
+
+def test_stale_index_format_is_refused(spark, tmp_path):
+    """A band index persisted under a different signature family must be
+    refused, not silently probed (foreign-family hashes never collide,
+    so every near-dup would be accepted)."""
+    import os
+
+    import pytest
+
+    from debezium_nats_cdc_spark.streaming.corpus_dedup import (
+        CorpusDedupPipeline,
+    )
+
+    root = str(tmp_path)
+    pipe = CorpusDedupPipeline(root)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    pipe.process_batch(spark, docs)
+    # simulate an index written by an older engine build
+    with open(os.path.join(pipe.index_dir, "._format"), "w") as f:
+        f.write("minhash-xxhash64-16x4")
+    docs2 = spark.createDataFrame(
+        [(2, "a b c d e f g h i j k l m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="signature"):
+        pipe.process_batch(spark, docs2)

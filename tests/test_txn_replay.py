@@ -185,3 +185,32 @@ def test_random_crash_injection_converges(spark, tmp_root):
     assert out.select("id").distinct().count() == 6 * 8
     for epoch in range(6):
         assert txn.committed(f"s-{epoch}", tdir)
+
+
+def test_fresh_checkpoint_clears_stale_markers(spark, tmp_root):
+    """Checkpoint reset => epoch ids restart at 0; stale markers from the
+    previous run must be cleared so the new run PUBLISHES instead of
+    silently skipping every batch."""
+    import glob
+
+    from debezium_nats_cdc_spark.streaming.pipeline import (
+        run_pipeline_until_done,
+    )
+
+    log_dir = os.path.join(tmp_root, "log")
+    events = fixtures.snapshot_events() + fixtures.golden_workload()
+    fixtures.write_event_log(events, log_dir, events_per_file=5)
+    dirs = run_pipeline_until_done(spark, log_dir, tmp_root,
+                                   tables=["employees"])
+    n1 = spark.read.parquet(dirs.events).count()
+    assert glob.glob(os.path.join(dirs.txn, "events-employees-*.commit"))
+
+    # operator resets the checkpoint AND clears the sink to reprocess
+    # the log from scratch (e.g. after a rule change)
+    shutil.rmtree(dirs.checkpoints)
+    shutil.rmtree(dirs.events)
+    run_pipeline_until_done(spark, log_dir, tmp_root, tables=["employees"])
+    n2 = spark.read.parquet(dirs.events).count()
+    # the bug: stale markers matched the new run's epoch 0, every batch
+    # was silently skipped, and the cleared sink stayed EMPTY forever
+    assert n2 == n1
