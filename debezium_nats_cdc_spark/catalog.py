@@ -11,7 +11,8 @@ Column-name parity rule (driver contract): the compare sorts columns by
 name before hashing, so every computed column is aliased identically in
 the Spark code and the oracle SQL.
 
-Numeric parity rules (hard-won, see tests/test_correctness.py):
+Numeric parity rules (hard-won, see tests/test_corpus_ops.py and the
+driver's CORRECTNESS_r*.json three-way compares):
   - money/derived aggregates are computed on DECIMAL, never summed as
     double (float summation order differs across engines)
   - DuckDB SUM(BIGINT) returns HUGEINT and AVG returns DOUBLE — oracles
@@ -50,20 +51,25 @@ def register(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""
 
 
 def _load_modules() -> None:
-    # import for registration side effects
+    # Import for registration side effects. ORDER IS LOAD-BEARING: the
+    # driver's correctness harness verifies the first 50 registered
+    # queries per round, so coverage rotates — modules whose queries went
+    # unverified last round register first this round (r2 left the
+    # text/multimodal/curation/sampling/quantize tail outside the window;
+    # the earlier modules all have green CORRECTNESS_r02 rows).
     from .operators import (  # noqa: F401
-        advanced,
-        aggregates,
-        cdc_queries,
-        joins,
-        windows,
-        dedup,
-        similarity,
         text,
         multimodal,
         curation,
         sampling,
         quantize,
+        dedup,
+        similarity,
+        advanced,
+        aggregates,
+        cdc_queries,
+        joins,
+        windows,
     )
 
 
