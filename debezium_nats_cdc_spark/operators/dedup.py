@@ -409,6 +409,39 @@ def jaccard_pair_counts(gsets: DataFrame) -> DataFrame:
 
 
 
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded word-3-gram Jaccard pair set, localCheckpoint-cached
+    per (application, sf_dir).
+
+    Both ``dedup_ngram_jaccard`` and ``dedup_cluster_assign`` consume
+    this exact pair set; without the cache the cluster query re-runs the
+    ~3 s shingle→postings→pair pipeline before its CC rounds even start.
+    The checkpoint is lazy (``eager=False``): whichever query runs first
+    materializes it, the other reuses the materialized RDD.  Keyed by
+    applicationId so a restarted session can never see another JVM's
+    checkpoint."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _PAIR_CACHE.get(key)
+    if df is None:
+        d = load_table(spark, sf_dir, "documents")
+        pairs = jaccard_pair_counts(doc_shingles(d).filter(F.col("n_toks") >= 3))
+        jac = F.col("inter").cast("double") / F.col("uni")
+        df = (
+            pairs.filter(jac >= 0.2)
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(jac, 4).cast("decimal(10,4)").cast("double").alias("jaccard"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        _PAIR_CACHE[key] = df
+    return df
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -429,19 +462,8 @@ def jaccard_pair_counts(gsets: DataFrame) -> DataFrame:
         "pair is missed only if ALL of its shared shingles have df>1000, "
         "i.e. both docs are near-duplicates of >1000 others already.",
 )
-
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pair_counts(doc_shingles(d).filter(F.col("n_toks") >= 3))
-    jac = F.col("inter").cast("double") / F.col("uni")
-    return (
-        pairs.filter(jac >= 0.2)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jac, 4).cast("decimal(10,4)").cast("double").alias("jaccard"),
-        )
-    )
+    return _jaccard_edges(spark, sf_dir)
 
 
 # ------------------------------------------------------------- simhash --
@@ -605,7 +627,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ cluster assignment ---
 
 
-_CC_ROUNDS = 6  # propagate+jump per round => handles diameter >= 2^6
+# Safety valve only — convergence is detected per round, not assumed.
+# Pointer jumping doubles reachable label distance each round, so 20
+# rounds covers component diameter ~2^20; any graph still moving after
+# that indicates a bug, and we raise rather than return split clusters.
+_CC_MAX_ROUNDS = 20
 
 
 def _cluster_oracle() -> str:
@@ -640,16 +666,21 @@ def _cluster_oracle() -> str:
         "Iterative min-label propagation with pointer jumping — each "
         "round relabels via neighbors AND jumps to the label's label, "
         "so label distance doubles per round (the large-star/small-star "
-        "shape from the MapReduce CC literature); 6 rounds covers any "
-        "component diameter " "up to 2^6. Every round is two hash-join "
-        "shuffles on doc id over the (tiny) matched-doc set — never the "
-        "corpus — with eager truncation so the plan stays linear in "
-        "rounds. The oracle computes the true transitive closure via a "
-        "recursive CTE; agreement proves the fixed point was reached.",
+        "shape from the MapReduce CC literature) — iterated to the "
+        "FIXED POINT: a round that changes zero labels terminates the "
+        "loop, so any component diameter converges (bounded by a "
+        "20-round safety valve that raises instead of silently "
+        "splitting clusters). Every round is two hash-join shuffles on "
+        "doc id over the (tiny) matched-doc set — never the corpus — "
+        "with eager truncation so the plan stays linear in rounds. The "
+        "pair set is the localCheckpoint-cached dedup_ngram_jaccard "
+        "output, not a recompute. The oracle computes the true "
+        "transitive closure via a recursive CTE; agreement proves the "
+        "fixed point was reached.",
 )
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(e, rounds=_CC_ROUNDS)
+    e = _jaccard_edges(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(e)
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         "doc_id",
@@ -658,13 +689,24 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, rounds: int = _CC_ROUNDS) -> DataFrame:
+def connected_components(pairs: DataFrame,
+                         max_rounds: int = _CC_MAX_ROUNDS) -> DataFrame:
     """(doc_a, doc_b) undirected pairs -> (doc_id, lbl) with lbl = min
     id in the node's component.  Min-label propagation with pointer
-    jumping; ``rounds`` bounds the reachable diameter at 2^rounds.
+    jumping, iterated until a round changes no label (the fixed point —
+    every node then holds its component minimum), with ``max_rounds`` as
+    a safety valve that RAISES rather than silently returning
+    half-merged clusters.
+
+    The convergence probe is cheap by construction: each round's labels
+    are localCheckpoint-materialized anyway (lineage would double per
+    round otherwise), so the changed-label check is one hash join +
+    limit(1) over the already-in-memory matched-doc set — typical
+    corpora converge in 2–3 rounds, so adaptive termination is also
+    faster than any fixed bound sized for the worst case.
 
     Property-tested against a union-find reference over random graphs
-    (tests/test_corpus_ops.py)."""
+    and a >2^6-diameter path graph (tests/test_corpus_ops.py)."""
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -675,18 +717,16 @@ def connected_components(pairs: DataFrame, rounds: int = _CC_ROUNDS) -> DataFram
     labels = (
         sym.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint(eager=True)
     )
-    # matched-doc set is small (only docs with >= 1 near-dup pair), so the
-    # per-round joins are cheap; a localCheckpoint every second round
-    # keeps the lineage bounded (each round references the previous
-    # labels twice — unbounded, the logical plan doubles per round)
-    for r in range(rounds):
+    for _ in range(max_rounds):
+        prev = labels
         nbr = (
-            sym.join(labels.withColumnRenamed("doc_id", "src"), "src")
+            sym.join(prev.withColumnRenamed("doc_id", "src"), "src")
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("lbl").alias("_nlbl"))
         )
-        labels = labels.join(nbr, "doc_id", "left").select(
+        labels = prev.join(nbr, "doc_id", "left").select(
             "doc_id",
             F.least("lbl", F.coalesce("_nlbl", F.col("lbl"))).alias("lbl"),
         )
@@ -697,7 +737,17 @@ def connected_components(pairs: DataFrame, rounds: int = _CC_ROUNDS) -> DataFram
         )
         labels = labels.join(jump, "lbl", "left").select(
             "doc_id", F.coalesce("_jlbl", F.col("lbl")).alias("lbl")
+        ).localCheckpoint(eager=True)
+        changed = (
+            labels.join(prev.withColumnRenamed("lbl", "_plbl"), "doc_id")
+            .filter(F.col("lbl") != F.col("_plbl"))
+            .limit(1)
+            .count()
         )
-        if r % 2 == 1 or r == rounds - 1:
-            labels = labels.localCheckpoint(eager=True)
-    return labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds "
+        f"(component diameter > 2^{max_rounds}); refusing to return "
+        "split clusters"
+    )

@@ -169,5 +169,19 @@ def test_connected_components_matches_union_find(spark):
 
         df = spark.createDataFrame(edges, "doc_a long, doc_b long")
         got = {r["doc_id"]: r["lbl"]
-               for r in connected_components(df, rounds=6).collect()}
+               for r in connected_components(df).collect()}
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 200-node path has diameter 199 > 2^6: the old fixed-6-round
+    loop silently split it; adaptive convergence must label every node
+    with the path minimum (and must NOT hit the safety valve, since
+    pointer jumping needs only ~log2(199) ≈ 8 rounds)."""
+    from debezium_nats_cdc_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["lbl"] for r in connected_components(df).collect()}
+    assert set(got) == set(range(201))
+    assert set(got.values()) == {0}
