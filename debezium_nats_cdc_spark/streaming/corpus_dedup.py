@@ -30,13 +30,16 @@ Design (scales like the batch LSH path — no cross join anywhere):
 
 from __future__ import annotations
 
+import logging
 import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import N_BANDS, N_HASHES, minhash_signatures
-from .txn import append_exactly_once
+from .state_backend import LocalFSBackend, StateBackend
+
+log = logging.getLogger(__name__)
 
 EST_JACCARD_THRESHOLD = 0.5
 _ROWS_PER_BAND = N_HASHES // N_BANDS
@@ -182,17 +185,16 @@ INDEX_FORMAT = "minhash-md5km-16x4"
 class CorpusDedupPipeline:
     """foreachBatch-driven incremental dedup with an on-disk band index."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, backend: StateBackend | None = None):
         self.index_dir = os.path.join(root, "band_index")
         self.accepted_dir = os.path.join(root, "accepted")
         self.quarantine_dir = os.path.join(root, "quarantine")
         self.checkpoint_dir = os.path.join(root, "_checkpoints")
         self.txn_dir = os.path.join(root, "_txn")
+        self.backend = backend or LocalFSBackend()
 
     def _index(self, spark: SparkSession) -> DataFrame | None:
-        if not os.path.isdir(self.index_dir):
-            return None
-        if not any(Path(self.index_dir).glob("*.parquet")):
+        if not self.backend.has_data(self.index_dir):
             return None
         marker = Path(self.index_dir, "._format")
         stamped = marker.read_text() if marker.exists() else "<none>"
@@ -235,23 +237,33 @@ class CorpusDedupPipeline:
     def _append(self, df: DataFrame, final_dir: str, sink: str,
                 epoch_id: int | None) -> None:
         if epoch_id is None:  # ad-hoc batch call — no replay to guard
-            df.write.mode("append").parquet(final_dir)
+            self.backend.append(df, final_dir)
         else:
-            append_exactly_once(df, final_dir, f"{sink}-{epoch_id}",
-                                self.txn_dir)
+            self.backend.append_exactly_once(df, final_dir,
+                                             f"{sink}-{epoch_id}",
+                                             self.txn_dir)
 
     def start(self, spark: SparkSession, stream: DataFrame,
               available_now: bool = True):
         # fresh checkpoint => epoch ids restart at 0; stale commit
-        # markers from a previous run would silently skip every publish
-        # (see pipeline._reset_stale_txn_markers)
-        offsets = os.path.join(self.checkpoint_dir, "offsets")
-        if not (os.path.isdir(offsets) and os.listdir(offsets)):
-            import glob
-            import shutil
-
-            for p in glob.glob(os.path.join(self.txn_dir, "*")):
-                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+        # markers from a previous run would silently skip every publish.
+        # Same reset contract as pipeline._reset_stale_txn_markers: a
+        # checkpoint reset that KEEPS sink/index data is a half-reset —
+        # warn, because rerun epochs that batch differently will append
+        # alongside the old token files instead of replacing them.
+        if not self.backend.checkpoint_established(self.checkpoint_dir):
+            cleared = self.backend.clear_markers(self.txn_dir, [""])
+            if cleared:
+                kept = [d for d in (self.accepted_dir, self.quarantine_dir,
+                                    self.index_dir)
+                        if self.backend.has_data(d)]
+                if kept:
+                    log.warning(
+                        "fresh corpus-dedup checkpoint but %d commit markers "
+                        "were cleared while %s still hold data: the rerun "
+                        "will APPEND. Clear those dirs too for a clean "
+                        "reprocess.", len(cleared), kept,
+                    )
         writer = (
             stream.writeStream.queryName("corpus-dedup")
             .option("checkpointLocation", self.checkpoint_dir)

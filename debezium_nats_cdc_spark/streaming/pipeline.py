@@ -24,8 +24,8 @@ per-aggregate ordering (H5, docs/design.md:511).
 
 from __future__ import annotations
 
+import logging
 import os
-import shutil
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -45,7 +45,9 @@ from ..operators.validate import split_valid
 from ..schemas import TABLE_SCHEMAS
 from ..sources.cdc import read_broker_stream, read_change_stream
 from .. import store
-from .txn import append_exactly_once
+from .state_backend import LocalFSBackend, StateBackend
+
+log = logging.getLogger(__name__)
 
 DEDUP_WATERMARK = "120 seconds"  # broker duplicate_window, config/nats/stream.json:14
 
@@ -58,9 +60,14 @@ class PipelineDirs:
     state: str
     checkpoints: str
     txn: str
+    # All durable-storage operations route through this object; swap it
+    # for a table-format backend to run the identical pipeline logic on
+    # a cluster store (see state_backend.StateBackend's mapping guide).
+    backend: StateBackend = field(default_factory=LocalFSBackend)
 
     @classmethod
-    def under(cls, root: str) -> "PipelineDirs":
+    def under(cls, root: str,
+              backend: StateBackend | None = None) -> "PipelineDirs":
         d = cls(
             events=os.path.join(root, "hr_events"),
             audit=os.path.join(root, "audit_trail"),
@@ -70,10 +77,11 @@ class PipelineDirs:
             # commit markers + staging live OUTSIDE the sink dirs so
             # state compaction/swap rewrites never erase commit history
             txn=os.path.join(root, "_txn"),
+            backend=backend or LocalFSBackend(),
         )
         for p in (d.events, d.audit, d.dead_letter, d.state, d.checkpoints,
                   d.txn):
-            os.makedirs(p, exist_ok=True)
+            d.backend.ensure_dir(p)
         return d
 
 
@@ -81,7 +89,8 @@ COMPACT_FILE_THRESHOLD = 48
 TOMBSTONE_HORIZON_MS = 10 * 60 * 1000  # broker dedup window 120 s + slack
 
 
-def _maybe_compact(spark: SparkSession, state_dir: str) -> None:
+def _maybe_compact(spark: SparkSession, state_dir: str,
+                   backend: StateBackend) -> None:
     """Compact the state log once its file count passes the threshold:
     one winner row per key, tombstones past the redelivery horizon
     dropped.  Amortized O(state) off the per-batch hot path — the
@@ -91,12 +100,8 @@ def _maybe_compact(spark: SparkSession, state_dir: str) -> None:
     The horizon is EVENT time, anchored to the newest version in the
     state (a watermark, like the dedup operator's) — wall clock would
     mis-expire when replaying historical logs."""
-    recover_state_dir(state_dir)
-    try:
-        n_files = sum(1 for f in os.listdir(state_dir) if f.endswith(".parquet"))
-    except FileNotFoundError:
-        return
-    if n_files < COMPACT_FILE_THRESHOLD:
+    backend.recover(state_dir)
+    if backend.data_file_count(state_dir) < COMPACT_FILE_THRESHOLD:
         return
     # mergeSchema: the log may span schema versions (A3) — older files
     # lack newly-added nullable columns
@@ -106,42 +111,7 @@ def _maybe_compact(spark: SparkSession, state_dir: str) -> None:
     max_ts = reduced.agg(F.max("_ts_ms")).first()[0]
     if max_ts is not None:
         reduced = expire_tombstones(reduced, TOMBSTONE_HORIZON_MS, max_ts)
-    _swap_write(reduced, state_dir)
-
-
-def _swap_write(df: DataFrame, final_dir: str) -> None:
-    """Overwrite a state table via staging-dir swap (idempotent publish).
-
-    Writing to the directory being read is unsafe; write to a sibling
-    staging dir, then swap.  Equivalent of MERGE without Delta in this
-    container (SURVEY §7 risk 1).  Crash-safe: a stale ``.old`` from a
-    prior crash is cleared before the swap (rename onto it would fail
-    ENOTEMPTY), and the brief missing-dir window between the two renames
-    is healed by ``recover_state_dir`` at every read/compact entry.
-    """
-    staging = final_dir + ".staging"
-    old = final_dir + ".old"
-    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
-    df.write.mode("overwrite").parquet(staging)
-    if os.path.exists(final_dir):
-        os.rename(final_dir, old)
-    os.rename(staging, final_dir)
-    shutil.rmtree(old, ignore_errors=True)
-
-
-def recover_state_dir(final_dir: str) -> None:
-    """Heal a crash inside ``_swap_write``: if the final dir is missing,
-    restore the complete staging generation (preferred — it is newer;
-    ``_SUCCESS`` proves the write finished) or the displaced ``.old``."""
-    if os.path.exists(final_dir):
-        return
-    staging = final_dir + ".staging"
-    old = final_dir + ".old"
-    if os.path.exists(os.path.join(staging, "_SUCCESS")):
-        os.rename(staging, final_dir)
-        shutil.rmtree(old, ignore_errors=True)
-    elif os.path.exists(old):
-        os.rename(old, final_dir)
+    backend.swap_write(reduced, state_dir)
 
 
 def _sink_events(batch: DataFrame, table: str, dirs: PipelineDirs,
@@ -182,13 +152,13 @@ def _sink_state(spark: SparkSession, batch: DataFrame, table: str,
     latest = batch_latest_with_deletes(batch)
     state_dir = os.path.join(dirs.state, table)
     # heal a compaction crash BEFORE appending: if the state dir is
-    # missing (crash between _swap_write's renames), the txn publish
+    # missing (crash between swap_write's renames), the txn publish
     # would otherwise recreate it holding only this epoch's rows, and
     # the next compaction would overwrite the orphaned full-state
     # staging copy — silently losing all prior state
-    recover_state_dir(state_dir)
+    dirs.backend.recover(state_dir)
     _append(initial_state(latest), state_dir, f"state-{table}", epoch_id, dirs)
-    _maybe_compact(spark, state_dir)
+    _maybe_compact(spark, state_dir, dirs.backend)
 
 
 def _append(df: DataFrame, final_dir: str, sink: str, epoch_id: int | None,
@@ -199,13 +169,10 @@ def _append(df: DataFrame, final_dir: str, sink: str, epoch_id: int | None,
     write has a private output path, and the ad-hoc path is only used
     single-threaded (snapshot seeding, tests)."""
     if epoch_id is None:
-        writer = df.write.mode("append")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(final_dir)
+        dirs.backend.append(df, final_dir, partition_by)
     else:
-        append_exactly_once(df, final_dir, f"{sink}-{epoch_id}", dirs.txn,
-                            partition_by)
+        dirs.backend.append_exactly_once(df, final_dir, f"{sink}-{epoch_id}",
+                                         dirs.txn, partition_by)
 
 
 def process_batch(spark: SparkSession, batch: DataFrame, table: str,
@@ -250,15 +217,37 @@ def _reset_stale_txn_markers(dirs: PipelineDirs, table: str) -> None:
     the new run's epochs and silently skip every batch's publish.  A
     fresh checkpoint has no offsets log yet — clear the table's markers
     so the new run re-publishes from scratch; an existing checkpoint
-    (crash restart) keeps its markers, preserving exactly-once replay."""
-    import glob
+    (crash restart) keeps its markers, preserving exactly-once replay.
 
-    offsets = os.path.join(dirs.checkpoints, table, "offsets")
-    if os.path.isdir(offsets) and os.listdir(offsets):
+    RESET CONTRACT: resetting or deleting a checkpoint while KEEPING the
+    sink data is not a supported state.  The rerun's epochs may batch
+    rows differently, so token-named files published by the previous run
+    never get overwritten and events/audit/state rows duplicate.  To
+    reprocess, clear the sink dirs together with the checkpoint (or
+    point the rerun at a fresh root).  We detect the hazardous half-reset
+    and log a loud warning rather than refuse — a deliberate
+    append-reprocess may be intended (e.g. replaying into a downstream
+    that dedups on eventId)."""
+    if dirs.backend.checkpoint_established(os.path.join(dirs.checkpoints,
+                                                        table)):
         return  # established checkpoint: markers are live replay state
-    for sink in ("events", "dlq", "audit", "state"):
-        for p in glob.glob(os.path.join(dirs.txn, f"{sink}-{table}-*")):
-            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    cleared = dirs.backend.clear_markers(
+        dirs.txn, [f"{sink}-{table}-" for sink in
+                   ("events", "dlq", "audit", "state")]
+    )
+    if cleared:
+        kept = [d for d in (dirs.events, dirs.audit, dirs.dead_letter,
+                            os.path.join(dirs.state, table))
+                if dirs.backend.has_data(d)]
+        if kept:
+            log.warning(
+                "fresh checkpoint for table %r but %d commit markers were "
+                "cleared while sink dirs %s still hold data: the rerun will "
+                "APPEND (previously published epoch files are not replaced "
+                "if the rerun batches rows differently). Clear the sinks "
+                "too if you intended a clean reprocess.",
+                table, len(cleared), kept,
+            )
 
 
 def start_table_pipeline(
@@ -312,7 +301,11 @@ def read_state(spark: SparkSession, dirs: PipelineDirs, table: str) -> DataFrame
     the physical table also holds versioned tombstones; see
     operators/materialize.py)."""
     state_dir = os.path.join(dirs.state, table)
-    recover_state_dir(state_dir)
+    # Read-side healing is safe against a concurrent compaction: if this
+    # reader promotes the compactor's staging dir during the missing-dir
+    # swap window, the compactor's own final rename observes the healed
+    # dir and treats it as success (state_backend.swap_write).
+    dirs.backend.recover(state_dir)
     # mergeSchema: state logs written across schema versions (A3)
     return current_rows(
         spark.read.option("mergeSchema", "true").parquet(state_dir)

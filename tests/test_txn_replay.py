@@ -19,11 +19,14 @@ from pyspark.sql import functions as F
 from debezium_nats_cdc_spark.sources import fixtures
 from debezium_nats_cdc_spark.streaming.pipeline import (
     PipelineDirs,
-    _swap_write,
     process_batch,
-    recover_state_dir,
 )
+from debezium_nats_cdc_spark.streaming.state_backend import LocalFSBackend
 from debezium_nats_cdc_spark.streaming.txn import append_exactly_once, committed
+
+_backend = LocalFSBackend()
+_swap_write = _backend.swap_write
+recover_state_dir = _backend.recover
 from tests.conftest import load_envelopes
 
 
