@@ -86,12 +86,36 @@ _FEATURE_SCHEMA = T.StructType(
 
 @register(
     "mm_feature_extract",
-    oracle=None,  # Python decode stage: rows-only check
+    # The decode stub's arithmetic is fully SQL-expressible: the byte sum
+    # of payload[:256] is recovered from the hex encoding of the blob
+    # (one 2-hex-digit pair per byte), so the driver gets a full
+    # rows+schema+hash three-way check instead of rows-only.
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             hex(CAST(text AS BLOB)) AS h
+      FROM documents
+    ),
+    b AS (
+      SELECT p.doc_id, p.n_bytes,
+             COALESCE(SUM(CAST(concat('0x',
+                 substr(p.h, CAST(t.i*2+1 AS INT), 2)) AS BIGINT)), 0)
+               AS checksum
+      FROM p LEFT JOIN (SELECT unnest(range(0, 256)) AS i) t
+        ON t.i*2+1 <= length(p.h)
+      GROUP BY p.doc_id, p.n_bytes
+    )
+    SELECT doc_id, n_bytes, n_bytes // 1024 + 1 AS frames,
+           CAST(checksum % 256 AS DOUBLE) AS mean_intensity
+    FROM b
+    """,
     survey_ids=["K4"],
     doc="Arrow-batched feature extraction over binary payloads via "
         "mapInPandas: the decode stage runs per Arrow batch (not per row), "
         "the only Python hop in the multimodal path. Decode itself is a "
-        "deterministic stub (see decode_media).",
+        "deterministic stub (see decode_media) whose arithmetic the DuckDB "
+        "oracle replays from the blob's hex encoding (full three-way check).",
 )
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
