@@ -119,7 +119,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew cap and pair semantics as dedup_ngram_jaccard, mirrored in
     # this oracle's windowed df filter)
     pairs = jaccard_pair_counts(
-        doc_shingles(exact).filter(F.col("n_toks") >= 3)
+        doc_shingles(exact).filter(F.col("n_toks") >= 3), op="curation"
     )
     losers = pairs.filter(
         F.col("inter").cast("double") / F.col("uni") >= _NEARDUP_JACCARD

@@ -83,6 +83,77 @@ BUCKET_CAP = 1000  # skew guard: drop degenerate blocking buckets
 _H2_MASK = (1 << 40) - 1  # keep h1 + 15*h2m < 2^61: no overflow either engine
 
 
+# Last (Observation, fallback-metrics DataFrame) per capping operator,
+# so dropped-recall is measurable instead of silent: a boilerplate-heavy
+# corpus that blows BUCKET_CAP loses near-dup recall, and the operator
+# of a 100 TB run needs to SEE that (alert on dropped_docs/total, re-run
+# with salting or a higher cap).  Populated by _cap_buckets; read via
+# bucket_drop_stats() after an action has run on the query's result.
+_DROP_OBS: dict[str, tuple[object, DataFrame]] = {}
+
+_DROP_METRIC_COLS = ("dropped_buckets", "dropped_docs", "total_buckets")
+
+
+def _drop_metric_exprs():
+    sz = F.size("ds")
+    return [
+        F.sum(F.when(sz > BUCKET_CAP, 1).otherwise(0)).alias("dropped_buckets"),
+        F.sum(F.when(sz > BUCKET_CAP, sz).otherwise(0)).alias("dropped_docs"),
+        F.count(F.lit(1)).alias("total_buckets"),
+    ]
+
+
+def _cap_buckets(grouped: DataFrame, op: str) -> DataFrame:
+    """Apply the BUCKET_CAP skew filter to a (…, ds) bucket DataFrame,
+    observing how much it drops.
+
+    Primary path: an Observation — metrics ride the plan's one pass over
+    the bucket rows, zero extra jobs.  But AQE's empty-relation
+    propagation can PRUNE the CollectMetrics node from the final plan
+    (when every bucket is capped away the downstream goes empty — the
+    exact situation the metric exists to expose), and pruned metrics are
+    never delivered.  So the registry also keeps a fallback aggregation
+    over the same bucket DataFrame that bucket_drop_stats() runs as one
+    tiny on-demand job when the observation never fires.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    _DROP_OBS[op] = (obs, grouped.agg(*_drop_metric_exprs()))
+    observed = grouped.observe(obs, *_drop_metric_exprs())
+    sz = F.size("ds")
+    return observed.filter((sz >= 2) & (sz <= BUCKET_CAP))
+
+
+def bucket_drop_stats(op: str, obs_wait_s: float = 3.0) -> dict | None:
+    """Skew-cap drop metrics for the last run of ``op`` ('minhash' |
+    'jaccard' | 'simhash' | 'curation'), or None if it hasn't run.
+
+    Polls the same-pass Observation briefly — delivery is async, and
+    pyspark's ``Observation.get`` only waits ~100 ms before surfacing a
+    schemaless empty row as an opaque toPyRow assertion error — then
+    falls back to the stored one-job aggregation (reliable even when AQE
+    pruned the CollectMetrics node, see _cap_buckets).
+    """
+    import time
+
+    entry = _DROP_OBS.get(op)
+    if entry is None:
+        return None
+    obs, fallback = entry
+    deadline = time.monotonic() + obs_wait_s
+    got = None
+    while time.monotonic() < deadline:
+        try:
+            got = obs.get
+            break
+        except Exception:
+            time.sleep(0.1)
+    if got is None:
+        got = fallback.collect()[0].asDict()
+    return {k: (0 if got.get(k) is None else got[k]) for k in _DROP_METRIC_COLS}
+
+
 def _shingle_expr(toks):
     """Word 3-gram shingle array over a MATERIALIZED token-array column.
 
@@ -211,11 +282,10 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
         ).alias("band"),
     ).select(id_col, "sig", "band.band_id", "band.band_hash")
 
-    grouped = (
+    grouped = _cap_buckets(
         bands.groupBy("band_id", "band_hash")
-        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig")).alias("ds"))
-        # skew guard: drop degenerate buckets (> BUCKET_CAP members)
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= BUCKET_CAP))
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig")).alias("ds")),
+        "minhash",
     )
     ds = F.col("ds")
     pair_arr = F.flatten(
@@ -359,11 +429,13 @@ _JACCARD_PAIRS_SQL = """
 """
 
 
-def jaccard_pair_counts(gsets: DataFrame) -> DataFrame:
+def jaccard_pair_counts(gsets: DataFrame, op: str = "jaccard") -> DataFrame:
     """(doc_id, gs) shingle sets -> (doc_a, doc_b, inter, uni) via the
     Vernica-style inverted-index group-then-expand (shared by
     dedup_ngram_jaccard and corpus_curation — keep their skew caps and
-    pair semantics in lockstep).
+    pair semantics in lockstep).  ``op`` keys the dropped-bucket
+    Observation (bucket_drop_stats) so each caller's recall loss is
+    attributable.
 
     Group-then-expand beats a postings self-join: the shingle pipeline
     runs ONCE (a self-join recomputes it per side — no exchange reuse,
@@ -378,10 +450,10 @@ def jaccard_pair_counts(gsets: DataFrame) -> DataFrame:
     postings = gsets.select(
         "doc_id", F.explode_outer("gs").alias("g"), F.size("gs").alias("sz")
     ).select("doc_id", F.xxhash64("g").alias("g"), "sz")
-    grouped = (
+    grouped = _cap_buckets(
         postings.groupBy("g")
-        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= BUCKET_CAP))
+        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds")),
+        op,
     )
     ds = F.col("ds")
     pair_arr = F.flatten(
@@ -593,12 +665,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "sig", "ck.chunk_id", "ck.chunk")
-    grouped = (
+    # skew guard: same cap as minhash_candidates — one degenerate
+    # chunk bucket would otherwise go quadratic at scale
+    grouped = _cap_buckets(
         chunks.groupBy("chunk_id", "chunk")
-        .agg(F.collect_list(F.struct(F.col("doc_id").alias("id"), "sig")).alias("ds"))
-        # skew guard: same cap as minhash_candidates — one degenerate
-        # chunk bucket would otherwise go quadratic at scale
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= BUCKET_CAP))
+        .agg(F.collect_list(F.struct(F.col("doc_id").alias("id"), "sig")).alias("ds")),
+        "simhash",
     )
     ds = F.col("ds")
     pair_arr = F.flatten(

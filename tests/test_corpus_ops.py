@@ -185,3 +185,51 @@ def test_connected_components_long_path_converges(spark):
     got = {r["doc_id"]: r["lbl"] for r in connected_components(df).collect()}
     assert set(got) == set(range(201))
     assert set(got.values()) == {0}
+
+
+def test_bucket_cap_drops_are_observed(spark, monkeypatch, tmp_path):
+    """The BUCKET_CAP skew guard must not be SILENT: each capping
+    operator publishes (dropped_buckets, dropped_docs, total_buckets)
+    via an Observation so recall loss on a boilerplate-heavy corpus is
+    measurable (VERDICT r3 task #3)."""
+    from debezium_nats_cdc_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "BUCKET_CAP", 5)
+    # 8 identical boilerplate docs -> degenerate buckets of size 8 > 5;
+    # 2 near-dup docs -> size-2 buckets that must survive the cap
+    boiler = " ".join(f"b{i}" for i in range(20))
+    near_a = "alpha beta gamma delta epsilon zeta"
+    near_b = "alpha beta gamma delta epsilon eta"
+    rows = [(i, "en", "s", len(boiler), boiler) for i in range(8)]
+    rows += [(100, "en", "s", len(near_a), near_a),
+             (101, "en", "s", len(near_b), near_b)]
+    docs = _docs(spark, rows)
+
+    # --- jaccard (inverted index per shingle) ---
+    pairs = dedup.jaccard_pair_counts(
+        dedup.doc_shingles(docs).filter(F.col("n_toks") >= 3))
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(100, 101)}          # boilerplate pairs all dropped
+    st = dedup.bucket_drop_stats("jaccard")
+    # 18 distinct shingles per boiler doc, each shared by all 8 copies
+    assert st["dropped_buckets"] == 18 and st["dropped_docs"] == 18 * 8
+    assert st["total_buckets"] > st["dropped_buckets"]
+
+    # --- minhash (banded LSH) ---
+    cands = dedup.minhash_candidates(docs)
+    mh = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    assert not any(a < 8 and b < 8 for a, b in mh)
+    st = dedup.bucket_drop_stats("minhash")
+    # identical docs share identical signatures: all 4 band buckets blow the cap
+    assert st["dropped_buckets"] == 4 and st["dropped_docs"] == 4 * 8
+
+    # --- simhash (chunk-bucketed) ---
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    sh = {(r["doc_a"], r["doc_b"])
+          for r in dedup.dedup_simhash(spark, str(tmp_path)).collect()}
+    assert not any(a < 8 and b < 8 for a, b in sh)
+    st = dedup.bucket_drop_stats("simhash")
+    assert st["dropped_buckets"] == 4 and st["dropped_docs"] == 4 * 8
+
+    # before any run of an op key, stats are None
+    assert dedup.bucket_drop_stats("never_ran") is None
