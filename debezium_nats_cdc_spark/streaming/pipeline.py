@@ -315,7 +315,8 @@ def read_state(spark: SparkSession, dirs: PipelineDirs, table: str) -> DataFrame
 def run_pipeline_until_done(spark: SparkSession, log_dir: str, root: str,
                             tables: list[str] | None = None,
                             concurrent: bool = False,
-                            source: str = "json") -> PipelineDirs:
+                            source: str = "json",
+                            backend: StateBackend | None = None) -> PipelineDirs:
     """Process everything currently in the change log, then stop.
 
     Per-table queries are independent (separate checkpoints, state dirs,
@@ -323,7 +324,7 @@ def run_pipeline_until_done(spark: SparkSession, log_dir: str, root: str,
     starts them all and awaits together — the production shape, where N
     source tables share the cluster instead of serializing.  Sequential
     remains the default for deterministic test output ordering."""
-    dirs = PipelineDirs.under(root)
+    dirs = PipelineDirs.under(root, backend=backend)
     names = tables or list(RULES)
     if concurrent:
         queries = [start_table_pipeline(spark, log_dir, t, dirs, source=source)

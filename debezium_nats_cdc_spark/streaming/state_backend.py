@@ -191,3 +191,98 @@ class LocalFSBackend(StateBackend):
             )
         except FileNotFoundError:
             return False
+
+
+class GenerationPointerBackend(LocalFSBackend):
+    """Commit-by-pointer swap: immutable generation dirs + an atomically
+    swapped symlink — the metadata-pointer commit shape of a table format
+    (Iceberg snapshot pointer, Delta log) or a versioned object-store
+    prefix, as opposed to LocalFSBackend's rename-the-directory-in-place.
+
+    Layout per table:
+
+    - ``<table>.gens/gNNNNNN/``  — immutable data generations
+    - ``<table>``                — symlink to the current generation
+
+    ``swap_write`` never touches the live data path: it writes a NEW
+    generation, then commits by atomically replacing the pointer.  A
+    reader therefore always resolves a complete generation; the torn
+    states LocalFSBackend must heal (missing dir between two renames)
+    cannot arise once the pointer exists.  The one non-atomic window is
+    the FIRST swap of a table born as a real directory (the txn append
+    path creates real dirs): the directory moves aside before the
+    pointer lands, and ``recover`` heals that window by re-pointing at
+    the newest complete generation (same prefer-newer semantics as
+    LocalFSBackend's staging recovery).
+
+    Inherits the token/marker exactly-once machinery unchanged — those
+    operate on individual files and resolve through the symlink — which
+    is precisely the porting claim this class exists to prove: pipeline
+    logic never assumes HOW a table's contents are replaced.
+
+    Reader caveat (parity with LocalFSBackend, documented not solved): a
+    query still scanning a superseded generation's files races the
+    post-swap prune; a real table format keeps snapshots pinned until
+    readers release them.
+    """
+
+    @staticmethod
+    def _gen_root(table_dir: str) -> str:
+        return table_dir + ".gens"
+
+    def swap_write(self, df: DataFrame, table_dir: str) -> None:
+        gen_root = self._gen_root(table_dir)
+        os.makedirs(gen_root, exist_ok=True)
+        n = 1 + max(
+            (int(d[1:]) for d in os.listdir(gen_root)
+             if d.startswith("g") and d[1:].isdigit()),
+            default=0,
+        )
+        gen = os.path.join(gen_root, f"g{n:06d}")
+        df.write.mode("overwrite").parquet(gen)
+        tmp = os.path.join(gen_root, f".lnk{n:06d}")
+        if os.path.lexists(tmp):
+            os.remove(tmp)
+        os.symlink(os.path.abspath(gen), tmp)
+        if os.path.isdir(table_dir) and not os.path.islink(table_dir):
+            # first transition from an append-built real dir: move it
+            # aside (atomic), then land the pointer; a crash between the
+            # two renames leaves no table path — recover() re-points
+            os.rename(table_dir, os.path.join(gen_root, f"displaced{n:06d}"))
+        os.replace(tmp, table_dir)
+        self._prune(table_dir)
+
+    def recover(self, table_dir: str) -> None:
+        if os.path.exists(table_dir):  # resolving link or real dir
+            return
+        gen_root = self._gen_root(table_dir)
+        if os.path.islink(table_dir):
+            os.remove(table_dir)  # broken pointer from a pruned target
+        try:
+            entries = os.listdir(gen_root)
+        except FileNotFoundError:
+            return
+        gens = sorted(
+            d for d in entries
+            if d.startswith("g") and d[1:].isdigit()
+            and os.path.exists(os.path.join(gen_root, d, "_SUCCESS"))
+        )
+        displaced = sorted(d for d in entries if d.startswith("displaced"))
+        if gens:  # prefer the newest COMPLETE generation (it is newer
+            #       than any displaced dir by construction)
+            os.symlink(os.path.abspath(os.path.join(gen_root, gens[-1])),
+                       table_dir)
+        elif displaced:
+            os.rename(os.path.join(gen_root, displaced[-1]), table_dir)
+
+    def _prune(self, table_dir: str) -> None:
+        """Drop everything but the committed generation (superseded gens,
+        displaced first-transition dirs, stale tmp pointers)."""
+        gen_root = self._gen_root(table_dir)
+        current = os.path.realpath(table_dir)
+        for d in os.listdir(gen_root):
+            p = os.path.join(gen_root, d)
+            if os.path.islink(p):
+                os.remove(p)
+            elif os.path.realpath(p) != current:
+                shutil.rmtree(p, ignore_errors=True)
