@@ -266,6 +266,38 @@ def leave_approved(df: DataFrame) -> DataFrame:
     )
 
 
+def bonus_awarded(df: DataFrame) -> DataFrame:
+    """Compensation event: op='c' on bonuses (docs/design.md:268).
+
+    SOURCE-OPTIONAL — the reference's init-db.sql ships no bonuses
+    table; the rule exists so a payroll-extended schema fires it without
+    engine changes (SURVEY §2.I scope note)."""
+    hits = df.filter((F.col("op") == "c") & F.col("after").isNotNull())
+    return domain_event(
+        hits, "BonusAwarded", "compensation", F.col("after.employee_id"), "Employee",
+        _emp_payload(
+            F.col("after.amount").cast("double").alias("amount"),
+            F.col("after.bonus_type").alias("bonusType"),
+            F.col("after.award_date").cast("string").alias("awardDate"),
+        ),
+    )
+
+
+def stock_granted(df: DataFrame) -> DataFrame:
+    """Compensation event: op='c' on stock_grants (docs/design.md:269).
+    SOURCE-OPTIONAL like bonus_awarded."""
+    hits = df.filter((F.col("op") == "c") & F.col("after").isNotNull())
+    return domain_event(
+        hits, "StockGranted", "compensation", F.col("after.employee_id"), "Employee",
+        _emp_payload(
+            F.col("after.shares").alias("shares"),
+            F.col("after.grant_date").cast("string").alias("grantDate"),
+            F.col("after.vesting_months").alias("vestingMonths"),
+            F.col("after.cliff_months").alias("cliffMonths"),
+        ),
+    )
+
+
 def attendance_marked(df: DataFrame) -> DataFrame:
     """I13: op='c' on attendance_records (docs/design.md:275)."""
     hits = df.filter((F.col("op") == "c") & F.col("after").isNotNull())
@@ -302,7 +334,15 @@ RULES: dict[str, list[tuple[str, Callable[[DataFrame], DataFrame]]]] = {
         ("LeaveApproved", leave_approved),
     ],
     "attendance_records": [("AttendanceMarked", attendance_marked)],
+    "bonuses": [("BonusAwarded", bonus_awarded)],
+    "stock_grants": [("StockGranted", stock_granted)],
 }
+
+# Tables whose rules are implemented but whose SOURCE the reference
+# never ships (docs/design.md:267-269 vs sql/init-db.sql): default
+# pipelines skip them; pass them in ``tables`` explicitly once the
+# deployment's schema actually has them.
+OPTIONAL_SOURCE_TABLES: frozenset[str] = frozenset({"bonuses", "stock_grants"})
 
 
 def apply_rules(unwrapped: DataFrame, table: str,

@@ -88,6 +88,33 @@ ATTENDANCE_RECORDS = T.StructType([
     T.StructField("created_at", T.TimestampType()),
 ])
 
+# Source-OPTIONAL compensation tables: docs/design.md:267-269 specs the
+# BonusAwarded / StockGranted events, but the reference's sql/init-db.sql
+# creates no bonuses/stock_grants tables.  The schemas and rule shapes
+# exist so a payroll-extended deployment plugs in with zero engine
+# changes; default pipelines skip them (rules.OPTIONAL_SOURCE_TABLES)
+# until a change log actually carries their envelopes.
+
+BONUSES = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("employee_id", T.LongType()),
+    T.StructField("amount", MONEY),
+    T.StructField("bonus_type", T.StringType()),
+    T.StructField("award_date", T.DateType()),
+    T.StructField("approved_by", T.LongType()),
+    T.StructField("created_at", T.TimestampType()),
+])
+
+STOCK_GRANTS = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("employee_id", T.LongType()),
+    T.StructField("shares", T.LongType()),
+    T.StructField("grant_date", T.DateType()),
+    T.StructField("vesting_months", T.IntegerType()),
+    T.StructField("cliff_months", T.IntegerType()),
+    T.StructField("created_at", T.TimestampType()),
+])
+
 TABLE_SCHEMAS: dict[str, T.StructType] = {
     "employees": EMPLOYEES,
     "departments": DEPARTMENTS,
@@ -95,6 +122,8 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
     "salary_changes": SALARY_CHANGES,
     "leave_requests": LEAVE_REQUESTS,
     "attendance_records": ATTENDANCE_RECORDS,
+    "bonuses": BONUSES,
+    "stock_grants": STOCK_GRANTS,
 }
 
 # table -> primary key column (drives materialization / repartitioning)

@@ -121,6 +121,29 @@ def golden_workload() -> list[dict]:
     ]
 
 
+def compensation_events() -> list[dict]:
+    """Envelopes for the SOURCE-OPTIONAL compensation tables
+    (docs/design.md:268-269 — bonuses / stock_grants have rule shapes
+    but no table in the reference's init-db.sql)."""
+    t = BASE_TS_MS + 200_000
+    bonus = {
+        "id": 1, "employee_id": 1, "amount": 15000.0,
+        "bonus_type": "performance", "award_date": "2026-01-15",
+        "approved_by": 3,
+    }
+    grant = {
+        "id": 1, "employee_id": 2, "shares": 4000,
+        "grant_date": "2026-01-15", "vesting_months": 48,
+        "cliff_months": 12,
+    }
+    return [
+        envelope("bonuses", "c", None, bonus, t + 1000),
+        # an UPDATE must NOT fire BonusAwarded (INSERT-triggered event)
+        envelope("bonuses", "u", bonus, {**bonus, "amount": 16000.0}, t + 2000),
+        envelope("stock_grants", "c", None, grant, t + 3000),
+    ]
+
+
 def negative_and_positive_rule_cases() -> list[dict]:
     """Boundary fixtures from docs/system-design.md:146-155, 213-227.
 

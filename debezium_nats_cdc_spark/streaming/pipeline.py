@@ -39,7 +39,7 @@ from ..operators.materialize import (
     initial_state,
     reduce_state,
 )
-from ..operators.rules import RULES, apply_rules
+from ..operators.rules import OPTIONAL_SOURCE_TABLES, RULES, apply_rules
 from ..operators.unwrap import unwrap
 from ..operators.validate import split_valid
 from ..schemas import TABLE_SCHEMAS
@@ -325,7 +325,10 @@ def run_pipeline_until_done(spark: SparkSession, log_dir: str, root: str,
     source tables share the cluster instead of serializing.  Sequential
     remains the default for deterministic test output ordering."""
     dirs = PipelineDirs.under(root, backend=backend)
-    names = tables or list(RULES)
+    # default: every rule table whose source the reference actually
+    # ships; source-optional tables (bonuses, stock_grants) run only
+    # when asked for explicitly
+    names = tables or [t for t in RULES if t not in OPTIONAL_SOURCE_TABLES]
     if concurrent:
         queries = [start_table_pipeline(spark, log_dir, t, dirs, source=source)
                    for t in names]

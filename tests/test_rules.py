@@ -109,3 +109,62 @@ def test_leave_approved(spark):
         fixtures.BASE_TS_MS,
     )
     assert fired_types(spark, [ev], "leave_requests") == ["LeaveApproved"]
+
+
+def test_bonus_and_stock_rules_fire_on_insert_only(spark):
+    """Source-optional compensation rules (docs/design.md:268-269): the
+    INSERT fires, the UPDATE doesn't, and payloads carry the spec'd
+    fields."""
+    evs = fixtures.compensation_events()
+    bon = [e for e in evs if e["payload"]["source"]["table"] == "bonuses"]
+    stk = [e for e in evs if e["payload"]["source"]["table"] == "stock_grants"]
+
+    assert fired_types(spark, bon, "bonuses") == ["BonusAwarded"]
+    assert fired_types(spark, stk, "stock_grants") == ["StockGranted"]
+
+    out = apply_rules(unwrap(load_envelopes(spark, bon, "bonuses")),
+                      "bonuses").collect()[0]
+    payload = json.loads(out["payload"])
+    assert payload["amount"] == 15000.0
+    assert payload["bonusType"] == "performance"
+    assert out["eventCategory"] == "compensation" and out["aggregateId"] == "1"
+
+    out = apply_rules(unwrap(load_envelopes(spark, stk, "stock_grants")),
+                      "stock_grants").collect()[0]
+    payload = json.loads(out["payload"])
+    assert payload["shares"] == 4000 and payload["vestingMonths"] == 48
+
+
+def test_optional_tables_skipped_by_default_pipeline(spark, tmp_path):
+    """No bonuses/stock_grants source exists by default: the default
+    table list excludes them (no checkpoint dirs created), but an
+    explicit run over a log that carries their envelopes publishes the
+    compensation events end-to-end."""
+    import os
+
+    from debezium_nats_cdc_spark.operators.rules import (
+        OPTIONAL_SOURCE_TABLES, RULES,
+    )
+    from debezium_nats_cdc_spark.streaming.pipeline import (
+        run_pipeline_until_done,
+    )
+
+    assert OPTIONAL_SOURCE_TABLES <= set(RULES)
+
+    root = str(tmp_path)
+    log_dir = os.path.join(root, "log")
+    fixtures.write_event_log(
+        fixtures.golden_workload() + fixtures.compensation_events(), log_dir,
+        events_per_file=5,
+    )
+    dirs = run_pipeline_until_done(spark, log_dir, root)  # default tables
+    started = set(os.listdir(dirs.checkpoints))
+    assert started.isdisjoint(OPTIONAL_SOURCE_TABLES)
+
+    # the payroll-extended deployment opts in explicitly
+    root2 = str(tmp_path / "ext")
+    dirs2 = run_pipeline_until_done(
+        spark, log_dir, root2, tables=["bonuses", "stock_grants"])
+    ev = spark.read.parquet(dirs2.events)
+    got = {r["event_type"] for r in ev.select("event_type").collect()}
+    assert got == {"BonusAwarded", "StockGranted"}
