@@ -481,7 +481,34 @@ def jaccard_pair_counts(gsets: DataFrame, op: str = "jaccard") -> DataFrame:
 
 
 
-_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIR_CACHE: dict[tuple[str, str], tuple[str, DataFrame]] = {}
+
+
+def _table_signature(sf_dir: str, name: str = "documents") -> str:
+    """Cheap content fingerprint of a testdata table: mtime+size of the
+    parquet file, or newest-entry mtime + entry count for a directory.
+    Detects a rewrite WITHIN one session so the pair cache can't serve
+    pairs computed from superseded data."""
+    import os
+
+    p = os.path.join(sf_dir.rstrip("/"), f"{name}.parquet")
+    try:
+        if os.path.isdir(p):
+            entries = sorted(os.listdir(p))
+            newest = max(
+                (os.stat(os.path.join(p, f)).st_mtime_ns for f in entries),
+                default=0,
+            )
+            return f"dir:{newest}:{len(entries)}"
+        st = os.stat(p)
+        return f"file:{st.st_mtime_ns}:{st.st_size}"
+    except FileNotFoundError:
+        return "missing"
+
+
+def clear_pair_cache() -> None:
+    """Drop every cached pair set (test/ops hook)."""
+    _PAIR_CACHE.clear()
 
 
 def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,24 +520,29 @@ def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~3 s shingle→postings→pair pipeline before its CC rounds even start.
     The checkpoint is lazy (``eager=False``): whichever query runs first
     materializes it, the other reuses the materialized RDD.  Keyed by
-    applicationId so a restarted session can never see another JVM's
-    checkpoint."""
+    applicationId (a restarted session can never see another JVM's
+    checkpoint) and guarded by the table's content signature — a
+    documents.parquet rewritten mid-session invalidates the entry
+    instead of serving stale pairs, and superseded entries are evicted
+    rather than accumulated."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    df = _PAIR_CACHE.get(key)
-    if df is None:
-        d = load_table(spark, sf_dir, "documents")
-        pairs = jaccard_pair_counts(doc_shingles(d).filter(F.col("n_toks") >= 3))
-        jac = F.col("inter").cast("double") / F.col("uni")
-        df = (
-            pairs.filter(jac >= 0.2)
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(jac, 4).cast("decimal(10,4)").cast("double").alias("jaccard"),
-            )
-            .localCheckpoint(eager=False)
+    sig = _table_signature(sf_dir)
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pair_counts(doc_shingles(d).filter(F.col("n_toks") >= 3))
+    jac = F.col("inter").cast("double") / F.col("uni")
+    df = (
+        pairs.filter(jac >= 0.2)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).cast("decimal(10,4)").cast("double").alias("jaccard"),
         )
-        _PAIR_CACHE[key] = df
+        .localCheckpoint(eager=False)
+    )
+    _PAIR_CACHE[key] = (sig, df)
     return df
 
 

@@ -233,3 +233,33 @@ def test_bucket_cap_drops_are_observed(spark, monkeypatch, tmp_path):
 
     # before any run of an op key, stats are None
     assert dedup.bucket_drop_stats("never_ran") is None
+
+
+def test_pair_cache_invalidates_on_table_rewrite(spark, tmp_path):
+    """A documents table rewritten mid-session must yield FRESH Jaccard
+    pairs, not the cached pre-rewrite set (VERDICT r3 task #7)."""
+    import time
+
+    from debezium_nats_cdc_spark.operators.dedup import dedup_ngram_jaccard
+
+    sf = str(tmp_path)
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "alpha beta gamma delta epsilon eta"
+    c = "one two three four five six"
+    _docs(spark, [(1, "en", "s", 1, a), (2, "en", "s", 1, b),
+                  (3, "en", "s", 1, c)]).coalesce(1).write.mode(
+        "overwrite").parquet(sf + "/documents.parquet")
+    first = {(r["doc_a"], r["doc_b"])
+             for r in dedup_ngram_jaccard(spark, sf).collect()}
+    assert first == {(1, 2)}
+    # cache hit: same signature returns the same checkpointed frame
+    assert dedup_ngram_jaccard(spark, sf) is dedup_ngram_jaccard(spark, sf)
+
+    time.sleep(0.01)  # ensure a distinct mtime_ns on fast filesystems
+    _docs(spark, [(1, "en", "s", 1, a), (2, "en", "s", 1, c),
+                  (3, "en", "s", 1, "one two three four five seven")]
+          ).coalesce(1).write.mode("overwrite").parquet(
+        sf + "/documents.parquet")
+    fresh = {(r["doc_a"], r["doc_b"])
+             for r in dedup_ngram_jaccard(spark, sf).collect()}
+    assert fresh == {(2, 3)}
