@@ -325,9 +325,14 @@ from .sampling import is_train_expr as _lm_is_train
         "Cross-engine float discipline: each token's ln() rounds to "
         "DECIMAL(18,9) BEFORE the per-doc sum, so the aggregation is "
         "exact-decimal (associative — float sums would differ with "
-        "partial-agg order), and the mean is decimal-sum/count. Scale "
-        "shape: the model is one vocab-sized groupBy; scoring is one "
-        "equi-join on token; the two model scalars broadcast.",
+        "partial-agg order), and the mean is decimal-sum/count. The ln "
+        "input (c+1)/(T+V) is an IEEE-exact integer division, and "
+        "tests/test_logprob_margin.py proves every distinct ln value "
+        "sits >3 ulps from its 9dp rounding boundary — so any faithful "
+        "(<1 ulp) libm rounds identically; the contract no longer "
+        "ASSUMES identical libm rounding. Scale shape: the model is one "
+        "vocab-sized groupBy; scoring is one equi-join on token; the "
+        "two model scalars broadcast.",
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
