@@ -53,23 +53,29 @@ def register(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""
 def _load_modules() -> None:
     # Import for registration side effects. ORDER IS LOAD-BEARING: the
     # driver's correctness harness verifies the first 50 registered
-    # queries per round, so coverage rotates — modules whose queries went
-    # unverified last round register first this round (r2 left the
-    # text/multimodal/curation/sampling/quantize tail outside the window;
-    # the earlier modules all have green CORRECTNESS_r02 rows).
+    # queries per round, so coverage rotates under one hard rule: every
+    # module whose implementation CHANGED this round registers inside
+    # the window.  Round 4 touched multimodal (new oracle), dedup
+    # (observe + pair cache), curation (op key), similarity's kernels
+    # (functions/vectors.py null guard), and text (doc only) — those go
+    # first (27 queries; sampling's 3 ride along early because curation
+    # and text import it); the remaining slots go to joins/windows/
+    # aggregates, displaced from r3's window (all r2-green, untouched
+    # since).  Outside the window: advanced, cdc_queries, quantize —
+    # all r3-green and untouched in r4.
     from .operators import (  # noqa: F401
-        text,
         multimodal,
-        curation,
-        sampling,
-        quantize,
         dedup,
+        curation,
         similarity,
-        advanced,
-        aggregates,
-        cdc_queries,
+        text,
         joins,
         windows,
+        aggregates,
+        advanced,
+        cdc_queries,
+        sampling,
+        quantize,
     )
 
 

@@ -1,0 +1,185 @@
+"""Versioned event-schema registry + contract tests (SURVEY §2 missing
+item; reference docs/design.md:873-876 — "Define event schemas /
+Validate against schema registry / Test consumer compatibility").
+
+The reference specs the shape but ships no registry.  This is the
+engine-side abstraction: every domain event type registers its payload
+schema; producers are contract-tested against the latest version
+(tests/test_schema_registry.py runs every rule's output through
+``validate_events``); evolution is gated by a compatibility check.
+
+Compatibility policy: FULL (both backward and forward) — a new version
+may only ADD OPTIONAL fields.  That is deliberately the same rule
+``schemas.evolve_table_schema`` enforces for source tables: any consumer
+pinned to any version can read events produced under any other version
+(missing optional fields read as NULL; unknown fields are ignored).
+Field removal or a type change requires a new subject, not a new
+version — the registry refuses it.
+
+Validation stays JVM-side: payload JSON parses once with the version's
+struct schema (``from_json``); a row is invalid when the JSON is
+unparseable or a required field is null after the parse (which also
+catches a mistyped required field — Spark yields null for a JSON value
+that does not coerce to the declared type).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+_TYPES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+}
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    name: str
+    dtype: str  # 'string' | 'long' | 'double' | 'boolean'
+    required: bool = False
+
+    def __post_init__(self):
+        if self.dtype not in _TYPES:
+            raise ValueError(f"unknown dtype {self.dtype!r} for {self.name!r}")
+
+
+@dataclass(frozen=True)
+class EventSchema:
+    subject: str
+    version: int
+    fields: tuple[FieldSpec, ...]
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f.name, _TYPES[f.dtype], True) for f in self.fields]
+        )
+
+
+def compatibility_violations(old: EventSchema,
+                             new_fields: tuple[FieldSpec, ...]) -> list[str]:
+    """FULL-compatibility check: the new version must keep every old
+    field at its exact (dtype, required) contract and may only append
+    OPTIONAL fields.  Returns human-readable violations (empty = ok)."""
+    errs: list[str] = []
+    old_by_name = {f.name: f for f in old.fields}
+    new_by_name = {f.name: f for f in new_fields}
+    for name, f in old_by_name.items():
+        nf = new_by_name.get(name)
+        if nf is None:
+            errs.append(f"field {name!r} removed (breaks pinned consumers)")
+        elif nf.dtype != f.dtype:
+            errs.append(
+                f"field {name!r} type changed {f.dtype} -> {nf.dtype}"
+            )
+        elif nf.required != f.required:
+            errs.append(f"field {name!r} required flag changed")
+    for name, nf in new_by_name.items():
+        if name not in old_by_name and nf.required:
+            errs.append(
+                f"new field {name!r} is required (old producers break)"
+            )
+    return errs
+
+
+class SchemaRegistry:
+    """In-memory versioned registry (the cluster analog holds the same
+    map in a compacted topic or a database; the CONTRACT — versioning +
+    compatibility gate + validation — is what this class pins down)."""
+
+    def __init__(self) -> None:
+        self._subjects: dict[str, list[EventSchema]] = {}
+
+    def subjects(self) -> list[str]:
+        return sorted(self._subjects)
+
+    def register(self, subject: str, fields: list[FieldSpec]) -> int:
+        """Register a schema version; returns the version number.
+        Re-registering an identical latest schema is idempotent."""
+        fs = tuple(fields)
+        history = self._subjects.setdefault(subject, [])
+        if history:
+            if history[-1].fields == fs:
+                return history[-1].version
+            errs = compatibility_violations(history[-1], fs)
+            if errs:
+                raise ValueError(
+                    f"incompatible schema for {subject!r} v{len(history) + 1}: "
+                    + "; ".join(errs)
+                )
+        schema = EventSchema(subject, len(history) + 1, fs)
+        history.append(schema)
+        return schema.version
+
+    def get(self, subject: str, version: int | None = None) -> EventSchema:
+        history = self._subjects[subject]
+        return history[-1] if version is None else history[version - 1]
+
+    def validate_events(self, events: DataFrame, subject: str,
+                        version: int | None = None) -> tuple[DataFrame, DataFrame]:
+        """Split a domain-event DataFrame (rules.py envelope: eventType +
+        payload JSON) into (valid, invalid) under ``subject``'s schema.
+        Invalid rows carry ``contract_violation``.  One from_json pass —
+        no Python in the path."""
+        schema = self.get(subject, version)
+        sdf = events.filter(F.col("eventType") == subject).withColumn(
+            "_parsed", F.from_json("payload", schema.spark_schema())
+        )
+        required = [f.name for f in schema.fields if f.required]
+        # PERMISSIVE from_json gives an all-null STRUCT for malformed
+        # JSON (not a null struct); the map-typed parse does yield NULL
+        # for corrupt records, so it is the parseability probe
+        bad_parse = F.from_json("payload", "map<string,string>").isNull()
+        missing = [
+            F.when(F.col(f"_parsed.{n}").isNull(), F.lit(n)) for n in required
+        ]
+        violations = F.concat_ws(
+            ",",
+            F.when(bad_parse, F.lit("unparseable_payload")),
+            *missing,
+        )
+        tagged = sdf.withColumn("contract_violation", violations)
+        ok = F.col("contract_violation") == ""
+        return (
+            tagged.filter(ok).drop("_parsed", "contract_violation"),
+            tagged.filter(~ok).drop("_parsed"),
+        )
+
+
+def default_registry() -> SchemaRegistry:
+    """Registry pre-seeded with v1 payload contracts for every rule in
+    operators/rules.py (field lists mirror each rule's _emp_payload
+    projection — the contract test asserts they stay in lockstep)."""
+    r = SchemaRegistry()
+    s, l_, d = "string", "long", "double"
+
+    def reg(subject, *specs):
+        r.register(subject, [FieldSpec(*sp) for sp in specs])
+
+    reg("EmployeeHired", ("employeeNumber", s, True), ("fullName", s),
+        ("positionId", s), ("departmentId", l_), ("salary", d, True),
+        ("hireDate", s))
+    reg("EmployeePromoted", ("previousPositionId", s), ("newPositionId", s),
+        ("previousSalary", d, True), ("newSalary", d, True),
+        ("salaryIncrease", d))
+    reg("EmployeeTerminated", ("employeeNumber", s, True), ("tenureDays", l_))
+    reg("EmployeeTransferred", ("fromDepartmentId", l_), ("toDepartmentId", l_))
+    reg("ManagerAssigned", ("previousManagerId", l_), ("newManagerId", l_))
+    reg("EmployeeDataUpdated", ("employeeNumber", s, True))
+    reg("DepartmentCreated", ("name", s, True))
+    reg("DepartmentRestructured", ("previousParentId", l_), ("newParentId", l_))
+    reg("SalaryAdjusted", ("oldSalary", d), ("newSalary", d, True),
+        ("reason", s), ("effectiveDate", s))
+    reg("LeaveRequested", ("leaveType", s, True), ("startDate", s, True),
+        ("endDate", s))
+    reg("LeaveApproved", ("leaveType", s), ("approvedBy", l_))
+    reg("AttendanceMarked", ("attendanceDate", s, True), ("status", s))
+    reg("BonusAwarded", ("amount", d, True), ("bonusType", s),
+        ("awardDate", s))
+    reg("StockGranted", ("shares", l_, True), ("grantDate", s),
+        ("vestingMonths", l_), ("cliffMonths", l_))
+    return r
