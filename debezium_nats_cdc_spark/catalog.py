@@ -58,11 +58,13 @@ def _load_modules() -> None:
     # the window.  Round 4 touched multimodal (new oracle), dedup
     # (observe + pair cache), curation (op key), similarity's kernels
     # (functions/vectors.py null guard), and text (doc only) — those go
-    # first (27 queries; sampling's 3 ride along early because curation
-    # and text import it); the remaining slots go to joins/windows/
-    # aggregates, displaced from r3's window (all r2-green, untouched
-    # since).  Outside the window: advanced, cdc_queries, quantize —
-    # all r3-green and untouched in r4.
+    # first (29 queries incl. the two new r4 ops corpus_lang_mix and
+    # pii_scrub_customers; sampling's entries ride along early because
+    # curation and text import it); the remaining slots go to joins/
+    # windows/aggregates, displaced from r3's window (all r2-green,
+    # untouched since).  Outside the window: tails of joins/aggregates
+    # plus advanced, cdc_queries, quantize — every one r2/r3-green and
+    # untouched in r4.
     from .operators import (  # noqa: F401
         multimodal,
         dedup,

@@ -249,3 +249,67 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("contamination"),
         (ratio >= _DECON_THRESHOLD).alias("contaminated"),
     )
+
+
+_PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+_PHONE_SQL = (
+    "lpad(CAST((c_custkey * 7) % 100 AS VARCHAR), 2, '0') || '-' || "
+    "lpad(CAST((c_custkey * 13) % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST((c_custkey * 17) % 1000 AS VARCHAR), 3, '0') || '-' || "
+    "lpad(CAST((c_custkey * 19) % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _phone_expr():
+    key = F.col("c_custkey")
+    return F.concat_ws(
+        "-",
+        F.lpad(((key * 7) % 100).cast("string"), 2, "0"),
+        F.lpad(((key * 13) % 1000).cast("string"), 3, "0"),
+        F.lpad(((key * 17) % 1000).cast("string"), 3, "0"),
+        F.lpad(((key * 19) % 10000).cast("string"), 4, "0"),
+    )
+
+
+@register(
+    "pii_scrub_customers",
+    oracle=f"""
+    WITH joined AS (
+      SELECT c_custkey,
+             c_name || ' call ' || {_PHONE_SQL} || ' ' || c_mktsegment AS blob
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(blob, '{_PHONE_RE}')) AS INT)
+             AS n_phones,
+           md5(regexp_replace(blob, '{_PHONE_RE}', '<PHONE>', 'g'))
+             AS scrubbed_md5
+    FROM joined
+    """,
+    survey_ids=["B7", "K3"],
+    doc="Corpus-scale PII scrubbing (the training-data analog of the "
+        "CDC path's field masking, B7): phone-shaped spans redacted from "
+        "free text with a single codegen'd regexp_replace, redaction "
+        "counts reported per record, and the scrubbed text fingerprinted "
+        "(md5 — keeps the oracle compare content-exact without hashing "
+        "large text through the driver). The slimmed testdata ships no "
+        "PII-bearing column, so the phone is manufactured "
+        "deterministically from c_custkey (same derive-from-data "
+        "convention as the multimodal ops) — the redaction path itself "
+        "(find/count/replace/fingerprint) is the real engine surface. "
+        "Map-only scan at 100 TB: no shuffle, no Python, patterns from "
+        "the regex subset Java and RE2 interpret identically.",
+)
+def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    blob = F.concat_ws(" ", F.col("c_name"), F.lit("call"), _phone_expr(),
+                       F.col("c_mktsegment"))
+    return c.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all(blob, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("int").alias("n_phones"),
+        F.md5(F.regexp_replace(blob, _PHONE_RE, "<PHONE>"))
+        .alias("scrubbed_md5"),
+    )

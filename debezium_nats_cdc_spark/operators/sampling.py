@@ -167,3 +167,58 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
     )
+
+
+@register(
+    "corpus_lang_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM counts
+    )
+    SELECT lang, n_docs,
+           CAST(CAST(ROUND(CAST(n_docs AS DOUBLE) / total, 6)
+                AS DECIMAL(10,6)) AS DOUBLE) AS share,
+           CAST(CAST(ROUND(
+                least(1.0, (CAST(total AS DOUBLE) / n_langs) / n_docs), 6)
+                AS DECIMAL(10,6)) AS DOUBLE) AS sample_weight
+    FROM counts CROSS JOIN tot
+    """,
+    survey_ids=["K1", "K3"],
+    doc="Training-mixture reweighting: per-language corpus share and the "
+        "downsampling weight that flattens the mixture to uniform "
+        "(weight = min(1, target_count/actual_count) — overrepresented "
+        "languages get weight < 1, the rest keep everything; a Bernoulli "
+        "sample at these weights yields the target mix in expectation, "
+        "the standard pre-training data-mixture knob). Cross-engine "
+        "determinism: ratios of integers are IEEE-correctly-rounded "
+        "double divisions, identical everywhere. Scale: one tiny "
+        "groupBy(lang) agg + a broadcast of two scalars — the corpus is "
+        "touched once.",
+)
+def corpus_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    share = F.round(F.col("n_docs").cast("double") / F.col("total"), 6)
+    weight = F.round(
+        F.least(
+            F.lit(1.0),
+            (F.col("total").cast("double") / F.col("n_langs")) / F.col("n_docs"),
+        ),
+        6,
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        share.cast("decimal(10,6)").cast("double").alias("share"),
+        weight.cast("decimal(10,6)").cast("double").alias("sample_weight"),
+    )
