@@ -250,7 +250,14 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    # tokenize into a PROJECTED attribute first — element_at over an
+    # inline split() inside the transform lambda re-evaluates the split
+    # per element (no CSE across lambda boundaries, see _shingle_expr's
+    # note): O(tokens²) per doc, measured ~4.7 s -> 0.85 s warm at sf0.1
+    d = d.withColumn(
+        "_toks", F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     gs = F.when(
         n >= 3,
