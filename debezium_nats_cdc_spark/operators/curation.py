@@ -200,7 +200,14 @@ def _decon_oracle() -> str:
 )
 def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    # tokenize into a PROJECTED attribute: slice() inside the transform
+    # lambda over an inline split() re-evaluates the split per gram (no
+    # CSE across lambda boundaries — same O(tokens²) trap as
+    # text_repetition_filter; measured ~4.8 s -> ~1.9 s warm at sf0.1)
+    d = d.withColumn(
+        "_toks", F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
     grams = F.when(
         n >= _DECON_N,
@@ -217,7 +224,13 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     g60 = md5_60("g")
     train_grams = (
         base.filter("is_train")
-        .select(F.explode("gs").alias("g"))
+        # explode_outer, NOT explode: InferFiltersFromGenerate would
+        # otherwise push size(gs)>0 below the projection, duplicating
+        # the whole gram-building transform into a Filter (doc_shingles
+        # documents the same trap); NULL rows are dropped right after,
+        # on the exploded ATTRIBUTE, which nothing re-substitutes
+        .select(F.explode_outer("gs").alias("g"))
+        .filter(F.col("g").isNotNull())
         .select(g60.alias("g"))
         .distinct()
         .withColumn("hit", F.lit(1))
