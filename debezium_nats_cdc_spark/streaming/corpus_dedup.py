@@ -44,6 +44,11 @@ log = logging.getLogger(__name__)
 EST_JACCARD_THRESHOLD = 0.5
 _ROWS_PER_BAND = N_HASHES // N_BANDS
 
+# intra-batch bucket size above which pair expansion falls back from
+# all-pairs (O(k²)) to anchor matching (O(k)); see
+# dedup_batch_against_index
+INTRA_BUCKET_CAP = 1000
+
 
 def _bands(sigs: DataFrame) -> DataFrame:
     """(doc_id, sig) -> one row per band: (band_id, band_hash, doc_id, sig)."""
@@ -128,7 +133,7 @@ def dedup_batch_against_index(batch_bands: DataFrame,
         .filter(F.size("ds") >= 2)
     )
     ds = F.col("ds")
-    pair_arr = F.flatten(
+    full_pairs = F.flatten(
         F.transform(
             ds,
             lambda x: F.transform(
@@ -141,6 +146,26 @@ def dedup_batch_against_index(batch_bands: DataFrame,
                 ),
             ),
         )
+    )
+    # Skew guard — DIFFERENT from the batch ops' drop-the-bucket cap: a
+    # dedup INGEST must not let duplicates through, so an over-cap
+    # bucket degrades to ANCHOR matching (every member vs the bucket's
+    # minimum-id doc, O(k) instead of O(k²)) rather than being dropped.
+    # Degenerate buckets are near-identical boilerplate, exactly where
+    # anchor matching is lossless; a pair is only missed if one side
+    # matches some mid-id member but NOT the bucket minimum.
+    anchor = F.element_at(F.array_sort(ds), 1)  # struct sorts by id first
+    anchor_pairs = F.transform(
+        F.filter(ds, lambda y: y["id"] > anchor["id"]),
+        lambda y: F.struct(
+            anchor["id"].alias("keeper"),
+            y["id"].alias("doc_id"),
+            anchor["sig"].alias("sig_a"),
+            y["sig"].alias("sig_b"),
+        ),
+    )
+    pair_arr = F.when(F.size(ds) <= INTRA_BUCKET_CAP, full_pairs).otherwise(
+        anchor_pairs
     )
     intra = (
         grouped.select(F.explode_outer(pair_arr).alias("p"))

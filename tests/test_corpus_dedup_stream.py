@@ -144,3 +144,23 @@ def test_stale_index_format_is_refused(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="signature"):
         pipe.process_batch(spark, docs2)
+
+
+def test_degenerate_bucket_uses_anchor_fallback(spark, monkeypatch):
+    """A batch where one band bucket exceeds INTRA_BUCKET_CAP must (a)
+    still mark every duplicate (anchor matching, not bucket dropping —
+    an ingest dedup must not let dups through) and (b) keep lowest-id
+    as the keeper."""
+    from debezium_nats_cdc_spark.streaming import corpus_dedup as cd
+    from debezium_nats_cdc_spark.operators.dedup import minhash_signatures
+
+    monkeypatch.setattr(cd, "INTRA_BUCKET_CAP", 5)
+    boiler = " ".join(f"tok{i}" for i in range(30))
+    rows = [(i, boiler) for i in range(10)]                   # 10 identical
+    rows += [(100, " ".join(f"x{i}" for i in range(30)))]     # 1 unique
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = cd._bands(minhash_signatures(docs))
+    out = {r["doc_id"]: r["dup_of"]
+           for r in cd.dedup_batch_against_index(bands, None).collect()}
+    assert out[0] is None and out[100] is None
+    assert all(out[i] == 0 for i in range(1, 10))
