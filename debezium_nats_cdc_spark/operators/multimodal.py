@@ -107,7 +107,8 @@ _FEATURE_SCHEMA = T.StructType(
       GROUP BY p.doc_id, p.n_bytes
     )
     SELECT doc_id, n_bytes, n_bytes // 1024 + 1 AS frames,
-           CAST(checksum % 256 AS DOUBLE) AS mean_intensity
+           CASE WHEN n_bytes IS NULL THEN NULL
+                ELSE CAST(checksum % 256 AS DOUBLE) END AS mean_intensity
     FROM b
     """,
     survey_ids=["K4"],
@@ -123,13 +124,26 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_media(p, "text") for p in pdf["payload"]]
+            # NULL payload (NULL source text) -> NULL features, matching
+            # the oracle's NULL fold — one corrupt row at 100 TB must
+            # not fail the stage (same contract as functions/vectors.py)
+            n_bytes, frames, mean = [], [], []
+            for p in pdf["payload"]:
+                if p is None:
+                    n_bytes.append(None)
+                    frames.append(None)
+                    mean.append(None)
+                else:
+                    f = decode_media(p, "text")
+                    n_bytes.append(len(p))
+                    frames.append(f["frames"])
+                    mean.append(f["mean_intensity"])
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "frames": [f["frames"] for f in feats],
-                    "mean_intensity": [f["mean_intensity"] for f in feats],
+                    "n_bytes": pd.array(n_bytes, dtype="Int64"),
+                    "frames": pd.array(frames, dtype="Int64"),
+                    "mean_intensity": pd.array(mean, dtype="Float64"),
                 }
             )
 
