@@ -127,7 +127,8 @@ def _cap_buckets(grouped: DataFrame, op: str) -> DataFrame:
 
 def bucket_drop_stats(op: str, obs_wait_s: float = 3.0) -> dict | None:
     """Skew-cap drop metrics for the last run of ``op`` ('minhash' |
-    'jaccard' | 'simhash' | 'curation'), or None if it hasn't run.
+    'jaccard' | 'simhash' | 'curation' | 'exact_substring'), or None if
+    it hasn't run.
 
     Polls the same-pass Observation briefly — delivery is async, and
     pyspark's ``Observation.get`` only waits ~100 ms before surfacing a
@@ -855,3 +856,69 @@ def connected_components(pairs: DataFrame,
         f"(component diameter > 2^{max_rounds}); refusing to return "
         "split clusters"
     )
+
+
+# ------------------------------------------- exact-substring overlap ---
+
+SUBSTR_WINDOW = 20  # tokens per exact window (Lee et al. use 50 BPE toks)
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(coalesce(text, '')), ' ') AS toks
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(toks[i:i+{SUBSTR_WINDOW - 1}], '_')
+                            for i in range(1, len(toks) - {SUBSTR_WINDOW - 1} + 1)])
+               AS ws
+      FROM tok WHERE len(toks) >= {SUBSTR_WINDOW}
+    ),
+    post AS (
+      SELECT doc_id, unnest(ws) AS w FROM wins
+    ),
+    capped AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, w, COUNT(*) OVER (PARTITION BY w) AS df FROM post)
+      WHERE df <= {BUCKET_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+    FROM capped a JOIN capped b ON a.w = b.w AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    survey_ids=["K1"],
+    doc=f"Exact-substring dedup (Lee et al., 'Deduplicating Training "
+        f"Data Makes Language Models Better'): doc pairs sharing at "
+        f"least one identical run of {SUBSTR_WINDOW} consecutive tokens "
+        "— catches verbatim boilerplate/quotation overlap that "
+        "set-based Jaccard dilutes away on long docs. Reuses the "
+        "capped Vernica inverted-index pair generation (windows as "
+        "shingles, df <= BUCKET_CAP skew guard, drops observable via "
+        "bucket_drop_stats('exact_substring')); the window strings "
+        "hash to 8 bytes on the shuffle. At 100 TB this is the "
+        "suffix-array-free approximation: two narrow shuffles, no "
+        "cross join.",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = SUBSTR_WINDOW
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_toks", F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    wins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - (K - 1)),
+            lambda i: F.array_join(F.slice(toks, i, K), "_"),
+        )
+    )
+    gsets = d.filter(n >= K).select("doc_id", wins.alias("gs"))
+    pairs = jaccard_pair_counts(gsets, op="exact_substring")
+    return pairs.select(
+        "doc_a", "doc_b",
+        F.col("inter").cast("bigint").alias("n_shared_windows"),
+    ).orderBy("doc_a", "doc_b")
