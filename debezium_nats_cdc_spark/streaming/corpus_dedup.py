@@ -206,6 +206,14 @@ def dedup_batch_against_index(batch_bands: DataFrame,
 # batches — near-dups of previously-accepted docs would silently pass)
 INDEX_FORMAT = "minhash-md5km-16x4"
 
+# band-index file count that triggers compaction: every epoch appends
+# one small token file, so an uncompacted index degrades probe reads to
+# thousands-of-tiny-files at scale. Index rows are immutable, so
+# compaction is pure file coalescing (Spark's small-file packing
+# collapses the read into few partitions), swapped in atomically
+# through the StateBackend seam like the CDC state log.
+INDEX_COMPACT_THRESHOLD = 48
+
 
 class CorpusDedupPipeline:
     """foreachBatch-driven incremental dedup with an on-disk band index."""
@@ -256,8 +264,33 @@ class CorpusDedupPipeline:
                      self.quarantine_dir, "quarantine", epoch_id)
         self._append(docs.join(accepted_ids, "doc_id", "left_semi"),
                      self.accepted_dir, "accepted", epoch_id)
+        # heal a compaction crash BEFORE appending (same ordering
+        # rationale as pipeline._sink_state)
+        self.backend.recover(self.index_dir)
         self._append(bands.join(accepted_ids, "doc_id", "left_semi"),
                      self.index_dir, "index", epoch_id)
+        self._maybe_compact_index(spark)
+
+    def _maybe_compact_index(self, spark: SparkSession) -> None:
+        """Coalesce the band-index log once its file count passes the
+        threshold.  Safe under epoch replay: exactly-once is keyed on
+        commit MARKERS in txn_dir (outside the index dir), so a replayed
+        epoch after compaction is skipped, not re-appended; the format
+        stamp is re-written because swap_write replaces the directory.
+        """
+        n_files = self.backend.data_file_count(self.index_dir)
+        if n_files < INDEX_COMPACT_THRESHOLD:
+            return
+        # coalesce explicitly: Spark's leaf parallelism floor keeps tiny
+        # files in separate partitions, so an un-coalesced rewrite would
+        # preserve the file count instead of shrinking it. ~8× per
+        # compaction amortizes to O(log) rewrites of any prefix.
+        target = max(1, n_files // 8)
+        self.backend.swap_write(
+            spark.read.parquet(self.index_dir).coalesce(target),
+            self.index_dir,
+        )
+        self._stamp_format()
 
     def _append(self, df: DataFrame, final_dir: str, sink: str,
                 epoch_id: int | None) -> None:

@@ -164,3 +164,45 @@ def test_degenerate_bucket_uses_anchor_fallback(spark, monkeypatch):
            for r in cd.dedup_batch_against_index(bands, None).collect()}
     assert out[0] is None and out[100] is None
     assert all(out[i] == 0 for i in range(1, 10))
+
+
+@pytest.mark.parametrize("backend_cls", ["local", "pointer"])
+def test_index_compaction_bounds_files_and_keeps_membership(
+        spark, tmp_path, monkeypatch, backend_cls):
+    """With the compaction threshold forced low, the band index must stay
+    at a bounded file count across many epochs, keep its format stamp,
+    keep detecting cross-batch dups AFTER compaction, and stay
+    replay-stable — on both state backends."""
+    from debezium_nats_cdc_spark.streaming import corpus_dedup as cd
+    from debezium_nats_cdc_spark.streaming.state_backend import (
+        GenerationPointerBackend, LocalFSBackend,
+    )
+
+    monkeypatch.setattr(cd, "INDEX_COMPACT_THRESHOLD", 2)
+    backend = (LocalFSBackend() if backend_cls == "local"
+               else GenerationPointerBackend())
+    pipe = cd.CorpusDedupPipeline(str(tmp_path / backend_cls),
+                                  backend=backend)
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = " ".join(f"w{i}" for i in range(40))
+    # epoch 0: two distinct docs; epochs 1-3: fresh docs each
+    pipe.process_batch(spark, docs([(1, base), (2, "x " * 40)]), epoch_id=0)
+    for ep in range(1, 4):
+        pipe.process_batch(
+            spark, docs([(100 + ep, f"unique{ep} " * 40)]), epoch_id=ep)
+    assert pipe.backend.data_file_count(pipe.index_dir) <= 3  # compacted
+
+    # a near-dup of doc 1 arriving AFTER compaction is still caught
+    pipe.process_batch(spark, docs([(500, base + " tail")]), epoch_id=4)
+    q = spark.read.parquet(pipe.quarantine_dir)
+    assert {r["doc_id"]: r["dup_of"] for r in q.collect()} == {500: 1}
+
+    # replay an already-committed epoch: nothing re-appends
+    n_acc = spark.read.parquet(pipe.accepted_dir).count()
+    n_idx = spark.read.parquet(pipe.index_dir).count()
+    pipe.process_batch(spark, docs([(101, "unique1 " * 40)]), epoch_id=1)
+    assert spark.read.parquet(pipe.accepted_dir).count() == n_acc
+    assert spark.read.parquet(pipe.index_dir).count() == n_idx
