@@ -263,3 +263,70 @@ def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_h.alias("out_height"),
         (mx > _MAX_SIDE).alias("needs_resize"),
     )
+
+
+_CHUNK_MS = 30_000   # Whisper-style window
+_OVERLAP_MS = 1_000
+_STRIDE_MS = _CHUNK_MS - _OVERLAP_MS
+_MS_PER_BYTE = 200   # deterministic fake duration, scaled so the
+                     # sf corpus actually exercises multi-chunk docs
+
+
+@register(
+    "mm_audio_chunk_plan",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * {_MS_PER_BYTE}
+               AS duration_ms
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, duration_ms,
+             (greatest(duration_ms - {_CHUNK_MS}, 0) + {_STRIDE_MS} - 1)
+               // {_STRIDE_MS} AS n_extra
+      FROM a
+    )
+    SELECT doc_id, duration_ms,
+           CAST(i AS INT) AS chunk_ord,
+           i * {_STRIDE_MS} AS start_ms,
+           least(i * {_STRIDE_MS} + {_CHUNK_MS}, duration_ms) AS end_ms,
+           CAST(n_extra + 1 AS BIGINT) AS n_chunks
+    FROM k CROSS JOIN (SELECT unnest(range(0, 10000)) AS i) t
+    WHERE i <= n_extra
+    """,
+    survey_ids=["K4"],
+    doc=f"Audio chunking PLAN: {_CHUNK_MS / 1000:.0f}s windows with "
+        f"{_OVERLAP_MS / 1000:.0f}s overlap (the ASR/Whisper transcription "
+        "schedule). Like mm_frame_sample, the schedule is computed BEFORE "
+        "any decode — at 100 TB of audio the decode stage (mapInPandas) "
+        "seeks exactly these byte ranges instead of materializing whole "
+        "files. Duration derives deterministically from payload length "
+        "(no real audio in the container); all integer arithmetic, one "
+        "generator, no Python, no shuffle.",
+)
+def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    duration = (F.octet_length(F.encode("text", "UTF-8")).cast("bigint")
+                * _MS_PER_BYTE)
+    a = d.select("doc_id", duration.alias("duration_ms"))
+    # integer `div`, never `/`: double division truncated through a cast
+    # can mis-round at exact multiples, and the oracle uses `//`
+    n_extra = F.expr(
+        f"(greatest(duration_ms - {_CHUNK_MS}, 0L) + {_STRIDE_MS - 1}) "
+        f"div {_STRIDE_MS}"
+    )
+    k = a.select("doc_id", "duration_ms", n_extra.alias("n_extra"))
+    s = k.select(
+        "doc_id", "duration_ms", "n_extra",
+        F.explode(F.sequence(F.lit(0), F.col("n_extra"))).alias("i"),
+    )
+    return s.select(
+        "doc_id",
+        "duration_ms",
+        F.col("i").cast("int").alias("chunk_ord"),
+        (F.col("i") * _STRIDE_MS).alias("start_ms"),
+        F.least(F.col("i") * _STRIDE_MS + _CHUNK_MS,
+                F.col("duration_ms")).alias("end_ms"),
+        (F.col("n_extra") + 1).cast("bigint").alias("n_chunks"),
+    )
