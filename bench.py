@@ -29,8 +29,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     ents = catalog.entries()
-    # warm the JVM + parquet footers once so q1 doesn't pay session startup
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # Warm the JVM, the parquet footers of the hot tables, and the
+    # Python worker pool once, so the FIRST query charged doesn't absorb
+    # session startup (which query runs first depends on registration
+    # order and would otherwise swing its number by seconds).
+    for t in ("lineitem", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _warm(v):
+        return v
+
+    spark.range(4).select(_warm("id")).count()  # spin up Arrow workers
 
     for name, e in ents.items():
         t0 = time.time()
