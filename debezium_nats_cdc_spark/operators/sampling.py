@@ -222,3 +222,81 @@ def corpus_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.cast("decimal(10,6)").cast("double").alias("share"),
         weight.cast("decimal(10,6)").cast("double").alias("sample_weight"),
     )
+
+
+_QWS_LOW_QUALITY_FACTOR = 0.25
+_HASH_DENOM = float(1 << 60)  # md5-prefix fraction denominator
+
+
+@register(
+    "corpus_quality_weighted_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM counts
+    ),
+    w AS (
+      SELECT d.doc_id, d.lang,
+             least(1.0, (CAST(t.total AS DOUBLE) / t.n_langs) / c.n_docs)
+               * (CASE WHEN d.n_chars >= 100
+                        AND len(string_split(d.text, ' ')) >= 20
+                       THEN 1.0 ELSE {_QWS_LOW_QUALITY_FACTOR} END) AS w,
+             CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) / {_HASH_DENOM} AS u
+      FROM documents d
+      JOIN counts c ON d.lang = c.lang
+      CROSS JOIN tot t
+    )
+    SELECT doc_id, lang,
+           CAST(CAST(ROUND(w, 6) AS DECIMAL(10,6)) AS DOUBLE) AS keep_weight
+    FROM w WHERE u < w
+    """,
+    survey_ids=["K1", "K3"],
+    doc="Quality-weighted mixture sampling (the DCLM/C4-style op that "
+        "actually MATERIALIZES a training subset): per-doc keep "
+        "probability = language downsampling weight (corpus_lang_mix's "
+        "uniform-mixture target) x a quality factor (full weight past "
+        "the length gates, 0.25 below), decided by a deterministic "
+        "md5-fraction coin per doc — reproducible on any cluster, any "
+        "partitioning, both engines (hex-parsed 60-bit integer over "
+        "2^60; every arithmetic step is an IEEE-correctly-rounded "
+        "double op in the same order). Scale: one tiny groupBy(lang) "
+        "broadcast against a map-only scan; the filter prunes at the "
+        "scan, no extra shuffle.",
+)
+def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_langs"),
+    )
+    lang_w = F.least(
+        F.lit(1.0),
+        (F.col("total").cast("double") / F.col("n_langs")) / F.col("n_docs"),
+    )
+    quality = F.when(
+        (F.col("n_chars") >= 100) & (F.size(F.split("text", " ")) >= 20),
+        F.lit(1.0),
+    ).otherwise(F.lit(_QWS_LOW_QUALITY_FACTOR))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") / F.lit(_HASH_DENOM)
+    )
+    w = lang_w * quality
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_w", w)
+        .filter(u < F.col("_w"))
+        .select(
+            "doc_id", "lang",
+            F.round("_w", 6).cast("decimal(10,6)").cast("double")
+            .alias("keep_weight"),
+        )
+    )
