@@ -167,3 +167,46 @@ def test_pack_sequences_two_shuffles_max(spark):
     plan = formatted_plan(df)
     n = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n <= 2, plan
+
+
+def test_pii_scrub_is_map_only(spark):
+    """PII scrubbing is a per-row projection: any Exchange means a
+    shuffle crept into a scan-only operator."""
+    import re
+
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    df = catalog.entries()["pii_scrub_customers"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert not re.search(r"^\(\d+\) Exchange", plan, re.MULTILINE), plan
+
+
+def test_audio_chunk_plan_is_generator_only(spark):
+    """The chunk schedule is scan -> generator -> project; no shuffle."""
+    import re
+
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    df = catalog.entries()["mm_audio_chunk_plan"].fn(spark, SF)
+    plan = formatted_plan(df)
+    assert not re.search(r"^\(\d+\) Exchange", plan, re.MULTILINE), plan
+    assert "Generate" in plan
+
+
+def test_mixture_weights_broadcast_against_scan(spark):
+    """corpus_quality_weighted_sample joins every corpus row to its
+    per-lang weight: that join must be a broadcast hash join — a
+    shuffle join on lang would shuffle the whole corpus at 100 TB.
+    corpus_lang_mix itself never joins the corpus (its output IS the
+    per-lang table); its only join is the broadcast of two scalars,
+    which must not surface as a CartesianProduct."""
+    df = catalog.entries()["corpus_quality_weighted_sample"].fn(spark, SF)
+    assert_broadcast_join(df, at_least=1)
+    assert_no_cartesian(catalog.entries()["corpus_lang_mix"].fn(spark, SF))
+
+
+def test_exact_substring_pairs_via_equijoin(spark):
+    """dedup_exact_substring inherits the inverted-index shape: bucket
+    equi-join only, never cartesian."""
+    df = catalog.entries()["dedup_exact_substring"].fn(spark, SF)
+    assert_no_cartesian(df)
