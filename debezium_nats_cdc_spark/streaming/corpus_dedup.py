@@ -175,12 +175,22 @@ def dedup_batch_against_index(batch_bands: DataFrame,
         .filter(F.col("est_jaccard") >= EST_JACCARD_THRESHOLD)
     )
     if probe_matches is not None:
-        # a keeper that itself duplicates the index can't claim batch-mates
-        intra = intra.join(
-            probe_matches.select(F.col("doc_id").alias("keeper")),
-            "keeper",
-            "left_anti",
+        # A keeper that itself duplicates the index can't claim
+        # batch-mates (dup_of must point at an ACCEPTED doc) — but its
+        # pairs must not vanish either: in the anchor-capped buckets a
+        # member's ONLY pair may be the anchor, and an earlier revision's
+        # left-anti here silently accepted every such member whenever the
+        # anchor probe-matched the index (the exact boilerplate case the
+        # cap targets).  Instead CHAIN: rewrite the pair's target to the
+        # keeper's own index match.  The recorded est_jaccard remains the
+        # member-vs-keeper estimate — a proxy for member-vs-index (both
+        # cleared the threshold against a shared near-identical text).
+        chain = probe_matches.select(
+            F.col("doc_id").alias("keeper"), F.col("dup_of").alias("_chain_to")
         )
+        intra = intra.join(chain, "keeper", "left").withColumn(
+            "keeper", F.coalesce("_chain_to", F.col("keeper"))
+        ).drop("_chain_to")
     intra_matches = intra.groupBy("doc_id").agg(
         F.min("keeper").alias("dup_of"),
         F.max("est_jaccard").alias("est_jaccard"),
@@ -252,6 +262,14 @@ class CorpusDedupPipeline:
         docs = docs.localCheckpoint(eager=True)
         if docs.isEmpty():
             return
+        # Heal a compaction crash FIRST: _maybe_compact_index swap-rewrites
+        # index_dir, and a crash mid-swap (or in the generation backend's
+        # first-transition window) leaves it torn.  Recovering only before
+        # the append (as earlier revisions did) is too late — _index()
+        # would read the torn dir, has_data() would see nothing, and the
+        # replayed batch would probe against NO index, silently accepting
+        # near-dups of already-indexed docs.
+        self.backend.recover(self.index_dir)
         self._stamp_format()
         bands = _bands(minhash_signatures(docs)).localCheckpoint(eager=True)
         verdict = dedup_batch_against_index(bands, self._index(spark))
@@ -264,9 +282,6 @@ class CorpusDedupPipeline:
                      self.quarantine_dir, "quarantine", epoch_id)
         self._append(docs.join(accepted_ids, "doc_id", "left_semi"),
                      self.accepted_dir, "accepted", epoch_id)
-        # heal a compaction crash BEFORE appending (same ordering
-        # rationale as pipeline._sink_state)
-        self.backend.recover(self.index_dir)
         self._append(bands.join(accepted_ids, "doc_id", "left_semi"),
                      self.index_dir, "index", epoch_id)
         self._maybe_compact_index(spark)

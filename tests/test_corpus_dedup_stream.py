@@ -166,6 +166,32 @@ def test_degenerate_bucket_uses_anchor_fallback(spark, monkeypatch):
     assert all(out[i] == 0 for i in range(1, 10))
 
 
+def test_anchor_probe_match_chains_bucket_mates(spark, monkeypatch):
+    """When an over-cap bucket's ANCHOR itself duplicates the index, its
+    bucket-mates (whose only intra pair is the anchor) must still be
+    quarantined — chained to the anchor's index match — not silently
+    accepted (the recall hole an earlier left-anti on keeper opened)."""
+    from debezium_nats_cdc_spark.streaming import corpus_dedup as cd
+    from debezium_nats_cdc_spark.operators.dedup import minhash_signatures
+
+    monkeypatch.setattr(cd, "INTRA_BUCKET_CAP", 5)
+    boiler = " ".join(f"tok{i}" for i in range(30))
+
+    def bands_of(rows):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return cd._bands(minhash_signatures(docs))
+
+    index_bands = bands_of([(1, boiler)])  # doc 1 already accepted
+    batch_bands = bands_of([(i, boiler) for i in range(10, 20)])  # over-cap
+    out = {r["doc_id"]: r["dup_of"]
+           for r in cd.dedup_batch_against_index(
+               batch_bands, index_bands).collect()}
+    # every batch doc is a dup, and every dup_of points at the ACCEPTED
+    # doc 1 — the anchor via its probe match, the mates via chaining
+    assert set(out) == set(range(10, 20))
+    assert all(v == 1 for v in out.values())
+
+
 @pytest.mark.parametrize("backend_cls", ["local", "pointer"])
 def test_index_compaction_bounds_files_and_keeps_membership(
         spark, tmp_path, monkeypatch, backend_cls):
