@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..catalog import register
 from ..functions.hashing import md5_60
 from ..io import load_table
+from .dedup import BUCKET_CAP as _JACCARD_DF_CAP
 from .dedup import doc_shingles, jaccard_pair_counts
 from .sampling import TRAIN_HEX_CUTOFF, is_train_expr
 from .text import _EN_STOPWORDS
@@ -63,17 +64,18 @@ _NEARDUP_JACCARD = 0.5
     postings AS (
       SELECT doc_id, unnest(gs) AS g, len(gs) AS sz FROM gsets
     ),
-    capped AS (
-      SELECT doc_id, g, sz FROM (
-        SELECT doc_id, g, sz, COUNT(*) OVER (PARTITION BY g) AS df
-        FROM postings)
-      WHERE df <= 1000
+    sized AS (
+      SELECT doc_id, g, sz,
+             COUNT(*) OVER (PARTITION BY g) AS df,
+             MIN(doc_id) OVER (PARTITION BY g) AS gmin
+      FROM postings
     ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS DOUBLE)
                / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) AS jaccard
-      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM sized a JOIN sized b ON a.g = b.g AND a.doc_id < b.doc_id
+      WHERE a.df <= {_JACCARD_DF_CAP} OR a.doc_id = a.gmin
       GROUP BY a.doc_id, b.doc_id
     ),
     losers AS (
@@ -91,7 +93,7 @@ _NEARDUP_JACCARD = 0.5
         "plan; shuffles: digest groupBy + shingle postings groupBy + the "
         "final anti-join (strategy left to AQE: the loser set is unbounded "
         "at corpus scale, so no broadcast hint). Shingles with df > 1000 "
-        "are dropped from pair generation (mirrored in the oracle) — the "
+        "expand anchor pairs only (mirrored in the oracle) — the "
         "stop-shingle skew guard, same recall bound as dedup_ngram_jaccard.",
 )
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,8 +319,13 @@ def _phone_expr():
 )
 def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    blob = F.concat_ws(" ", F.col("c_name"), F.lit("call"), _phone_expr(),
-                       F.col("c_mktsegment"))
+    # F.concat, NOT concat_ws: the oracle's || propagates NULL (NULL
+    # c_name → NULL blob → NULL n_phones/scrubbed_md5) while concat_ws
+    # silently SKIPS NULL inputs — the two would diverge on any NULL
+    # name/segment row (latent in the clean fixture, fatal under the
+    # dirty-input gate's corrupted tables)
+    blob = F.concat(F.col("c_name"), F.lit(" call "), _phone_expr(),
+                    F.lit(" "), F.col("c_mktsegment"))
     return c.select(
         "c_custkey",
         F.size(F.regexp_extract_all(blob, F.lit(_PHONE_RE), F.lit(0)))

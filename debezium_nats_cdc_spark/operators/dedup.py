@@ -79,62 +79,87 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
-BUCKET_CAP = 1000  # skew guard: drop degenerate blocking buckets
+# Skew guard: buckets above this size switch pair expansion from
+# all-pairs (O(k²)) to anchor pairing (O(k), see _bucket_pairs) —
+# recall degrades gracefully instead of being dropped outright.
+BUCKET_CAP = 1000
 _H2_MASK = (1 << 40) - 1  # keep h1 + 15*h2m < 2^61: no overflow either engine
 
 
 # Last (Observation, fallback-metrics DataFrame) per capping operator,
-# so dropped-recall is measurable instead of silent: a boilerplate-heavy
-# corpus that blows BUCKET_CAP loses near-dup recall, and the operator
-# of a 100 TB run needs to SEE that (alert on dropped_docs/total, re-run
-# with salting or a higher cap).  Populated by _cap_buckets; read via
+# so cap-degraded recall is measurable instead of silent: on a
+# boilerplate-heavy corpus the anchor fallback still finds every
+# member-vs-anchor pair, but skips the other all-pairs expansions, and
+# the operator of a 100 TB run needs to SEE that trade (alert on
+# skipped_pairs, re-run with a higher cap if the anchor recall bound is
+# not acceptable).  Populated by _cap_buckets; read via
 # bucket_drop_stats() after an action has run on the query's result.
 _DROP_OBS: dict[str, tuple[object, DataFrame]] = {}
 
-_DROP_METRIC_COLS = ("dropped_buckets", "dropped_docs", "total_buckets")
+_DROP_METRIC_COLS = (
+    "capped_buckets", "recovered_pairs", "skipped_pairs", "total_buckets"
+)
 
 
 def _drop_metric_exprs():
     sz = F.size("ds")
+    over = sz > BUCKET_CAP
+    sz_l = sz.cast("long")
+    full_pairs = (sz_l * (sz_l - 1) / F.lit(2)).cast("long")
     return [
-        F.sum(F.when(sz > BUCKET_CAP, 1).otherwise(0)).alias("dropped_buckets"),
-        F.sum(F.when(sz > BUCKET_CAP, sz).otherwise(0)).alias("dropped_docs"),
+        F.sum(F.when(over, 1).otherwise(0)).alias("capped_buckets"),
+        F.sum(F.when(over, sz_l - 1).otherwise(0)).cast("long")
+        .alias("recovered_pairs"),
+        F.sum(F.when(over, full_pairs - (sz_l - 1)).otherwise(0)).cast("long")
+        .alias("skipped_pairs"),
         F.count(F.lit(1)).alias("total_buckets"),
     ]
 
 
 def _cap_buckets(grouped: DataFrame, op: str) -> DataFrame:
-    """Apply the BUCKET_CAP skew filter to a (…, ds) bucket DataFrame,
-    observing how much it drops.
+    """Observe skew metrics on a (…, ds) bucket DataFrame and keep every
+    bucket with ≥ 2 members.  Nothing is dropped here anymore — pair
+    expansion itself degrades to anchor pairing above BUCKET_CAP
+    (_bucket_pairs); this stage only measures how often that happens.
 
     Primary path: an Observation — metrics ride the plan's one pass over
     the bucket rows, zero extra jobs.  But AQE's empty-relation
     propagation can PRUNE the CollectMetrics node from the final plan
-    (when every bucket is capped away the downstream goes empty — the
-    exact situation the metric exists to expose), and pruned metrics are
-    never delivered.  So the registry also keeps a fallback aggregation
-    over the same bucket DataFrame that bucket_drop_stats() runs as one
-    tiny on-demand job when the observation never fires.
+    (e.g. every bucket is a singleton and the downstream goes empty),
+    and pruned metrics are never delivered.  So the registry also keeps
+    a fallback aggregation over the same bucket DataFrame that
+    bucket_drop_stats() can run when the observation never fires.
     """
     from pyspark.sql import Observation
 
     obs = Observation()
     _DROP_OBS[op] = (obs, grouped.agg(*_drop_metric_exprs()))
     observed = grouped.observe(obs, *_drop_metric_exprs())
-    sz = F.size("ds")
-    return observed.filter((sz >= 2) & (sz <= BUCKET_CAP))
+    return observed.filter(F.size("ds") >= 2)
 
 
 def bucket_drop_stats(op: str, obs_wait_s: float = 3.0) -> dict | None:
-    """Skew-cap drop metrics for the last run of ``op`` ('minhash' |
+    """Skew-cap metrics for the last run of ``op`` ('minhash' |
     'jaccard' | 'simhash' | 'curation' | 'exact_substring'), or None if
-    it hasn't run.
+    it hasn't run (or its session is gone).
+
+    Keys: ``capped_buckets`` (buckets over BUCKET_CAP whose expansion
+    degraded to anchor pairing), ``recovered_pairs`` (anchor pairs still
+    generated from those buckets: size−1 each), ``skipped_pairs``
+    (all-pairs expansions NOT generated: C(size,2)−(size−1) each),
+    ``total_buckets``.
 
     Polls the same-pass Observation briefly — delivery is async, and
     pyspark's ``Observation.get`` only waits ~100 ms before surfacing a
-    schemaless empty row as an opaque toPyRow assertion error — then
-    falls back to the stored one-job aggregation (reliable even when AQE
-    pruned the CollectMetrics node, see _cap_buckets).
+    schemaless empty row as an opaque toPyRow assertion error.  If the
+    observation never fires (AQE pruned the CollectMetrics node, see
+    _cap_buckets), falls back to collecting the stored aggregation —
+    which RE-RUNS the bucket pipeline (shingle → postings → groupBy) as
+    one extra job: cheap at test scale, a real scan at corpus scale, so
+    treat a fallback-path read as a diagnostic, not a free metric.  The
+    fallback is guarded: if the owning SparkSession has been stopped the
+    stored plan is unusable and None is returned instead of an opaque
+    py4j error.
     """
     import time
 
@@ -151,8 +176,41 @@ def bucket_drop_stats(op: str, obs_wait_s: float = 3.0) -> dict | None:
         except Exception:
             time.sleep(0.1)
     if got is None:
+        sc = fallback.sparkSession.sparkContext
+        if getattr(sc, "_jsc", None) is None:  # session stopped
+            return None
         got = fallback.collect()[0].asDict()
     return {k: (0 if got.get(k) is None else got[k]) for k in _DROP_METRIC_COLS}
+
+
+def _bucket_pairs(id_field: str, make_pair):
+    """Pair-expansion expression over a bucket array column ``ds``:
+    all ordered pairs (x, y) with y.id > x.id when the bucket is within
+    BUCKET_CAP, degrading to ANCHOR pairing (every member vs the
+    bucket's minimum-id element) above it — O(k) instead of O(k²), the
+    same recall-preserving skew guard the streaming ingest path uses
+    (streaming/corpus_dedup.py).  Over-cap buckets are near-identical
+    boilerplate, exactly where anchor pairs carry the signal; a pair is
+    only missed if it holds between two NON-anchor members in EVERY
+    over-cap bucket they share and nowhere else.  Mirrored in the
+    oracles as ``a.bsz <= CAP OR a.doc_id = bucket_min``.
+    """
+    ds = F.col("ds")
+    full = F.flatten(
+        F.transform(
+            ds,
+            lambda x: F.transform(
+                F.filter(ds, lambda y: y[id_field] > x[id_field]),
+                lambda y: make_pair(x, y),
+            ),
+        )
+    )
+    anchor = F.element_at(F.array_sort(ds), 1)  # struct sorts by id first
+    anchor_pairs = F.transform(
+        F.filter(ds, lambda y: y[id_field] > anchor[id_field]),
+        lambda y: make_pair(anchor, y),
+    )
+    return F.when(F.size(ds) <= BUCKET_CAP, full).otherwise(anchor_pairs)
 
 
 def _shingle_expr(toks):
@@ -243,9 +301,10 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
     Shuffle cost: docs × B band rows, keyed by (band_id, band_hash).
-    Self-join happens per bucket — skew guard: buckets above a size cap
-    (degenerate content) are dropped, as at web scale a single hot bucket
-    would otherwise quadratically dominate.
+    Self-join happens per bucket — skew guard: buckets above BUCKET_CAP
+    degrade to anchor pairing (_bucket_pairs) instead of going
+    quadratic, so a single hot bucket costs O(k) while its members stay
+    paired against the bucket minimum.
     """
     # Group-then-expand (same shape as dedup_ngram_jaccard): bucket rows
     # group by band key, pairs expand inside each bucket array.  The
@@ -288,20 +347,14 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
         .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig")).alias("ds")),
         "minhash",
     )
-    ds = F.col("ds")
-    pair_arr = F.flatten(
-        F.transform(
-            ds,
-            lambda x: F.transform(
-                F.filter(ds, lambda y: y["id"] > x["id"]),
-                lambda y: F.struct(
-                    x["id"].alias("doc_a"),
-                    y["id"].alias("doc_b"),
-                    x["sig"].alias("sig_a"),
-                    y["sig"].alias("sig_b"),
-                ),
-            ),
-        )
+    pair_arr = _bucket_pairs(
+        "id",
+        lambda x, y: F.struct(
+            x["id"].alias("doc_a"),
+            y["id"].alias("doc_b"),
+            x["sig"].alias("sig_a"),
+            y["sig"].alias("sig_b"),
+        ),
     )
     pairs = (
         grouped.select(F.explode_outer(pair_arr).alias("p"))
@@ -359,7 +412,9 @@ def _minhash_oracle() -> str:
     sigs AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
     bands AS ({band_selects}),
     sized AS (
-      SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz FROM bands
+      SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bsz,
+             MIN(doc_id) OVER (PARTITION BY band_id, band_hash) AS bmin
+      FROM bands
     ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -367,7 +422,7 @@ def _minhash_oracle() -> str:
       FROM sized a JOIN sized b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
-      WHERE a.bsz BETWEEN 2 AND {BUCKET_CAP}
+      WHERE a.bsz <= {BUCKET_CAP} OR a.doc_id = a.bmin
     )
     SELECT doc_a, doc_b, est_jaccard FROM pairs
     WHERE est_jaccard >= 0.5
@@ -395,9 +450,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # shared by dedup_ngram_jaccard and dedup_cluster_assign's oracles:
-# word-3-gram inverted-index pair generation with the df<=1000 skew cap,
-# thresholded at Jaccard >= 0.2
-_JACCARD_PAIRS_SQL = """
+# word-3-gram inverted-index pair generation with the df-capped anchor
+# fallback (a.df <= CAP keeps all pairs; over-cap shingles contribute
+# only anchor pairs, a.doc_id = per-shingle min), Jaccard >= 0.2
+_JACCARD_PAIRS_SQL = f"""
     tok AS (
       SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
     ),
@@ -410,17 +466,18 @@ _JACCARD_PAIRS_SQL = """
     postings AS (
       SELECT doc_id, unnest(gs) AS g, len(gs) AS sz FROM gsets
     ),
-    capped AS (
-      SELECT doc_id, g, sz FROM (
-        SELECT doc_id, g, sz, COUNT(*) OVER (PARTITION BY g) AS df
-        FROM postings)
-      WHERE df <= 1000
+    sized AS (
+      SELECT doc_id, g, sz,
+             COUNT(*) OVER (PARTITION BY g) AS df,
+             MIN(doc_id) OVER (PARTITION BY g) AS gmin
+      FROM postings
     ),
     rawpairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(COUNT(*) AS BIGINT) AS inter,
              ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*) AS uni
-      FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM sized a JOIN sized b ON a.g = b.g AND a.doc_id < b.doc_id
+      WHERE a.df <= {BUCKET_CAP} OR a.doc_id = a.gmin
       GROUP BY a.doc_id, b.doc_id
     ),
     jpairs AS (
@@ -441,8 +498,9 @@ def jaccard_pair_counts(gsets: DataFrame, op: str = "jaccard") -> DataFrame:
     Group-then-expand beats a postings self-join: the shingle pipeline
     runs ONCE (a self-join recomputes it per side — no exchange reuse,
     measured) and the whole pipeline is 2 shuffles: postings→group-by-g,
-    pairs→group-by-(a,b).  Skew guard: buckets above BUCKET_CAP (df of
-    the shingle) are dropped, the same bound the oracles apply.
+    pairs→group-by-(a,b).  Skew guard: shingle buckets above BUCKET_CAP
+    expand anchor pairs only (_bucket_pairs), the same bound the
+    oracles apply via ``a.df <= CAP OR a.doc_id = gmin``.
     Postings shuffle 8-byte shingle hashes, not ~25-byte shingle
     strings: same grouping (equal shingles hash equal; xxhash64
     collisions across ~n·|gs| distinct shingles are ~2^-64 — far below
@@ -456,20 +514,14 @@ def jaccard_pair_counts(gsets: DataFrame, op: str = "jaccard") -> DataFrame:
         .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds")),
         op,
     )
-    ds = F.col("ds")
-    pair_arr = F.flatten(
-        F.transform(
-            ds,
-            lambda x: F.transform(
-                F.filter(ds, lambda y: y["doc_id"] > x["doc_id"]),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["sz"].alias("sz_a"),
-                    y["sz"].alias("sz_b"),
-                ),
-            ),
-        )
+    pair_arr = _bucket_pairs(
+        "doc_id",
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            x["sz"].alias("sz_a"),
+            y["sz"].alias("sz_b"),
+        ),
     )
     return (
         grouped.select(F.explode_outer(pair_arr).alias("p"))
@@ -561,11 +613,12 @@ def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "postings by shingle, expand pairs inside each group — pairs only "
         "materialize for docs sharing a shingle (cost Σ df² over shingles "
         "≪ N²; no cross join). Shingles with document frequency > 1000 "
-        "are dropped (mirrored in the oracle): a stop-shingle contributes "
-        "~0 Jaccard signal but unbounded pair cost, so the cap bounds "
-        "per-bucket work at 100 TB with a documented recall floor — a "
-        "pair is missed only if ALL of its shared shingles have df>1000, "
-        "i.e. both docs are near-duplicates of >1000 others already.",
+        "expand ANCHOR pairs only (each member vs the min-id doc, "
+        "mirrored in the oracle): a stop-shingle's pair cost drops from "
+        "O(df²) to O(df) while its members stay reachable through the "
+        "anchor — a pair is missed only if it holds between two "
+        "non-anchor members in every over-cap shingle they share and "
+        "nowhere else (both docs near-dups of >1000 others already).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_edges(spark, sf_dir)
@@ -651,14 +704,16 @@ def _simhash_oracle() -> str:
     sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM votes),
     chunks AS ({chunk_selects}),
     sized AS (
-      SELECT *, COUNT(*) OVER (PARTITION BY chunk_id, chunk) AS bsz FROM chunks
+      SELECT *, COUNT(*) OVER (PARTITION BY chunk_id, chunk) AS bsz,
+             MIN(doc_id) OVER (PARTITION BY chunk_id, chunk) AS bmin
+      FROM chunks
     ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
       FROM sized a JOIN sized b
         ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-      WHERE a.bsz BETWEEN 2 AND {BUCKET_CAP}
+      WHERE a.bsz <= {BUCKET_CAP} OR a.doc_id = a.bmin
     )
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 8
     """
@@ -671,9 +726,9 @@ def _simhash_oracle() -> str:
     doc="SimHash near-dup: 60-bit md5-derived signature, candidates "
         "bucketed on four 15-bit chunks (any-chunk-equal → Hamming ≤ 45 "
         "guaranteed recall band), verified by popcount(xor) ≤ 8. Chunk "
-        "buckets are skew-capped at BUCKET_CAP like minhash; the whole "
-        "integer pipeline is mirrored in a generated DuckDB oracle "
-        "(full three-way driver check, not rows-only).",
+        "buckets above BUCKET_CAP degrade to anchor pairing like "
+        "minhash; the whole integer pipeline is mirrored in a generated "
+        "DuckDB oracle (full three-way driver check, not rows-only).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Group-then-expand (see minhash_candidates): the signature pipeline
@@ -705,20 +760,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct(F.col("doc_id").alias("id"), "sig")).alias("ds")),
         "simhash",
     )
-    ds = F.col("ds")
-    pair_arr = F.flatten(
-        F.transform(
-            ds,
-            lambda x: F.transform(
-                F.filter(ds, lambda y: y["id"] > x["id"]),
-                lambda y: F.struct(
-                    x["id"].alias("doc_a"),
-                    y["id"].alias("doc_b"),
-                    F.bit_count(x["sig"].bitwiseXOR(y["sig"])).cast("int")
-                    .alias("hamming"),
-                ),
-            ),
-        )
+    pair_arr = _bucket_pairs(
+        "id",
+        lambda x, y: F.struct(
+            x["id"].alias("doc_a"),
+            y["id"].alias("doc_b"),
+            F.bit_count(x["sig"].bitwiseXOR(y["sig"])).cast("int")
+            .alias("hamming"),
+        ),
     )
     return (
         grouped.select(F.explode_outer(pair_arr).alias("p"))
@@ -880,14 +929,15 @@ SUBSTR_WINDOW = 20  # tokens per exact window (Lee et al. use 50 BPE toks)
     post AS (
       SELECT doc_id, unnest(ws) AS w FROM wins
     ),
-    capped AS (
-      SELECT doc_id, w FROM (
-        SELECT doc_id, w, COUNT(*) OVER (PARTITION BY w) AS df FROM post)
-      WHERE df <= {BUCKET_CAP}
+    sized AS (
+      SELECT doc_id, w, COUNT(*) OVER (PARTITION BY w) AS df,
+             MIN(doc_id) OVER (PARTITION BY w) AS wmin
+      FROM post
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(*) AS BIGINT) AS n_shared_windows
-    FROM capped a JOIN capped b ON a.w = b.w AND a.doc_id < b.doc_id
+    FROM sized a JOIN sized b ON a.w = b.w AND a.doc_id < b.doc_id
+    WHERE a.df <= {BUCKET_CAP} OR a.doc_id = a.wmin
     GROUP BY a.doc_id, b.doc_id
     """,
     survey_ids=["K1"],
@@ -897,8 +947,9 @@ SUBSTR_WINDOW = 20  # tokens per exact window (Lee et al. use 50 BPE toks)
         "— catches verbatim boilerplate/quotation overlap that "
         "set-based Jaccard dilutes away on long docs. Reuses the "
         "capped Vernica inverted-index pair generation (windows as "
-        "shingles, df <= BUCKET_CAP skew guard, drops observable via "
-        "bucket_drop_stats('exact_substring')); the window strings "
+        "shingles, anchor fallback above BUCKET_CAP, degradation "
+        "observable via bucket_drop_stats('exact_substring')); the "
+        "window strings "
         "hash to 8 bytes on the shuffle. At 100 TB this is the "
         "suffix-array-free approximation: two narrow shuffles, no "
         "cross join.",

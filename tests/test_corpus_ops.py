@@ -187,16 +187,17 @@ def test_connected_components_long_path_converges(spark):
     assert set(got.values()) == {0}
 
 
-def test_bucket_cap_drops_are_observed(spark, monkeypatch, tmp_path):
-    """The BUCKET_CAP skew guard must not be SILENT: each capping
-    operator publishes (dropped_buckets, dropped_docs, total_buckets)
-    via an Observation so recall loss on a boilerplate-heavy corpus is
-    measurable (VERDICT r3 task #3)."""
+def test_bucket_cap_anchor_fallback_keeps_recall_and_is_observed(
+        spark, monkeypatch, tmp_path):
+    """Over-cap buckets must DEGRADE, not vanish (VERDICT r4 task #2):
+    pair expansion falls back to anchor pairing — every member still
+    pairs with the bucket's min-id doc — and bucket_drop_stats reports
+    recovered-vs-skipped so the degradation is measurable."""
     from debezium_nats_cdc_spark.operators import dedup
 
     monkeypatch.setattr(dedup, "BUCKET_CAP", 5)
     # 8 identical boilerplate docs -> degenerate buckets of size 8 > 5;
-    # 2 near-dup docs -> size-2 buckets that must survive the cap
+    # 2 near-dup docs -> size-2 buckets, below the cap (full expansion)
     boiler = " ".join(f"b{i}" for i in range(20))
     near_a = "alpha beta gamma delta epsilon zeta"
     near_b = "alpha beta gamma delta epsilon eta"
@@ -204,32 +205,41 @@ def test_bucket_cap_drops_are_observed(spark, monkeypatch, tmp_path):
     rows += [(100, "en", "s", len(near_a), near_a),
              (101, "en", "s", len(near_b), near_b)]
     docs = _docs(spark, rows)
+    anchor_pairs = {(0, i) for i in range(1, 8)}  # member vs min-id doc
 
     # --- jaccard (inverted index per shingle) ---
     pairs = dedup.jaccard_pair_counts(
         dedup.doc_shingles(docs).filter(F.col("n_toks") >= 3))
-    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
-    assert got == {(100, 101)}          # boilerplate pairs all dropped
+    got = {(r["doc_a"], r["doc_b"]): (r["inter"], r["uni"])
+           for r in pairs.collect()}
+    # anchor recovery: each boiler doc pairs with doc 0 at full overlap
+    # (all 18 shared shingles counted — anchor is every bucket's min)
+    assert set(got) == anchor_pairs | {(100, 101)}
+    assert all(got[p] == (18, 18) for p in anchor_pairs)
     st = dedup.bucket_drop_stats("jaccard")
-    # 18 distinct shingles per boiler doc, each shared by all 8 copies
-    assert st["dropped_buckets"] == 18 and st["dropped_docs"] == 18 * 8
-    assert st["total_buckets"] > st["dropped_buckets"]
+    # 18 distinct shingles per boiler doc, each shared by all 8 copies:
+    # each over-cap bucket recovers 7 anchor pairs, skips C(8,2)-7=21
+    assert st["capped_buckets"] == 18
+    assert st["recovered_pairs"] == 18 * 7
+    assert st["skipped_pairs"] == 18 * 21
+    assert st["total_buckets"] > st["capped_buckets"]
 
     # --- minhash (banded LSH) ---
     cands = dedup.minhash_candidates(docs)
     mh = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
-    assert not any(a < 8 and b < 8 for a, b in mh)
+    assert {p for p in mh if p[0] < 8 and p[1] < 8} == anchor_pairs
     st = dedup.bucket_drop_stats("minhash")
     # identical docs share identical signatures: all 4 band buckets blow the cap
-    assert st["dropped_buckets"] == 4 and st["dropped_docs"] == 4 * 8
+    assert st["capped_buckets"] == 4 and st["recovered_pairs"] == 4 * 7
+    assert st["skipped_pairs"] == 4 * 21
 
     # --- simhash (chunk-bucketed) ---
     docs.write.parquet(str(tmp_path / "documents.parquet"))
     sh = {(r["doc_a"], r["doc_b"])
           for r in dedup.dedup_simhash(spark, str(tmp_path)).collect()}
-    assert not any(a < 8 and b < 8 for a, b in sh)
+    assert {p for p in sh if p[0] < 8 and p[1] < 8} == anchor_pairs
     st = dedup.bucket_drop_stats("simhash")
-    assert st["dropped_buckets"] == 4 and st["dropped_docs"] == 4 * 8
+    assert st["capped_buckets"] == 4 and st["recovered_pairs"] == 4 * 7
 
     # before any run of an op key, stats are None
     assert dedup.bucket_drop_stats("never_ran") is None
