@@ -292,7 +292,13 @@ _MS_PER_BYTE = 200   # deterministic fake duration, scaled so the
            i * {_STRIDE_MS} AS start_ms,
            least(i * {_STRIDE_MS} + {_CHUNK_MS}, duration_ms) AS end_ms,
            CAST(n_extra + 1 AS BIGINT) AS n_chunks
-    FROM k CROSS JOIN (SELECT unnest(range(0, 10000)) AS i) t
+    -- ordinal ceiling derived from the DATA (max n_extra), matching the
+    -- engine's unbounded sequence(0, n_extra): a fixed literal range
+    -- would silently truncate any doc whose chunk count outgrew it,
+    -- turning a payload-size change into a spurious oracle mismatch
+    FROM k CROSS JOIN (
+      SELECT unnest(range(0, (SELECT COALESCE(MAX(n_extra), 0) + 1 FROM k)))
+        AS i) t
     WHERE i <= n_extra
     """,
     survey_ids=["K4"],

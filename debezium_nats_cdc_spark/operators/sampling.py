@@ -172,8 +172,11 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_lang_mix",
     oracle="""
-    WITH counts AS (
-      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    WITH docs AS (
+      SELECT coalesce(lang, 'und') AS lang FROM documents
+    ),
+    counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs
       GROUP BY lang
     ),
     tot AS (
@@ -195,14 +198,18 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(weight = min(1, target_count/actual_count) — overrepresented "
         "languages get weight < 1, the rest keep everything; a Bernoulli "
         "sample at these weights yields the target mix in expectation, "
-        "the standard pre-training data-mixture knob). Cross-engine "
-        "determinism: ratios of integers are IEEE-correctly-rounded "
-        "double divisions, identical everywhere. Scale: one tiny "
-        "groupBy(lang) agg + a broadcast of two scalars — the corpus is "
-        "touched once.",
+        "the standard pre-training data-mixture knob). NULL lang — a "
+        "failed language-ID, a real population at crawl scale — is its "
+        "own stratum 'und' (ISO 639 undetermined), not a silent hole. "
+        "Cross-engine determinism: ratios of integers are "
+        "IEEE-correctly-rounded double divisions, identical everywhere. "
+        "Scale: one tiny groupBy(lang) agg + a broadcast of two scalars "
+        "— the corpus is touched once.",
 )
 def corpus_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "lang", F.coalesce("lang", F.lit("und"))
+    )
     counts = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
     tot = counts.agg(
         F.sum("n_docs").cast("bigint").alias("total"),
@@ -231,8 +238,12 @@ _HASH_DENOM = float(1 << 60)  # md5-prefix fraction denominator
 @register(
     "corpus_quality_weighted_sample",
     oracle=f"""
-    WITH counts AS (
-      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    WITH docs AS (
+      SELECT doc_id, coalesce(lang, 'und') AS lang, n_chars, text
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs
       GROUP BY lang
     ),
     tot AS (
@@ -248,7 +259,7 @@ _HASH_DENOM = float(1 << 60)  # md5-prefix fraction denominator
                        THEN 1.0 ELSE {_QWS_LOW_QUALITY_FACTOR} END) AS w,
              CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
                   AS BIGINT) / {_HASH_DENOM} AS u
-      FROM documents d
+      FROM docs d
       JOIN counts c ON d.lang = c.lang
       CROSS JOIN tot t
     )
@@ -265,12 +276,19 @@ _HASH_DENOM = float(1 << 60)  # md5-prefix fraction denominator
         "md5-fraction coin per doc — reproducible on any cluster, any "
         "partitioning, both engines (hex-parsed 60-bit integer over "
         "2^60; every arithmetic step is an IEEE-correctly-rounded "
-        "double op in the same order). Scale: one tiny groupBy(lang) "
+        "double op in the same order). NULL lang coalesces to the 'und' "
+        "stratum BEFORE the weight join (same policy as "
+        "corpus_lang_mix): lang-ID failures are sampled at the 'und' "
+        "weight, never silently excluded from the materialized mixture "
+        "— at 100 TB that population is real, and dropping it would be "
+        "a data-loss policy nobody chose. Scale: one tiny groupBy(lang) "
         "broadcast against a map-only scan; the filter prunes at the "
         "scan, no extra shuffle.",
 )
 def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "lang", F.coalesce("lang", F.lit("und"))
+    )
     counts = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
     tot = counts.agg(
         F.sum("n_docs").cast("bigint").alias("total"),

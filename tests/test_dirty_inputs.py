@@ -56,6 +56,36 @@ def test_all_catalog_queries_survive_dirty_tables(spark, dirty_dir):
     assert not failures, f"queries crashed on dirty inputs: {failures}"
 
 
+def test_null_lang_docs_form_und_stratum(spark, dirty_dir):
+    """Docs whose lang-ID failed (NULL lang) must be their own 'und'
+    stratum in the mixture ops — sampled at the 'und' weight, never
+    silently dropped by the weight join (VERDICT r4 task #4)."""
+    import hashlib
+
+    from debezium_nats_cdc_spark import catalog
+
+    qs = catalog.queries()
+    mix = {r["lang"]: r["n_docs"]
+           for r in qs["corpus_lang_mix"](spark, dirty_dir).collect()}
+    assert None not in mix
+    assert mix["und"] == 2  # docs 9001 and 9004 carry NULL lang
+
+    sample = qs["corpus_quality_weighted_sample"](spark, dirty_dir)
+    rows = {r["doc_id"]: r["lang"] for r in sample.collect()}
+    assert None not in rows.values()
+    # replicate the deterministic coin for the two NULL-lang docs: both
+    # fail the quality gate (NULL n_chars), so w = und_lang_weight * 0.25
+    total, n_langs = sum(mix.values()), len(mix)
+    w = min(1.0, (total / n_langs) / mix["und"]) * 0.25
+    expected = {
+        doc for doc in (9001, 9004)
+        if int(hashlib.md5(str(doc).encode()).hexdigest()[:15], 16)
+        / float(1 << 60) < w
+    }
+    assert {d for d in rows if d in (9001, 9004)} == expected
+    assert all(rows[d] == "und" for d in expected)
+
+
 def test_mm_feature_extract_null_payload_yields_null_features(spark,
                                                               dirty_dir):
     from debezium_nats_cdc_spark import catalog
