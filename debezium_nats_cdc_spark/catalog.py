@@ -55,29 +55,32 @@ def _load_modules() -> None:
     # driver's correctness harness verifies the first 50 registered
     # queries per round, so coverage rotates under one hard rule: every
     # module whose implementation CHANGED this round registers inside
-    # the window.  Round 4 touched multimodal (new oracle), dedup
-    # (observe + pair cache), curation (op key), similarity's kernels
-    # (functions/vectors.py null guard), and text (doc only) — those go
-    # first (29 queries incl. the two new r4 ops corpus_lang_mix and
-    # pii_scrub_customers; sampling's entries ride along early because
-    # curation and text import it); the remaining slots go to joins/
-    # windows/aggregates, displaced from r3's window (all r2-green,
-    # untouched since).  Outside the window: tails of joins/aggregates
-    # plus advanced, cdc_queries, quantize — every one r2/r3-green and
-    # untouched in r4.
+    # the window; remaining slots go to the queries whose last green row
+    # is OLDEST.  Round 5 touched dedup (anchor-fallback BUCKET_CAP),
+    # sampling ('und' stratum), curation (oracle twin + pii concat), and
+    # multimodal (audio oracle bound) — those lead (text rides along
+    # because curation imports it): dedup 7 + sampling 5 + text 9 +
+    # curation 3 + multimodal 5 = 29.  The rest of the window rotates
+    # the r2-era tail back in (VERDICT r4 task #1): windows 5 +
+    # aggregates 6 + joins 8 = 48, then quantize (r3) and advanced's
+    # first query (r3) fill slots 49-50.  Outside the window (23):
+    # advanced's remaining 6 (r3/r5-green) plus cdc_queries 11 and
+    # similarity 6 (all r4-green, untouched this round).
+    # tools/check_rotation.py audits this statement against git and the
+    # CORRECTNESS artifacts.
     from .operators import (  # noqa: F401
-        multimodal,
         dedup,
-        curation,
-        similarity,
-        text,
-        joins,
+        sampling,
+        curation,  # imports text first: text's 9 register before these 3
+        multimodal,
         windows,
         aggregates,
+        joins,
+        quantize,
         advanced,
         cdc_queries,
-        sampling,
-        quantize,
+        similarity,
+        text,
     )
 
 
