@@ -16,8 +16,16 @@ from pyspark.sql import DataFrame, functions as F
 REQUIRED = ["eventId", "eventType", "timestamp", "aggregateId", "payload"]
 
 
-def with_validation(events: DataFrame) -> DataFrame:
-    """Add ``invalid_reason`` (NULL = valid)."""
+def with_validation(events: DataFrame, registry=None) -> DataFrame:
+    """Add ``invalid_reason`` (NULL = valid).
+
+    With a ``registry`` (registry.SchemaRegistry), structural envelope
+    checks are followed by the versioned payload-contract check: a
+    payload missing a required field (or unparseable) under the latest
+    registered schema for its eventType gets a
+    ``schema:<subject>:v<N>:<fields>`` reason, and every row is stamped
+    with ``schema_version`` (the contract it was judged against — NULL
+    for uncontracted types).  Both are single JVM-side projections."""
     reason = F.lit(None).cast("string")
     # later checks win by being applied first in the coalesce chain
     checks = [
@@ -28,12 +36,17 @@ def with_validation(events: DataFrame) -> DataFrame:
     ]
     for cond, why in checks:
         reason = F.coalesce(reason, F.when(cond, F.lit(why)))
+    if registry is not None:
+        reason = F.coalesce(reason, registry.violation_expr())
+        events = events.withColumn("schema_version", registry.version_expr())
     return events.withColumn("invalid_reason", reason)
 
 
-def split_valid(events: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(valid, dead_letter) — dead-letter rows keep the reason column."""
-    v = with_validation(events)
+def split_valid(events: DataFrame,
+                registry=None) -> tuple[DataFrame, DataFrame]:
+    """(valid, dead_letter) — dead-letter rows keep the reason column
+    (and, with a registry, the contract version they failed against)."""
+    v = with_validation(events, registry)
     return (
         v.filter(F.col("invalid_reason").isNull()).drop("invalid_reason"),
         v.filter(F.col("invalid_reason").isNotNull()),

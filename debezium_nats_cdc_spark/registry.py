@@ -119,6 +119,57 @@ class SchemaRegistry:
         history = self._subjects[subject]
         return history[-1] if version is None else history[version - 1]
 
+    def _subject_violation(self, schema: EventSchema):
+        """NULL-when-valid violation string for one subject's contract,
+        prefixed with the contract version the payload was judged
+        against: ``schema:<subject>:v<N>:<field,...>``."""
+        parsed = F.from_json("payload", schema.spark_schema())
+        # PERMISSIVE from_json gives an all-null STRUCT for malformed
+        # JSON (not a null struct); the map-typed parse does yield NULL
+        # for corrupt records, so it is the parseability probe
+        bad_parse = F.from_json("payload", "map<string,string>").isNull()
+        missing = [
+            F.when(parsed[f.name].isNull(), F.lit(f.name))
+            for f in schema.fields if f.required
+        ]
+        viol = F.concat_ws(
+            ",", F.when(bad_parse, F.lit("unparseable_payload")), *missing
+        )
+        return F.when(
+            viol != "",
+            F.concat(F.lit(f"schema:{schema.subject}:v{schema.version}:"),
+                     viol),
+        )
+
+    def violation_expr(self):
+        """One Column over a domain-event DataFrame (eventType + payload
+        JSON): NULL when the payload satisfies the latest registered
+        contract for its eventType (or the type has no contract), else
+        the versioned reason string.  A single CASE chain — each
+        subject's from_json only evaluates on its own branch, so the
+        whole registry validates in one JVM-side projection, no Python,
+        no per-subject scan."""
+        expr = None
+        for subject in self.subjects():
+            tagged = self._subject_violation(self.get(subject))
+            cond = F.col("eventType") == subject
+            expr = (F.when(cond, tagged) if expr is None
+                    else expr.when(cond, tagged))
+        return F.lit(None).cast("string") if expr is None else expr
+
+    def version_expr(self):
+        """Latest registered contract version per eventType (NULL for
+        uncontracted types) — the stamp the DLQ rows carry so an
+        incompatible producer is attributable to the exact contract
+        version it failed."""
+        expr = None
+        for subject in self.subjects():
+            ver = F.lit(self.get(subject).version)
+            cond = F.col("eventType") == subject
+            expr = (F.when(cond, ver) if expr is None
+                    else expr.when(cond, ver))
+        return F.lit(None).cast("int") if expr is None else expr.cast("int")
+
     def validate_events(self, events: DataFrame, subject: str,
                         version: int | None = None) -> tuple[DataFrame, DataFrame]:
         """Split a domain-event DataFrame (rules.py envelope: eventType +

@@ -42,6 +42,7 @@ from ..operators.materialize import (
 from ..operators.rules import OPTIONAL_SOURCE_TABLES, RULES, apply_rules
 from ..operators.unwrap import unwrap
 from ..operators.validate import split_valid
+from ..registry import default_registry
 from ..schemas import TABLE_SCHEMAS
 from ..sources.cdc import read_broker_stream, read_change_stream
 from .. import store
@@ -115,13 +116,19 @@ def _maybe_compact(spark: SparkSession, state_dir: str,
 
 
 def _sink_events(batch: DataFrame, table: str, dirs: PipelineDirs,
-                 epoch_id: int | None) -> None:
-    """Rules fan-out -> validate -> event store + DLQ.  Persisted: the
-    valid append and the DLQ check otherwise each recompute all rule
+                 epoch_id: int | None, registry=None) -> None:
+    """Rules fan-out -> validate -> event store + DLQ.  The validate
+    split checks envelope structure AND the registry's versioned payload
+    contracts (A3/F4): a producer emitting a payload that violates the
+    latest registered schema for its eventType — required field missing
+    or unparseable — lands in dead_letter with a
+    ``schema:<subject>:v<N>:<fields>`` reason and a ``schema_version``
+    stamp, instead of poisoning the event store.  Persisted: the valid
+    append and the DLQ check otherwise each recompute all rule
     branches."""
     events = apply_rules(batch, table).persist()
     try:
-        valid, dlq = split_valid(events)
+        valid, dlq = split_valid(events, registry)
         _append(store.clustered_store_rows(valid), dirs.events,
                 f"events-{table}", epoch_id, dirs, ["event_month"])
         if dlq.limit(1).count() > 0:
@@ -176,7 +183,8 @@ def _append(df: DataFrame, final_dir: str, sink: str, epoch_id: int | None,
 
 
 def process_batch(spark: SparkSession, batch: DataFrame, table: str,
-                  dirs: PipelineDirs, epoch_id: int | None = None) -> None:
+                  dirs: PipelineDirs, epoch_id: int | None = None,
+                  registry=None) -> None:
     """The foreachBatch body — also callable on a batch DataFrame
     directly (the A2 snapshot path uses it for op='r' seeding).
 
@@ -201,9 +209,11 @@ def process_batch(spark: SparkSession, batch: DataFrame, table: str,
         # the state commit still happens upstream — skip the sink fan-out
         # (6 no-op jobs + parquet writes, ~4 s per table, measured).
         return
+    if registry is None:
+        registry = default_registry()
     with ThreadPoolExecutor(max_workers=3) as pool:
         futures = [
-            pool.submit(_sink_events, batch, table, dirs, epoch_id),
+            pool.submit(_sink_events, batch, table, dirs, epoch_id, registry),
             pool.submit(_sink_audit, batch, table, dirs, epoch_id),
             pool.submit(_sink_state, spark, batch, table, dirs, epoch_id),
         ]
@@ -259,6 +269,7 @@ def start_table_pipeline(
     available_now: bool = True,
     source: str = "json",
     per_key_partitions: int | None = None,
+    registry=None,
 ):
     """Start the checkpointed streaming query for one source table.
 
@@ -274,6 +285,10 @@ def start_table_pipeline(
     cluster; leave None locally (the per-key groupBys in the sinks
     already co-locate per key for correctness)."""
     _reset_stale_txn_markers(dirs, table)
+    if registry is None:
+        # one registry per query, built once — its Column expressions are
+        # re-instantiated per batch but the contract map is not
+        registry = default_registry()
     read = read_broker_stream if source == "broker" else read_change_stream
     stream = read(spark, log_dir, table, max_files_per_trigger)
     deduped = (
@@ -289,7 +304,9 @@ def start_table_pipeline(
     writer = (
         deduped.writeStream.queryName(f"cdc-{table}")
         .option("checkpointLocation", os.path.join(dirs.checkpoints, table))
-        .foreachBatch(lambda b, epoch: process_batch(spark, b, table, dirs, epoch))
+        .foreachBatch(
+            lambda b, epoch: process_batch(spark, b, table, dirs, epoch,
+                                           registry))
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -316,7 +333,8 @@ def run_pipeline_until_done(spark: SparkSession, log_dir: str, root: str,
                             tables: list[str] | None = None,
                             concurrent: bool = False,
                             source: str = "json",
-                            backend: StateBackend | None = None) -> PipelineDirs:
+                            backend: StateBackend | None = None,
+                            registry=None) -> PipelineDirs:
     """Process everything currently in the change log, then stop.
 
     Per-table queries are independent (separate checkpoints, state dirs,
@@ -330,12 +348,14 @@ def run_pipeline_until_done(spark: SparkSession, log_dir: str, root: str,
     # when asked for explicitly
     names = tables or [t for t in RULES if t not in OPTIONAL_SOURCE_TABLES]
     if concurrent:
-        queries = [start_table_pipeline(spark, log_dir, t, dirs, source=source)
+        queries = [start_table_pipeline(spark, log_dir, t, dirs, source=source,
+                                        registry=registry)
                    for t in names]
         for q in queries:
             q.awaitTermination()
     else:
         for t in names:
-            q = start_table_pipeline(spark, log_dir, t, dirs, source=source)
+            q = start_table_pipeline(spark, log_dir, t, dirs, source=source,
+                                     registry=registry)
             q.awaitTermination()
     return dirs

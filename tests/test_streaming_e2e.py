@@ -155,3 +155,51 @@ def test_per_key_partitioning_same_results(spark, tmp_path):
         "EMP001", "EMP002", "EMP003"]
     ev = spark.read.parquet(dirs.events)
     assert ev.filter("event_type = 'EmployeeHired'").count() == 1
+
+
+def test_contract_violation_routes_to_dlq_with_versioned_reason(
+        spark, tmp_path):
+    """A3/F4 registry wiring (VERDICT r4 task #7): a producer whose
+    payload violates the latest registered contract — here an employee
+    insert with NULL salary, a required field since v1, judged against a
+    registered v2 — must land in dead_letter with a versioned reason
+    and a schema_version stamp, and must NOT reach the event store."""
+    from debezium_nats_cdc_spark.registry import FieldSpec, default_registry
+    from debezium_nats_cdc_spark.streaming.pipeline import (
+        run_pipeline_until_done,
+    )
+
+    root = str(tmp_path)
+    log_dir = os.path.join(root, "log")
+    emp = {
+        "id": 9, "employee_number": "EMP900", "first_name": "No",
+        "last_name": "Salary", "email": "no.salary@company.com",
+        "position_id": "IC1", "department_id": 1, "manager_id": None,
+        "salary": None, "hire_date": "2026-01-02", "status": "active",
+    }
+    fixtures.write_event_log(
+        [fixtures.envelope("employees", "c", None, emp,
+                           fixtures.BASE_TS_MS + 1000)],
+        log_dir, events_per_file=5,
+    )
+    # the producer side upgraded the contract: v2 adds an OPTIONAL field
+    # (the only FULL-compatible evolution); payloads are judged against
+    # the LATEST version, so the reason must say v2
+    reg = default_registry()
+    v1 = reg.get("EmployeeHired")
+    assert reg.register(
+        "EmployeeHired",
+        list(v1.fields) + [FieldSpec("probationMonths", "long")],
+    ) == 2
+
+    dirs = run_pipeline_until_done(
+        spark, log_dir, root, tables=["employees"], registry=reg)
+
+    dlq = spark.read.parquet(dirs.dead_letter).collect()
+    assert len(dlq) == 1
+    row = dlq[0]
+    assert row["eventType"] == "EmployeeHired"
+    assert row["invalid_reason"] == "schema:EmployeeHired:v2:salary"
+    assert row["schema_version"] == 2
+    # the contract violation never reached the event store
+    assert not dirs.backend.has_data(dirs.events)
