@@ -191,3 +191,135 @@ def test_pointer_backend_heals_broken_pointer(spark, tmp_root):
     assert not os.path.exists(final) and os.path.islink(final)
     b.recover(final)
     assert spark.read.parquet(final).count() == 8
+
+
+# ---------------------------------------------------------------------------
+# Chaos shapes from the reference spec (docs/system-design.md:532-540,
+# VERDICT r4 task #5): store unavailable mid-batch, partitioned/slow source.
+# ---------------------------------------------------------------------------
+
+
+def _flaky(backend_cls, failures: int, sink_prefix: str = "events-"):
+    """Backend whose event-store publishes raise for the first N attempts
+    — the 'columnar store down' chaos scenario.  Only the publish fails;
+    the txn protocol must keep the failed epochs uncommitted so the
+    retry republishes without loss or duplication."""
+
+    class Flaky(backend_cls):
+        def __init__(self):
+            super().__init__()
+            self.remaining = failures
+
+        def append_exactly_once(self, df, table_dir, token, txn_dir,
+                                partition_by=None):
+            if token.startswith(sink_prefix) and self.remaining > 0:
+                self.remaining -= 1
+                raise IOError("store unavailable (injected)")
+            return super().append_exactly_once(df, table_dir, token,
+                                               txn_dir, partition_by)
+
+    return Flaky()
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS)
+def test_store_down_mid_batch_recovers_without_loss_or_dupes(
+        spark, tmp_root, backend_cls):
+    """Event-store writes fail for two micro-batches, then the store
+    comes back.  The query fails and restarts from its checkpoint; once
+    recovered, every rule firing lands EXACTLY once — sibling sinks that
+    committed before the failure are skipped on replay, failed epochs
+    republish."""
+    from pyspark.errors import StreamingQueryException
+
+    from debezium_nats_cdc_spark.streaming.pipeline import (
+        start_table_pipeline,
+    )
+
+    log_dir = os.path.join(tmp_root, "log")
+    events = fixtures.snapshot_events() + fixtures.golden_workload()
+    fixtures.write_event_log(events, log_dir, events_per_file=5)
+
+    dirs = PipelineDirs.under(tmp_root, backend=_flaky(backend_cls, 2))
+    attempts = 0
+    while True:
+        attempts += 1
+        q = start_table_pipeline(spark, log_dir, "employees", dirs,
+                                 max_files_per_trigger=1)
+        try:
+            q.awaitTermination()
+            break
+        except StreamingQueryException:
+            assert attempts < 6, "pipeline never recovered"
+    assert attempts > 1  # the outage really fired
+
+    ev = spark.read.parquet(dirs.events)
+    counts = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"EmployeeHired": 1, "EmployeeDataUpdated": 1}
+    emp = read_state(spark, dirs, "employees")
+    assert sorted(r["employee_number"] for r in emp.collect()) == [
+        "EMP001", "EMP002", "EMP003"]
+
+
+@pytest.mark.parametrize("backend_cls", BACKENDS)
+def test_slow_partitioned_source_empty_and_late_batches(
+        spark, tmp_root, backend_cls):
+    """A partitioned/slow source delivers: a normal batch, a completely
+    EMPTY batch (source stalled), an out-of-order batch (event-time
+    behind data already seen, within the 120 s dedup watermark), and a
+    redelivered duplicate.  Required: late data processed (no loss),
+    duplicate collapsed, and empty batches publish NOTHING (no sink
+    commits for them)."""
+    import json as _json
+
+    from debezium_nats_cdc_spark.streaming.pipeline import (
+        start_table_pipeline,
+    )
+
+    log_dir = os.path.join(tmp_root, "log")
+    os.makedirs(log_dir)
+    t = fixtures.BASE_TS_MS
+    emp_a = {
+        "id": 21, "employee_number": "EMP021", "first_name": "Ada",
+        "last_name": "A", "email": "a@company.com", "position_id": "IC2",
+        "department_id": 1, "manager_id": None, "salary": 90000.0,
+        "hire_date": "2026-01-01", "status": "active",
+    }
+    emp_b = {**emp_a, "id": 22, "employee_number": "EMP022",
+             "email": "b@company.com"}
+    emp_a_upd = {**emp_a, "email": "ada@company.com"}
+    insert_a = fixtures.envelope("employees", "c", None, emp_a, t + 1000)
+    batches = [
+        # f0: normal batch; B's later timestamp moves max event time ahead
+        [insert_a,
+         fixtures.envelope("employees", "c", None, emp_b, t + 60000)],
+        [],  # f1: source stalled — empty micro-batch
+        # f2: LATE out-of-order update to A (event time behind B's)
+        [fixtures.envelope("employees", "u", emp_a, emp_a_upd, t + 2000)],
+        [insert_a],  # f3: broker redelivery of the original insert
+    ]
+    for i, evs in enumerate(batches):
+        with open(os.path.join(log_dir, f"chunk-{i:05d}.json"), "w") as f:
+            for ev in evs:
+                f.write(_json.dumps(ev) + "\n")
+
+    dirs = PipelineDirs.under(tmp_root, backend=backend_cls())
+    q = start_table_pipeline(spark, log_dir, "employees", dirs,
+                             max_files_per_trigger=1)
+    q.awaitTermination()
+
+    ev = spark.read.parquet(dirs.events)
+    counts = {r["event_type"]: r["n"] for r in
+              ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    # late update processed, duplicate insert collapsed
+    assert counts == {"EmployeeHired": 2, "EmployeeDataUpdated": 1}
+    state = {r["employee_number"]: r["email"]
+             for r in read_state(spark, dirs, "employees").collect()}
+    assert state == {"EMP021": "ada@company.com", "EMP022": "b@company.com"}
+    # exactly the two non-empty post-dedup batches committed to the
+    # state sink: the stalled batch and the dup-only batch published 0
+    committed = sum(
+        dirs.backend.committed(f"state-employees-{e}", dirs.txn)
+        for e in range(10)
+    )
+    assert committed == 2
