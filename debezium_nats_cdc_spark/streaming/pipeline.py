@@ -41,7 +41,7 @@ from ..operators.materialize import (
 )
 from ..operators.rules import OPTIONAL_SOURCE_TABLES, RULES, apply_rules
 from ..operators.unwrap import unwrap
-from ..operators.validate import split_valid
+from ..operators.validate import with_validation
 from ..registry import default_registry
 from ..schemas import TABLE_SCHEMAS
 from ..sources.cdc import read_broker_stream, read_change_stream
@@ -123,12 +123,18 @@ def _sink_events(batch: DataFrame, table: str, dirs: PipelineDirs,
     latest registered schema for its eventType — required field missing
     or unparseable — lands in dead_letter with a
     ``schema:<subject>:v<N>:<fields>`` reason and a ``schema_version``
-    stamp, instead of poisoning the event store.  Persisted: the valid
-    append and the DLQ check otherwise each recompute all rule
-    branches."""
-    events = apply_rules(batch, table).persist()
+    stamp, instead of poisoning the event store.
+
+    The VALIDATED frame is what persists (not the raw rule output): the
+    valid append and the DLQ check then read the reason column from
+    cache instead of each re-executing the rule branches AND the
+    contract expression — the latter is the expensive part of this
+    sink's per-batch plan (see registry.violation_expr)."""
+    events = with_validation(apply_rules(batch, table), registry).persist()
     try:
-        valid, dlq = split_valid(events, registry)
+        valid = events.filter(F.col("invalid_reason").isNull()).drop(
+            "invalid_reason")
+        dlq = events.filter(F.col("invalid_reason").isNotNull())
         _append(store.clustered_store_rows(valid), dirs.events,
                 f"events-{table}", epoch_id, dirs, ["event_month"])
         if dlq.limit(1).count() > 0:
