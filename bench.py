@@ -46,6 +46,26 @@ def main() -> None:
 
     spark.range(4).select(_warm("id")).count()  # spin up Arrow workers
 
+    # The FIRST registered query additionally absorbs expression-codegen
+    # + JIT warmup for its whole operator family (measured: 8-12 s
+    # single-shot vs 2-3 s warm for dedup_minhash_lsh when rotation puts
+    # it first).  Run it once UNTIMED at a smaller sf so the compile
+    # cost is paid before the timed loop while the data cost stays
+    # honest — sf0.01 preferred over sf0.001 because the JIT's hot-loop
+    # thresholds need real row volume to trigger C2 compilation.
+    parent = os.path.dirname(SF_DIR.rstrip("/"))
+    for warm_sf in ("sf0.01", "sf0.001"):
+        tiny = os.path.join(parent, warm_sf)
+        if os.path.isdir(tiny) and tiny != SF_DIR.rstrip("/"):
+            try:
+                first = next(iter(ents.values()))
+                first.fn(spark, tiny).write.format("noop") \
+                    .mode("overwrite").save()
+            except Exception as ex:
+                print(f"bench first-query warmup skipped: {ex}",
+                      file=sys.stderr)
+            break
+
     for name, e in ents.items():
         t0 = time.time()
         try:

@@ -102,40 +102,21 @@ _DROP_METRIC_COLS = (
 
 
 def _drop_metric_exprs():
-    sz = F.size("ds")
-    over = sz > BUCKET_CAP
-    sz_l = sz.cast("long")
-    full_pairs = (sz_l * (sz_l - 1) / F.lit(2)).cast("long")
+    # evaluated over the window-tagged POSTING rows (_candidate_pairs):
+    # each bucket is counted exactly once, at its anchor (min-id) row
+    df_ = F.col("_df")
+    bucket = F.col("doc_id") == F.col("_anchor")
+    over = bucket & (df_ > BUCKET_CAP)
+    full_pairs = (df_ * (df_ - 1) / F.lit(2)).cast("long")
     return [
         F.sum(F.when(over, 1).otherwise(0)).alias("capped_buckets"),
-        F.sum(F.when(over, sz_l - 1).otherwise(0)).cast("long")
+        F.sum(F.when(over, df_ - 1).otherwise(0)).cast("long")
         .alias("recovered_pairs"),
-        F.sum(F.when(over, full_pairs - (sz_l - 1)).otherwise(0)).cast("long")
+        F.sum(F.when(over, full_pairs - (df_ - 1)).otherwise(0)).cast("long")
         .alias("skipped_pairs"),
-        F.count(F.lit(1)).alias("total_buckets"),
+        F.sum(F.when(bucket, 1).otherwise(0)).cast("long")
+        .alias("total_buckets"),
     ]
-
-
-def _cap_buckets(grouped: DataFrame, op: str) -> DataFrame:
-    """Observe skew metrics on a (…, ds) bucket DataFrame and keep every
-    bucket with ≥ 2 members.  Nothing is dropped here anymore — pair
-    expansion itself degrades to anchor pairing above BUCKET_CAP
-    (_bucket_pairs); this stage only measures how often that happens.
-
-    Primary path: an Observation — metrics ride the plan's one pass over
-    the bucket rows, zero extra jobs.  But AQE's empty-relation
-    propagation can PRUNE the CollectMetrics node from the final plan
-    (e.g. every bucket is a singleton and the downstream goes empty),
-    and pruned metrics are never delivered.  So the registry also keeps
-    a fallback aggregation over the same bucket DataFrame that
-    bucket_drop_stats() can run when the observation never fires.
-    """
-    from pyspark.sql import Observation
-
-    obs = Observation()
-    _DROP_OBS[op] = (obs, grouped.agg(*_drop_metric_exprs()))
-    observed = grouped.observe(obs, *_drop_metric_exprs())
-    return observed.filter(F.size("ds") >= 2)
 
 
 def bucket_drop_stats(op: str, obs_wait_s: float = 3.0) -> dict | None:
@@ -183,34 +164,95 @@ def bucket_drop_stats(op: str, obs_wait_s: float = 3.0) -> dict | None:
     return {k: (0 if got.get(k) is None else got[k]) for k in _DROP_METRIC_COLS}
 
 
-def _bucket_pairs(id_field: str, make_pair):
-    """Pair-expansion expression over a bucket array column ``ds``:
-    all ordered pairs (x, y) with y.id > x.id when the bucket is within
-    BUCKET_CAP, degrading to ANCHOR pairing (every member vs the
-    bucket's minimum-id element) above it — O(k) instead of O(k²), the
-    same recall-preserving skew guard the streaming ingest path uses
-    (streaming/corpus_dedup.py).  Over-cap buckets are near-identical
-    boilerplate, exactly where anchor pairs carry the signal; a pair is
-    only missed if it holds between two NON-anchor members in EVERY
+def _candidate_pairs(rows: DataFrame, key_cols: list[str],
+                     extras: list[str], op: str) -> DataFrame:
+    """Bucket-member rows (key…, doc_id, extras…) → candidate pairs
+    (doc_a, doc_b, a_<extra>…, b_<extra>…) with BOUNDED memory at any
+    skew.  Shared by the minhash/simhash/jaccard/exact-substring/
+    curation candidate generators.
+
+    Two-path plan keyed on per-bucket document frequency:
+
+    - in-cap buckets (df ≤ BUCKET_CAP): group-then-expand — collect the
+      bucket array and emit all C(df,2) ordered pairs.  The array is
+      bounded by the cap (≤ 1000 structs), so no aggregation row can
+      grow past ~tens of KB.
+    - over-cap buckets: ANCHOR pairing as a plain projection — every
+      member row joins its bucket's min-id doc (carried on the stats
+      row), O(df) pairs with NO bucket array at all.  An earlier
+      revision expanded anchor pairs from the collected array, which
+      still materialized the whole degenerate bucket in one aggregation
+      row first — a stop-shingle shared by 10⁷ docs at 100 TB would
+      OOM the agg before the cap could help.  Here the only per-bucket
+      aggregation state is (count, min, min_by): constant size.
+
+    Cost: bucket stats (df, anchor, anchor payload) are WINDOW
+    functions over the bucket key, not a separate aggregation joined
+    back — both downstream branches (in-cap expansion, over-cap anchor
+    projection) then hang off the SAME exchange, so the expensive
+    upstream (tokenize → shingle → hash) is computed once and its
+    shuffle files are reused (a stats-join formulation was measured
+    ~1.8× slower because its two different exchanges forced a full
+    upstream recompute per branch).  One big shuffle on the key, same
+    as the single-groupBy form.  Recall bound unchanged: a pair is
+    missed only if it holds between two non-anchor members in every
     over-cap bucket they share and nowhere else.  Mirrored in the
-    oracles as ``a.bsz <= CAP OR a.doc_id = bucket_min``.
+    oracles as ``a.df <= CAP OR a.doc_id = bucket_min`` — the oracle's
+    COUNT() OVER / MIN() OVER is literally this plan.
+
+    Metrics (bucket_drop_stats) ride the window output via an
+    Observation, counting each bucket once at its anchor row; AQE can
+    prune CollectMetrics when downstream goes empty, so an un-observed
+    twin is stored as the fallback.
     """
+    from pyspark.sql import Observation, Window as W
+
+    w_part = W.partitionBy(*key_cols)
+    w_ord = W.partitionBy(*key_cols).orderBy("doc_id")
+    tagged = rows.select(
+        *key_cols, "doc_id", *extras,
+        F.count(F.lit(1)).over(w_part).cast("long").alias("_df"),
+        F.min("doc_id").over(w_part).alias("_anchor"),
+        *[F.first(c).over(w_ord).alias(f"_anchor_{c}") for c in extras],
+    )
+    obs = Observation()
+    _DROP_OBS[op] = (obs, tagged.agg(*_drop_metric_exprs()))
+    tagged = tagged.observe(obs, *_drop_metric_exprs())
+
+    grouped = tagged.filter(
+        (F.col("_df") >= 2) & (F.col("_df") <= BUCKET_CAP)
+    ).groupBy(*key_cols).agg(
+        F.collect_list(F.struct("doc_id", *extras)).alias("ds")
+    )
     ds = F.col("ds")
-    full = F.flatten(
+    pair_arr = F.flatten(
         F.transform(
             ds,
             lambda x: F.transform(
-                F.filter(ds, lambda y: y[id_field] > x[id_field]),
-                lambda y: make_pair(x, y),
+                F.filter(ds, lambda y: y["doc_id"] > x["doc_id"]),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    *[x[c].alias(f"a_{c}") for c in extras],
+                    *[y[c].alias(f"b_{c}") for c in extras],
+                ),
             ),
         )
     )
-    anchor = F.element_at(F.array_sort(ds), 1)  # struct sorts by id first
-    anchor_pairs = F.transform(
-        F.filter(ds, lambda y: y[id_field] > anchor[id_field]),
-        lambda y: make_pair(anchor, y),
+    out_cols = (["doc_a", "doc_b"] + [f"a_{c}" for c in extras]
+                + [f"b_{c}" for c in extras])
+    pairs_in = grouped.select(F.explode_outer(pair_arr).alias("p")).select(
+        *[F.col(f"p.{c}").alias(c) for c in out_cols]
     )
-    return F.when(F.size(ds) <= BUCKET_CAP, full).otherwise(anchor_pairs)
+    pairs_over = tagged.filter(
+        (F.col("_df") > BUCKET_CAP) & (F.col("doc_id") != F.col("_anchor"))
+    ).select(
+        F.col("_anchor").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"_anchor_{c}").alias(f"a_{c}") for c in extras],
+        *[F.col(c).alias(f"b_{c}") for c in extras],
+    )
+    return pairs_in.unionByName(pairs_over)
 
 
 def _shingle_expr(toks):
@@ -306,12 +348,11 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
     quadratic, so a single hot bucket costs O(k) while its members stay
     paired against the bucket minimum.
     """
-    # Group-then-expand (same shape as dedup_ngram_jaccard): bucket rows
-    # group by band key, pairs expand inside each bucket array.  The
-    # signature pipeline runs ONCE — the previous bucket self-join (plus
-    # its separate skew-guard aggregation) evaluated it three times —
-    # and the skew guard is now free: the same collect_list that holds
-    # the bucket also measures it (2 <= size <= 1000).
+    # Two-path group-then-expand (_candidate_pairs): bucket rows group
+    # by band key; in-cap buckets expand inside a bounded array,
+    # over-cap buckets anchor-join.  The signature pipeline runs ONCE —
+    # the previous bucket self-join (plus its separate skew-guard
+    # aggregation) evaluated it three times.
     rows_per_band = N_HASHES // N_BANDS
 
     def _band_hash(b: int):
@@ -342,27 +383,13 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
         ).alias("band"),
     ).select(id_col, "sig", "band.band_id", "band.band_hash")
 
-    grouped = _cap_buckets(
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "sig")).alias("ds")),
-        "minhash",
-    )
-    pair_arr = _bucket_pairs(
-        "id",
-        lambda x, y: F.struct(
-            x["id"].alias("doc_a"),
-            y["id"].alias("doc_b"),
-            x["sig"].alias("sig_a"),
-            y["sig"].alias("sig_b"),
-        ),
-    )
-    pairs = (
-        grouped.select(F.explode_outer(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    pairs = _candidate_pairs(
+        bands.select(F.col(id_col).alias("doc_id"), "sig", "band_id",
+                     "band_hash"),
+        ["band_id", "band_hash"], ["sig"], "minhash",
+    ).dropDuplicates(["doc_a", "doc_b"])
     est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.zip_with("a_sig", "b_sig", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(N_HASHES)
@@ -509,26 +536,13 @@ def jaccard_pair_counts(gsets: DataFrame, op: str = "jaccard") -> DataFrame:
     postings = gsets.select(
         "doc_id", F.explode_outer("gs").alias("g"), F.size("gs").alias("sz")
     ).select("doc_id", F.xxhash64("g").alias("g"), "sz")
-    grouped = _cap_buckets(
-        postings.groupBy("g")
-        .agg(F.collect_list(F.struct("doc_id", "sz")).alias("ds")),
-        op,
-    )
-    pair_arr = _bucket_pairs(
-        "doc_id",
-        lambda x, y: F.struct(
-            x["doc_id"].alias("doc_a"),
-            y["doc_id"].alias("doc_b"),
-            x["sz"].alias("sz_a"),
-            y["sz"].alias("sz_b"),
-        ),
-    )
     return (
-        grouped.select(F.explode_outer(pair_arr).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        _candidate_pairs(postings, ["g"], ["sz"], op)
+        .groupBy("doc_a", "doc_b")
         .agg(
             F.count("*").alias("inter"),
-            (F.any_value("p.sz_a") + F.any_value("p.sz_b") - F.count("*")).alias("uni"),
+            (F.any_value("a_sz") + F.any_value("b_sz") - F.count("*"))
+            .alias("uni"),
         )
     )
 
@@ -753,25 +767,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ck"),
     ).select("doc_id", "sig", "ck.chunk_id", "ck.chunk")
-    # skew guard: same cap as minhash_candidates — one degenerate
-    # chunk bucket would otherwise go quadratic at scale
-    grouped = _cap_buckets(
-        chunks.groupBy("chunk_id", "chunk")
-        .agg(F.collect_list(F.struct(F.col("doc_id").alias("id"), "sig")).alias("ds")),
-        "simhash",
+    # skew guard: same two-path cap as minhash_candidates — one
+    # degenerate chunk bucket would otherwise go quadratic (and its
+    # bucket array unbounded) at scale
+    pairs = _candidate_pairs(
+        chunks.select("doc_id", "sig", "chunk_id", "chunk"),
+        ["chunk_id", "chunk"], ["sig"], "simhash",
     )
-    pair_arr = _bucket_pairs(
-        "id",
-        lambda x, y: F.struct(
-            x["id"].alias("doc_a"),
-            y["id"].alias("doc_b"),
-            F.bit_count(x["sig"].bitwiseXOR(y["sig"])).cast("int")
-            .alias("hamming"),
-        ),
-    )
+    hamming = F.bit_count(F.col("a_sig").bitwiseXOR(F.col("b_sig"))).cast("int")
     return (
-        grouped.select(F.explode_outer(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.hamming")
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= 8)
         .orderBy("doc_a", "doc_b")
