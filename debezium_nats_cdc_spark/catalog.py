@@ -51,27 +51,17 @@ def register(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""
 
 
 def _load_modules() -> None:
-    # Import for registration side effects. ORDER IS LOAD-BEARING: the
-    # driver's correctness harness verifies the first 50 registered
-    # queries per round, so coverage rotates under one hard rule: every
-    # module whose implementation CHANGED this round registers inside
-    # the window; remaining slots go to the queries whose last green row
-    # is OLDEST.  Round 5 touched dedup (anchor-fallback BUCKET_CAP),
-    # sampling ('und' stratum), curation (oracle twin + pii concat), and
-    # multimodal (audio oracle bound) — those lead (text rides along
-    # because curation imports it): dedup 7 + sampling 5 + text 9 +
-    # curation 3 + multimodal 5 = 29.  The rest of the window rotates
-    # the r2-era tail back in (VERDICT r4 task #1): windows 5 +
-    # aggregates 6 + joins 8 = 48, then quantize (r3) and advanced's
-    # first query (r3) fill slots 49-50.  Outside the window (23):
-    # advanced's remaining 6 (r3/r5-green) plus cdc_queries 11 and
-    # similarity 6 (all r4-green, untouched this round).
-    # tools/check_rotation.py audits this statement against git and the
-    # CORRECTNESS artifacts.
+    # Import for registration side effects only.  Since round 6 the
+    # import order here is deliberately NOT load-bearing: entries()
+    # reorders by the explicit _WINDOW_ORDER plan below, so a stray
+    # module-scope import elsewhere (the r5 failure: __spark_entry__
+    # imported operators.cdc_queries before this ran, silently
+    # displacing the planned window tail — VERDICT r5) can no longer
+    # change what the driver verifies.
     from .operators import (  # noqa: F401
         dedup,
         sampling,
-        curation,  # imports text first: text's 9 register before these 3
+        curation,  # imports text first
         multimodal,
         windows,
         aggregates,
@@ -84,9 +74,91 @@ def _load_modules() -> None:
     )
 
 
+# The driver's correctness harness verifies the FIRST 50 entries of
+# queries() per round.  This list IS the window, verbatim — the first 50
+# names below are the round-6 oracle window, in execution order.
+# Rotation rules (tools/check_rotation.py audits both, driver-effectively):
+#   A. every query whose defining module changed this round is in-window;
+#   B. remaining slots go to the queries whose last driver-green row is
+#      oldest (nothing stays unverified for >1 round beyond the latest
+#      artifact).
+# Round-6 plan: the 13 stale queries lead (5 last green r2, 8 last green
+# r3 — displaced from the r5 plan by the import front-run), then the 10
+# r4-green (joins 4 + similarity 6), then dedup's 7 (module touched this
+# round: recall-bound work), then 20 r5-green fillers (windows 5,
+# aggregates 5, multimodal 5, sampling 5).  Out of window (23), all
+# r5-green: cdc_queries 11, text 9, curation 3 — those modules are
+# deliberately untouched this round and rotate back in r7.
+_WINDOW_ORDER: list[str] = [
+    # last green r2
+    "agg_pivot_returnflag",
+    "join_anti_orphans",
+    "join_range_interval",
+    "join_event_correlation",
+    "join_top_orders",
+    # last green r3
+    "emb_quantize_int8",
+    "join_asof_last_click",
+    "cdc_sessionization",
+    "text_length_percentiles",
+    "cdc_tenure_per_user",
+    "scalar_functions_showcase",
+    "agg_approx_distinct",
+    "mm_doc_embedding_join",
+    # last green r4
+    "join_broadcast_enrich",
+    "join_hierarchy_chain",
+    "join_self_pairs",
+    "join_semi_exists",
+    "sim_cosine_topk",
+    "sim_nearest_centroid",
+    "sim_embedding_neardup",
+    "sim_ivf_probe_topk",
+    "sim_lsh_bucketed_neardup",
+    "sim_kmeans_refine",
+    # module touched in r6 (rule A)
+    "dedup_exact_groups",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_cluster_assign",
+    "dedup_exact_substring",
+    # r5-green fillers
+    "window_latest_state_per_key",
+    "window_topk_per_group",
+    "window_running_total",
+    "window_lag_timeline",
+    "window_field_diff_audit",
+    "agg_pricing_summary",
+    "agg_daily_event_volume",
+    "agg_metrics_by_type",
+    "agg_rollup_region_nation",
+    "agg_cube_orders",
+    "mm_binary_metadata",
+    "mm_feature_extract",
+    "mm_frame_sample",
+    "mm_resize_plan",
+    "mm_audio_chunk_plan",
+    "corpus_train_split",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "corpus_lang_mix",
+    "corpus_quality_weighted_sample",
+]
+
+
 def entries() -> dict[str, CatalogEntry]:
     _load_modules()
-    return dict(_REGISTRY)
+    missing = [n for n in _WINDOW_ORDER if n not in _REGISTRY]
+    if missing:
+        raise RuntimeError(
+            f"catalog._WINDOW_ORDER names unregistered queries: {missing}"
+        )
+    ordered = {n: _REGISTRY[n] for n in _WINDOW_ORDER}
+    for n, e in _REGISTRY.items():  # everything else keeps registration order
+        ordered.setdefault(n, e)
+    return ordered
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

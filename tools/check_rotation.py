@@ -1,29 +1,38 @@
 #!/usr/bin/env python
-"""Audit the catalog's first-50 oracle-window rotation.
+"""Audit the first-50 oracle-window rotation, driver-effectively.
 
-The driver's correctness harness verifies only the FIRST 50 registered
-catalog queries per round (CORRECTNESS_r{N}.json), so registration
-order in catalog._load_modules is load-bearing.  The rotation contract:
+The driver's correctness harness verifies only the FIRST 50 entries of
+``__spark_entry__.queries()`` per round (CORRECTNESS_r{N}.json).  Round 5
+showed why this tool must model the DRIVER's view, not the plan: the
+planned catalog order was silently displaced by a module-scope import in
+__spark_entry__, and the r4-planned rotation never reached the driver
+(VERDICT r5).  Since round 6 the order is pinned by
+catalog._WINDOW_ORDER, and this auditor:
 
-  A. every query whose defining module changed since the last round
-     boundary registers INSIDE the window (touched code gets re-proven);
-  B. the remaining slots go to the queries whose last driver-green row
-     is OLDEST (nothing goes unverified for rounds on end).
+  * imports __spark_entry__ exactly the way the driver does (by file
+    path, with the repo root on sys.path) and reads queries() from it —
+    any future registration-order side effect shows up here;
+  * rule A: every query whose defining module changed since the last
+    round boundary is inside the window;
+  * rule B: every out-of-window query has a green row no older than
+    latest-recorded-round − 1 (nothing rots unverified);
+  * rule C: the window is cross-checked against the CORRECTNESS
+    artifact.  If the current window set equals the latest artifact's
+    key set (i.e. the artifact was produced from this catalog), every
+    in-window query must have a green row.  Mid-round, right after a
+    rotation, the sets legitimately differ — that is reported but not
+    fatal unless --expect-artifact-match is given (use it post-round /
+    in the judge's run to enforce "the rotation actually happened").
 
-This tool checks A mechanically and reports the data for B: for every
-query, its window position and the last round with a green
-(rows+schema+hash) row in the CORRECTNESS artifacts.  COVERAGE.md's
-rotation statement cites this output instead of hand-counted numbers
-(a hand count was wrong in r4: "21 outside" vs the true 23).
-
-Usage:  python tools/check_rotation.py   (run from the repo root)
-Exit 1 if rule A is violated or an out-of-window query has no green row
-in the last two recorded rounds.
+Usage:  python tools/check_rotation.py [--expect-artifact-match]
+Exit 1 on any rule A/B violation, on rule C when the sets match but a
+row is not green, or (with the flag) when the sets do not match.
 """
 
 from __future__ import annotations
 
 import glob
+import importlib.util
 import json
 import os
 import re
@@ -32,6 +41,21 @@ import sys
 
 WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_effective_names() -> tuple[list[str], dict[str, str]]:
+    """queries() order exactly as the driver sees it, plus defining module."""
+    sys.path.insert(0, REPO)
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    entry_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+    names = list(entry_mod.queries().keys())
+    from debezium_nats_cdc_spark import catalog
+
+    mods = {n: e.fn.__module__ for n, e in catalog.entries().items()}
+    return names, mods
 
 
 def _last_round_boundary() -> str | None:
@@ -67,55 +91,38 @@ def _touched_modules(since: str | None) -> set[str]:
     return mods
 
 
-def _green_rounds() -> dict[str, int]:
-    """query -> last round number with rows+schema+hash all true."""
-    last: dict[str, int] = {}
+def _artifacts() -> list[tuple[int, dict]]:
+    out = []
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
         with open(path) as f:
-            data = json.load(f)
-        for q, rec in data.items():
-            if rec.get("rows_match") and rec.get("schema_match") \
-                    and rec.get("hash_match"):
-                last[q] = max(last.get(q, 0), rnd)
-    return last
+            out.append((rnd, json.load(f)))
+    return out
+
+
+def _is_green(rec: dict) -> bool:
+    return bool(rec.get("rows_match") and rec.get("schema_match")
+                and rec.get("hash_match"))
 
 
 def main() -> int:
-    sys.path.insert(0, REPO)
-    from debezium_nats_cdc_spark import catalog
-
-    entries = catalog.entries()
-    names = list(entries)
-    window = set(names[:WINDOW])
+    expect_match = "--expect-artifact-match" in sys.argv[1:]
+    names, mods = _driver_effective_names()
+    window = names[:WINDOW]
     outside = names[WINDOW:]
 
     boundary = _last_round_boundary()
     touched = _touched_modules(boundary)
-    green = _green_rounds()
-    recorded_rounds = sorted(
-        {int(re.search(r"_r(\d+)\.json$", p).group(1))
-         for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))}
-    )
-    latest = recorded_rounds[-1] if recorded_rounds else 0
+    arts = _artifacts()
+    latest_rnd, latest_art = (arts[-1] if arts else (0, {}))
+    green: dict[str, int] = {}
+    for rnd, data in arts:
+        for q, rec in data.items():
+            if _is_green(rec):
+                green[q] = max(green.get(q, 0), rnd)
 
-    violations = []
-    for i, name in enumerate(names):
-        mod = entries[name].fn.__module__
-        if mod in touched and i >= WINDOW:
-            violations.append(
-                f"rule A: {name} (from touched {mod}) sits at position "
-                f"{i + 1}, outside the {WINDOW}-query window"
-            )
-
-    stale = [
-        (q, green.get(q))
-        for q in outside
-        if green.get(q) is None or green[q] <= latest - 2
-    ]
-
-    print(f"catalog: {len(names)} queries; window = first {WINDOW}; "
-          f"{len(outside)} outside")
+    print(f"catalog (driver-effective via __spark_entry__): {len(names)} "
+          f"queries; window = first {WINDOW}; {len(outside)} outside")
     print(f"round boundary: {boundary[:9] if boundary else '<none>'}; "
           f"touched operator modules: "
           f"{sorted(m.rsplit('.', 1)[-1] for m in touched) or '[]'}")
@@ -129,15 +136,43 @@ def main() -> int:
               f"({', '.join(qs)})")
 
     ok = True
-    for v in violations:
-        ok = False
-        print(f"FAIL {v}")
-    if stale:
-        ok = False
-        for q, rnd in stale:
+    for i, name in enumerate(names):
+        if mods[name] in touched and i >= WINDOW:
+            ok = False
+            print(f"FAIL rule A: {name} (from touched {mods[name]}) sits at "
+                  f"position {i + 1}, outside the {WINDOW}-query window")
+    for q in outside:
+        rnd = green.get(q)
+        if rnd is None or rnd < latest_rnd - 1:
+            ok = False
             print(f"FAIL rule B: {q} outside the window with last green "
                   f"{'r' + str(rnd) if rnd else 'never'} "
-                  f"(latest recorded round is r{latest})")
+                  f"(latest recorded round is r{latest_rnd})")
+
+    # rule C: window vs artifact
+    wset, aset = set(window), set(latest_art)
+    if wset == aset:
+        bad = [q for q in window if not _is_green(latest_art.get(q, {}))]
+        if bad:
+            ok = False
+            for q in bad:
+                print(f"FAIL rule C: {q} is in the window and in "
+                      f"CORRECTNESS_r{latest_rnd:02d} but NOT green")
+        else:
+            print(f"rule C: window set == CORRECTNESS_r{latest_rnd:02d} key "
+                  f"set, all {WINDOW} green")
+    else:
+        msg = (f"rule C: window set != CORRECTNESS_r{latest_rnd:02d} key set "
+               f"(window-only: {sorted(wset - aset)}; artifact-only: "
+               f"{sorted(aset - wset)})")
+        if expect_match:
+            ok = False
+            print(f"FAIL {msg}")
+        else:
+            print(f"{msg} — expected mid-round right after a rotation; "
+                  f"rerun with --expect-artifact-match once the round's "
+                  f"artifact lands")
+
     print("rotation OK" if ok else "rotation VIOLATED")
     return 0 if ok else 1
 
