@@ -80,7 +80,7 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
 # Skew guard: buckets above this size switch pair expansion from
-# all-pairs (O(k²)) to anchor pairing (O(k), see _bucket_pairs) —
+# all-pairs (O(k²)) to anchor pairing (O(k), see _candidate_pairs) —
 # recall degrades gracefully instead of being dropped outright.
 BUCKET_CAP = 1000
 _H2_MASK = (1 << 40) - 1  # keep h1 + 15*h2m < 2^61: no overflow either engine
@@ -344,7 +344,7 @@ def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",
 
     Shuffle cost: docs × B band rows, keyed by (band_id, band_hash).
     Self-join happens per bucket — skew guard: buckets above BUCKET_CAP
-    degrade to anchor pairing (_bucket_pairs) instead of going
+    degrade to anchor pairing (_candidate_pairs) instead of going
     quadratic, so a single hot bucket costs O(k) while its members stay
     paired against the bucket minimum.
     """
@@ -526,7 +526,7 @@ def jaccard_pair_counts(gsets: DataFrame, op: str = "jaccard") -> DataFrame:
     runs ONCE (a self-join recomputes it per side — no exchange reuse,
     measured) and the whole pipeline is 2 shuffles: postings→group-by-g,
     pairs→group-by-(a,b).  Skew guard: shingle buckets above BUCKET_CAP
-    expand anchor pairs only (_bucket_pairs), the same bound the
+    expand anchor pairs only (_candidate_pairs), the same bound the
     oracles apply via ``a.df <= CAP OR a.doc_id = gmin``.
     Postings shuffle 8-byte shingle hashes, not ~25-byte shingle
     strings: same grouping (equal shingles hash equal; xxhash64

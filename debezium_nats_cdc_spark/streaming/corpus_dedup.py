@@ -174,23 +174,6 @@ def dedup_batch_against_index(batch_bands: DataFrame,
         .withColumn("est_jaccard", _est_jaccard("sig_a", "sig_b"))
         .filter(F.col("est_jaccard") >= EST_JACCARD_THRESHOLD)
     )
-    if probe_matches is not None:
-        # A keeper that itself duplicates the index can't claim
-        # batch-mates (dup_of must point at an ACCEPTED doc) — but its
-        # pairs must not vanish either: in the anchor-capped buckets a
-        # member's ONLY pair may be the anchor, and an earlier revision's
-        # left-anti here silently accepted every such member whenever the
-        # anchor probe-matched the index (the exact boilerplate case the
-        # cap targets).  Instead CHAIN: rewrite the pair's target to the
-        # keeper's own index match.  The recorded est_jaccard remains the
-        # member-vs-keeper estimate — a proxy for member-vs-index (both
-        # cleared the threshold against a shared near-identical text).
-        chain = probe_matches.select(
-            F.col("doc_id").alias("keeper"), F.col("dup_of").alias("_chain_to")
-        )
-        intra = intra.join(chain, "keeper", "left").withColumn(
-            "keeper", F.coalesce("_chain_to", F.col("keeper"))
-        ).drop("_chain_to")
     intra_matches = intra.groupBy("doc_id").agg(
         F.min("keeper").alias("dup_of"),
         F.max("est_jaccard").alias("est_jaccard"),
@@ -208,6 +191,31 @@ def dedup_batch_against_index(batch_bands: DataFrame,
         ).alias("dup_of"),
         F.max("est_jaccard").alias("est_jaccard"),
     )
+
+    # dup_of must point at an ACCEPTED doc, but best can still target a
+    # doc that is itself quarantined this batch: the anchor-capped case
+    # (a member's only pair is its bucket anchor, and the anchor
+    # duplicates the index) and the cross-bucket case (the member's
+    # keeper was matched through a DIFFERENT band bucket).  Resolve both
+    # by pointer jumping over the batch-local match set until every
+    # target is terminal.  Converges: intra targets strictly decrease
+    # (keeper < doc_id within a pair) and probe targets are index docs,
+    # which are terminal.  The recorded est_jaccard stays the member's
+    # own estimate against its direct match — a proxy for
+    # member-vs-final-target (both cleared the threshold against a
+    # shared near-identical text).  Common case (no chains) costs one
+    # small batch-local join per micro-batch.
+    for _ in range(8):
+        targets = best.filter(F.col("dup_of").isNotNull()).select(
+            F.col("doc_id").alias("t_id"), F.col("dup_of").alias("t_dup")
+        )
+        jumped = best.join(targets, best["dup_of"] == targets["t_id"], "left")
+        if jumped.filter(F.col("t_dup").isNotNull()).limit(1).count() == 0:
+            break
+        best = jumped.withColumn(
+            "dup_of", F.coalesce("t_dup", F.col("dup_of"))
+        ).drop("t_id", "t_dup")
+
     return all_ids.join(best, "doc_id", "left")
 
 

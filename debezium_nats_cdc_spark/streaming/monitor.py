@@ -88,8 +88,29 @@ class CdcHealthListener(StreamingQueryListener):
 
 
 def dlq_depth(spark, dead_letter_dir: str) -> int:
-    """DLQ depth gauge (docs/system-design.md:400)."""
+    """DLQ depth gauge (docs/system-design.md:400).
+
+    mergeSchema: DLQ rows grew a ``schema_version`` column in r5, so a
+    dead-letter dir appended across engine versions holds mixed-schema
+    parquet; without the option the resolved schema depends on which
+    file Spark samples and the new column can silently vanish.
+    """
     try:
-        return spark.read.parquet(dead_letter_dir).count()
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(dead_letter_dir)
+            .count()
+        )
     except Exception:
         return 0
+
+
+def read_dlq(spark, dead_letter_dir: str):
+    """Read the dead-letter log across engine versions.
+
+    The canonical DLQ reader for tooling: always mergeSchema (the r5
+    ``schema_version`` column bump means pre-r5 files lack it — merged
+    reads surface it as NULL for old rows instead of dropping it), the
+    same discipline as the state-log reads in streaming/pipeline.py.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(dead_letter_dir)

@@ -232,3 +232,31 @@ def test_index_compaction_bounds_files_and_keeps_membership(
     pipe.process_batch(spark, docs([(101, "unique1 " * 40)]), epoch_id=1)
     assert spark.read.parquet(pipe.accepted_dir).count() == n_acc
     assert spark.read.parquet(pipe.index_dir).count() == n_idx
+
+
+def test_cross_bucket_chain_resolves_to_accepted_doc(spark):
+    """A member whose keeper was quarantined through a DIFFERENT band
+    bucket must chain to the final accepted doc: with A~B colliding only
+    in band 0 and B~C only in band 2 (A and C share nothing), C's dup_of
+    must resolve to A, never to the quarantined B (ADVICE r5)."""
+    from debezium_nats_cdc_spark.streaming import corpus_dedup as cd
+
+    # fabricated signatures: est_jaccard(A,B)=est(B,C)=8/16=0.5 (at the
+    # threshold), est(A,C)=0 — a true transitive chain, not a clique
+    sig_a = [0] * 16
+    sig_b = [0] * 8 + [1] * 8
+    sig_c = [2] * 8 + [1] * 8
+    rows = []
+    for doc_id, sig, hashes in [
+        (1, sig_a, [100, 101, 102, 103]),
+        (2, sig_b, [100, 201, 202, 203]),  # band 0 collides with A
+        (3, sig_c, [300, 301, 202, 303]),  # band 2 collides with B only
+    ]:
+        for band_id, h in enumerate(hashes):
+            rows.append((band_id, h, doc_id, sig))
+    bands = spark.createDataFrame(
+        rows, "band_id int, band_hash long, doc_id long, sig array<int>"
+    )
+    out = {r["doc_id"]: r["dup_of"]
+           for r in cd.dedup_batch_against_index(bands, None).collect()}
+    assert out == {1: None, 2: 1, 3: 1}
