@@ -203,3 +203,88 @@ def test_contract_violation_routes_to_dlq_with_versioned_reason(
     assert row["schema_version"] == 2
     # the contract violation never reached the event store
     assert not dirs.backend.has_data(dirs.events)
+
+
+@pytest.mark.parametrize("backend_cls", ["local", "pointer"])
+def test_registry_live_migration_mid_stream(spark, tmp_path, backend_cls):
+    """A3/F4 live migration (VERDICT r5 task #8): the contract upgrades
+    v1 -> v2 BETWEEN micro-batches of one logical stream (checkpoint
+    resume — the streaming equivalent of a rolling registry deploy).
+    Old-schema producers (no v2 optional field) must keep validating
+    under v2 (FULL compatibility), while a producer that drops a
+    required field lands in dead_letter with the v2 reason — on both
+    state backends."""
+    from debezium_nats_cdc_spark.registry import FieldSpec, default_registry
+    from debezium_nats_cdc_spark.streaming.pipeline import (
+        run_pipeline_until_done,
+    )
+    from debezium_nats_cdc_spark.streaming.state_backend import (
+        GenerationPointerBackend,
+        LocalFSBackend,
+    )
+
+    def backend():
+        return (LocalFSBackend() if backend_cls == "local"
+                else GenerationPointerBackend())
+
+    root = str(tmp_path / backend_cls)
+    log_dir = os.path.join(root, "log")
+
+    def emp(n, salary):
+        return {
+            "id": n, "employee_number": f"EMP9{n:02d}", "first_name": "Mig",
+            "last_name": f"Ration{n}", "email": f"mig{n}@company.com",
+            "position_id": "IC1", "department_id": 1, "manager_id": None,
+            "salary": salary, "hire_date": "2026-01-02", "status": "active",
+        }
+
+    # phase 1: a valid v1-era hire, processed under the v1-only registry
+    fixtures.write_event_log(
+        [fixtures.envelope("employees", "c", None, emp(1, 50_000.0),
+                           fixtures.BASE_TS_MS + 1000)],
+        log_dir, events_per_file=5,
+    )
+    reg = default_registry()
+    dirs = run_pipeline_until_done(spark, log_dir, root,
+                                   tables=["employees"], registry=reg,
+                                   backend=backend())
+    assert spark.read.parquet(dirs.events).count() == 1
+    assert not dirs.backend.has_data(dirs.dead_letter)
+
+    # mid-stream upgrade: v2 adds an OPTIONAL field (the only
+    # FULL-compatible evolution the registry permits)
+    v1 = reg.get("EmployeeHired")
+    assert reg.register(
+        "EmployeeHired",
+        list(v1.fields) + [FieldSpec("probationMonths", "long")],
+    ) == 2
+
+    # phase 2: NEW log files (the checkpoint has consumed chunk-00000):
+    # an old-schema producer (no probationMonths) and a broken producer
+    # (drops required salary)
+    phase2 = [
+        fixtures.envelope("employees", "c", None, emp(2, 60_000.0),
+                          fixtures.BASE_TS_MS + 2000),
+        fixtures.envelope("employees", "c", None, emp(3, None),
+                          fixtures.BASE_TS_MS + 3000),
+    ]
+    with open(os.path.join(log_dir, "chunk-migration.json"), "w") as f:
+        for ev in phase2:
+            f.write(json.dumps(ev) + "\n")
+
+    dirs = run_pipeline_until_done(spark, log_dir, root,
+                                   tables=["employees"], registry=reg,
+                                   backend=backend())
+
+    ev = spark.read.parquet(dirs.events).filter(
+        "event_type = 'EmployeeHired'")
+    hired = sorted(
+        r["aggregate_id"] for r in ev.select("aggregate_id").collect())
+    # the old-schema producer (id 2) validated under v2; the phase-1
+    # event (id 1) was not reprocessed on resume — exactly-once held
+    assert hired == ["1", "2"]
+
+    dlq = spark.read.parquet(dirs.dead_letter).collect()
+    assert len(dlq) == 1
+    assert dlq[0]["invalid_reason"] == "schema:EmployeeHired:v2:salary"
+    assert dlq[0]["schema_version"] == 2
