@@ -1,0 +1,72 @@
+"""The bench summary line must survive the driver's 2000-char stdout tail.
+
+BENCH_r05's artifact proved the window is exactly 2000 chars and that a
+2284-char summary line loses its head: 7 query timings vanished and the
+driver's JSON parse returned None.  These tests pin, without a Spark
+session, that the abbreviated summary for the FULL current catalog fits
+the budget under adverse value widths, parses back, and keeps one
+distinct key per query.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from debezium_nats_cdc_spark import catalog
+
+
+def _names() -> list[str]:
+    return list(catalog.entries().keys())
+
+
+def test_summary_fits_tail_budget_at_adverse_values():
+    names = _names()
+    # adverse-but-plausible: every query at 12.3 s (sum 900 s), ambient
+    # meltdown shape; plus realistic stream stats widths
+    timings = {n: 12.345 for n in names}
+    stream = {
+        "stream_events_per_sec": 123456.7,
+        "stream_batch_p50_sec": 11.622,
+        "stream_batch_p95_sec": 11.854,
+        "stream_wall_sec": 99.999,  # must NOT be copied into the summary
+    }
+    line = bench.build_summary(timings, "0.1", stream)
+    assert len(line) + 1 <= 2000, f"summary {len(line)} chars + newline > tail"
+    parsed = json.loads(line)
+    assert len(parsed["queries"]) == len(names)
+    assert "stream_wall_sec" not in parsed
+
+
+def test_summary_round_trips_and_orders_slowest_last():
+    names = _names()
+    timings = {n: 0.1 + i * 0.01 for i, n in enumerate(names)}
+    timings[names[0]] = 50.0  # slowest
+    line = bench.build_summary(timings, "0.1", {})
+    parsed = json.loads(line)
+    assert list(parsed["queries"].values())[-1] == 50.0
+    assert parsed["metric"] == "catalog_total_sec"
+    assert parsed["unit"] == "sec"
+    assert parsed["sf"] == 0.1
+    assert "n_failed" not in parsed  # only present when something failed
+
+
+def test_abbreviation_is_injective_over_catalog():
+    names = _names()
+    short = [bench.abbr_name(n) for n in names]
+    assert len(set(short)) == len(names)
+    # legend covers every family that actually gets abbreviated
+    for n, s in zip(names, short):
+        if n != s:
+            assert any(n.startswith(long) and s.startswith(sh)
+                       for long, sh in bench.ABBR)
+
+
+def test_failed_query_is_flagged_not_dropped():
+    names = _names()
+    timings = {n: 0.5 for n in names}
+    timings[names[3]] = -1.0
+    line = bench.build_summary(timings, "0.1", {})
+    parsed = json.loads(line)
+    assert parsed["n_failed"] == 1
+    assert parsed["queries"][bench.abbr_name(names[3])] == -1.0
