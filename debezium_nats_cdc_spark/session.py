@@ -33,11 +33,14 @@ RUNTIME_CONFS: dict[str, str] = {
     # checkpoint at first start), decoupled from batch shuffle parallelism.
     # The HDFS-backed store pays a fixed per-partition commit cost every
     # micro-batch — at 32 partitions that was 14 s per 500k-event batch vs
-    # 0.4 s at 8 (measured; see streaming/bench.py).  8 suits keys-in-window
-    # at single-node scale; a real cluster sizes this ≈ total cores before
-    # the FIRST run against a fresh checkpoint.
+    # 0.4 s at 8 (measured; see streaming/bench.py).  Default is 4: the
+    # r6 interleaved A/B (tools/ab_streaming.py, BENCHLOG) measured
+    # median micro-batch P50 1.256 s / P95 1.588 s at 4 vs 1.388/1.645
+    # at 8 — the commit tail is pure per-partition overhead at
+    # single-node key volumes.  A real cluster sizes this ≈ total cores
+    # before the FIRST run against a fresh checkpoint.
     "spark.sql.streaming.internal.stateStore.partitions": os.environ.get(
-        "SPARK_GRAFT_STATE_PARTITIONS", "8"
+        "SPARK_GRAFT_STATE_PARTITIONS", "4"
     ),
 }
 
