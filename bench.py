@@ -136,6 +136,21 @@ def main() -> None:
 
     spark.range(4).select(_warm("id")).count()  # spin up Arrow workers
 
+    # streaming micro-bench FIRST (right after the generic session
+    # warm): its ev/s number is the SLO headline and is JVM-state
+    # sensitive — run it on the freshest heap instead of after 73
+    # catalog queries of churn (measured: 58k ev/s when it ran last vs
+    # 90k+ idle in the interleaved A/B, tools/ab_streaming.py /
+    # BENCHLOG r6).  Its own internal warmup pass covers plan codegen.
+    try:
+        from debezium_nats_cdc_spark.streaming.bench import streaming_events_per_sec
+
+        stream_stats = streaming_events_per_sec(spark)
+    except Exception as ex:
+        print(f"bench streaming skipped: {ex}", file=sys.stderr)
+        stream_stats = {}
+    print(json.dumps({"stream_stats_full": stream_stats}), flush=True)
+
     # Untimed warm pass over the WHOLE catalog at sf0.01: pays
     # expression-codegen + JIT compile for every operator family before
     # the timed loop (sf0.01 preferred over sf0.001 because the JIT's
@@ -159,6 +174,14 @@ def main() -> None:
             print(json.dumps({"warm_pass_sec": round(time.time() - t0, 1),
                               "warm_sf_dir": tiny}), flush=True)
 
+    def _clear_intra_session_caches() -> None:
+        # the dedup family shares a pair cache keyed by table signature;
+        # a warm repeat must re-execute the plan, not read the cache
+        # (first observed: a repeat recorded 0.02 s for a 2.9 s query)
+        from debezium_nats_cdc_spark.operators.dedup import clear_pair_cache
+
+        clear_pair_cache()
+
     for name, e in ents.items():
         rec = {"q": name}
         t0 = time.time()
@@ -168,6 +191,7 @@ def main() -> None:
             # warm repeat for expensive queries: the recorded number must
             # represent the query, not residual first-run compilation
             if took > REPEAT_THRESHOLD_SEC:
+                _clear_intra_session_caches()
                 t1 = time.time()
                 e.fn(spark, SF_DIR).write.format("noop") \
                     .mode("overwrite").save()
@@ -183,19 +207,9 @@ def main() -> None:
         # holds a parseable time for every query that fits in it
         print(json.dumps(rec), flush=True)
 
-    # streaming micro-bench: events/s through the CDC rule pipeline
-    try:
-        from debezium_nats_cdc_spark.streaming.bench import streaming_events_per_sec
-
-        stream_stats = streaming_events_per_sec(spark)
-    except Exception as ex:
-        print(f"bench streaming skipped: {ex}", file=sys.stderr)
-        stream_stats = {}
-
     # full-name record for human readers + BENCHLOG (driver tail cuts it)
     print(json.dumps({"queries_full": dict(
         sorted(timings.items(), key=lambda kv: kv[1]))}), flush=True)
-    print(json.dumps({"stream_stats_full": stream_stats}), flush=True)
     print(build_summary(timings, sf, stream_stats), flush=True)
 
 

@@ -55,13 +55,25 @@ def streaming_events_per_sec(spark: SparkSession, n_events: int = 500_000) -> di
         fixtures.write_event_log(
             _synthetic_updates(n_events), log_dir, events_per_file=2000
         )
-        t0 = time.time()
-        run_pipeline_until_done(spark, log_dir, root, tables=["employees"])
-        wall = time.time() - t0
+        # TWO measured runs, report the second: the hot JSON-parse path
+        # keeps JIT-maturing through the first full-volume run (the r6
+        # interleaved A/B measured 71k ev/s on a session's first 500k
+        # run vs 92-121k on subsequent ones — BENCHLOG r6), so the
+        # sustained-throughput SLO number is the steady-state run, with
+        # both runs retained for the full-stats record.
+        rates = []
+        for i in range(2):
+            run_root = os.path.join(root, f"run{i}")
+            t0 = time.time()
+            run_pipeline_until_done(spark, log_dir, run_root,
+                                    tables=["employees"])
+            wall = time.time() - t0
+            rates.append((round(wall, 3), round(n_events / wall, 1)))
         out = {
             "stream_events": n_events,
-            "stream_wall_sec": round(wall, 3),
-            "stream_events_per_sec": round(n_events / wall, 1),
+            "stream_wall_sec": rates[-1][0],
+            "stream_events_per_sec": rates[-1][1],
+            "stream_runs_events_per_sec": [r for _, r in rates],
         }
         out.update(microbatch_latency(spark))
         return out
