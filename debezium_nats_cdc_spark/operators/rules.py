@@ -28,22 +28,49 @@ def _changed(a: str, b: str) -> F.Column:
     return ~F.col(a).eqNullSafe(F.col(b))
 
 
-def domain_event(
-    df: DataFrame,
+# --------------------------------------------------------- spec cache --
+#
+# Building a rule's Column forest costs hundreds of py4j round trips.
+# foreachBatch re-applies the rules to a NEW DataFrame every micro-batch,
+# so without caching that build ran per batch and dominated the events
+# sink (apply_rules spent 0.6-0.9 s/batch BUILDING expressions vs ~0.2 s
+# executing them — profiled in BENCHLOG r6).  Column objects are
+# immutable and hold no DataFrame reference — only unresolved attribute
+# names — so each rule's (predicate, select-list) builds ONCE per
+# SparkContext and replays as two py4j calls per batch.  Keyed by the
+# active context's id: a restarted JVM gateway invalidates stale handles.
+
+_SPEC_CACHE: dict[tuple, tuple[F.Column, list[F.Column]]] = {}
+
+
+def _rule(df: DataFrame, name: str, build) -> DataFrame:
+    from pyspark import SparkContext
+
+    key = (name, id(SparkContext._active_spark_context))
+    spec = _SPEC_CACHE.get(key)
+    if spec is None:
+        stale = [k for k in _SPEC_CACHE if k[1] != key[1]]
+        for k in stale:  # entries from a stopped context are dead weight
+            del _SPEC_CACHE[k]
+        spec = _SPEC_CACHE[key] = build()
+    cond, cols = spec
+    return df.filter(cond).select(*cols)
+
+
+def domain_event_cols(
     event_type: str,
     category: str,
     aggregate_id: F.Column,
     aggregate_type: str,
     payload: F.Column,
-) -> DataFrame:
-    """Project an unwrapped change row into the domain envelope
-    (docs/system-design.md:189-209).  eventId is deterministic —
-    md5(type|aggregate|ts|change_key) — so redelivered source events
-    produce the same id and dedup downstream (FIXTURES §3 duplicate
-    fixture), unlike the reference's UUID.randomUUID()
-    (docs/design.md:675), which would defeat its own idempotency keys.
-    """
-    return df.select(
+) -> list[F.Column]:
+    """The domain-envelope select-list (docs/system-design.md:189-209).
+    eventId is deterministic — md5(type|aggregate|ts|change_key) — so
+    redelivered source events produce the same id and dedup downstream
+    (FIXTURES §3 duplicate fixture), unlike the reference's
+    UUID.randomUUID() (docs/design.md:675), which would defeat its own
+    idempotency keys."""
+    return [
         F.md5(
             F.concat_ws(
                 "|",
@@ -66,7 +93,22 @@ def domain_event(
             F.col("change_key").alias("correlationId"),
             F.lit(None).cast("string").alias("userId"),
         ).alias("metadata"),
-    )
+    ]
+
+
+def domain_event(
+    df: DataFrame,
+    event_type: str,
+    category: str,
+    aggregate_id: F.Column,
+    aggregate_type: str,
+    payload: F.Column,
+) -> DataFrame:
+    """Project an unwrapped change row into the domain envelope — see
+    domain_event_cols (kept as the ad-hoc/batch entry point; the rules
+    below go through the _rule spec cache instead)."""
+    return df.select(*domain_event_cols(
+        event_type, category, aggregate_id, aggregate_type, payload))
 
 
 # ------------------------------------------------------ employee rules --
@@ -81,18 +123,20 @@ def employee_hired(df: DataFrame) -> DataFrame:
     Snapshot reads (op='r') deliberately do NOT fire — they replay
     existing rows into the materializer (SURVEY §2.A2), not new hires.
     """
-    hits = df.filter((F.col("op") == "c") & F.col("after").isNotNull())
-    return domain_event(
-        hits, "EmployeeHired", "employee", F.col("after.id"), "Employee",
-        _emp_payload(
-            F.col("after.employee_number").alias("employeeNumber"),
-            F.concat_ws(" ", F.col("after.first_name"), F.col("after.last_name")).alias("fullName"),
-            F.col("after.position_id").alias("positionId"),
-            F.col("after.department_id").alias("departmentId"),
-            F.col("after.salary").cast("double").alias("salary"),
-            F.col("after.hire_date").cast("string").alias("hireDate"),
+    return _rule(df, "EmployeeHired", lambda: (
+        (F.col("op") == "c") & F.col("after").isNotNull(),
+        domain_event_cols(
+            "EmployeeHired", "employee", F.col("after.id"), "Employee",
+            _emp_payload(
+                F.col("after.employee_number").alias("employeeNumber"),
+                F.concat_ws(" ", F.col("after.first_name"), F.col("after.last_name")).alias("fullName"),
+                F.col("after.position_id").alias("positionId"),
+                F.col("after.department_id").alias("departmentId"),
+                F.col("after.salary").cast("double").alias("salary"),
+                F.col("after.hire_date").cast("string").alias("hireDate"),
+            ),
         ),
-    )
+    ))
 
 
 def PROMOTION_COND():
@@ -108,17 +152,19 @@ def PROMOTION_COND():
 def employee_promoted(df: DataFrame) -> DataFrame:
     """I2: position changed ∧ salary increased ∧ active
     (docs/design.md:281-307; docs/system-design.md:213-217)."""
-    hits = df.filter(PROMOTION_COND())
-    return domain_event(
-        hits, "EmployeePromoted", "employee", F.col("after.id"), "Employee",
-        _emp_payload(
-            F.col("before.position_id").alias("previousPositionId"),
-            F.col("after.position_id").alias("newPositionId"),
-            F.col("before.salary").cast("double").alias("previousSalary"),
-            F.col("after.salary").cast("double").alias("newSalary"),
-            (F.col("after.salary") - F.col("before.salary")).cast("double").alias("salaryIncrease"),
+    return _rule(df, "EmployeePromoted", lambda: (
+        PROMOTION_COND(),
+        domain_event_cols(
+            "EmployeePromoted", "employee", F.col("after.id"), "Employee",
+            _emp_payload(
+                F.col("before.position_id").alias("previousPositionId"),
+                F.col("after.position_id").alias("newPositionId"),
+                F.col("before.salary").cast("double").alias("previousSalary"),
+                F.col("after.salary").cast("double").alias("newSalary"),
+                (F.col("after.salary") - F.col("before.salary")).cast("double").alias("salaryIncrease"),
+            ),
         ),
-    )
+    ))
 
 
 def TERMINATION_COND():
@@ -132,14 +178,16 @@ def TERMINATION_COND():
 def employee_terminated(df: DataFrame) -> DataFrame:
     """I3: status active→terminated; tenure enrichment
     (docs/design.md:309-322; docs/system-design.md:218-221)."""
-    hits = df.filter(TERMINATION_COND())
-    return domain_event(
-        hits, "EmployeeTerminated", "employee", F.col("after.id"), "Employee",
-        _emp_payload(
-            F.col("after.employee_number").alias("employeeNumber"),
-            F.datediff(F.to_date("event_time"), F.col("after.hire_date")).alias("tenureDays"),
+    return _rule(df, "EmployeeTerminated", lambda: (
+        TERMINATION_COND(),
+        domain_event_cols(
+            "EmployeeTerminated", "employee", F.col("after.id"), "Employee",
+            _emp_payload(
+                F.col("after.employee_number").alias("employeeNumber"),
+                F.datediff(F.to_date("event_time"), F.col("after.hire_date")).alias("tenureDays"),
+            ),
         ),
-    )
+    ))
 
 
 def TRANSFER_COND():
@@ -153,14 +201,16 @@ def TRANSFER_COND():
 def employee_transferred(df: DataFrame) -> DataFrame:
     """I4: department changed ∧ position unchanged
     (docs/design.md:253; docs/system-design.md:222-227)."""
-    hits = df.filter(TRANSFER_COND())
-    return domain_event(
-        hits, "EmployeeTransferred", "employee", F.col("after.id"), "Employee",
-        _emp_payload(
-            F.col("before.department_id").alias("fromDepartmentId"),
-            F.col("after.department_id").alias("toDepartmentId"),
+    return _rule(df, "EmployeeTransferred", lambda: (
+        TRANSFER_COND(),
+        domain_event_cols(
+            "EmployeeTransferred", "employee", F.col("after.id"), "Employee",
+            _emp_payload(
+                F.col("before.department_id").alias("fromDepartmentId"),
+                F.col("after.department_id").alias("toDepartmentId"),
+            ),
         ),
-    )
+    ))
 
 
 def MANAGER_COND():
@@ -169,101 +219,109 @@ def MANAGER_COND():
 
 def manager_assigned(df: DataFrame) -> DataFrame:
     """I8: manager_id changed (docs/design.md:259)."""
-    hits = df.filter(MANAGER_COND())
-    return domain_event(
-        hits, "ManagerAssigned", "employee", F.col("after.id"), "Employee",
-        _emp_payload(
-            F.col("before.manager_id").alias("previousManagerId"),
-            F.col("after.manager_id").alias("newManagerId"),
+    return _rule(df, "ManagerAssigned", lambda: (
+        MANAGER_COND(),
+        domain_event_cols(
+            "ManagerAssigned", "employee", F.col("after.id"), "Employee",
+            _emp_payload(
+                F.col("before.manager_id").alias("previousManagerId"),
+                F.col("after.manager_id").alias("newManagerId"),
+            ),
         ),
-    )
+    ))
 
 
 def employee_data_updated(df: DataFrame) -> DataFrame:
     """I5: residual catch-all — updates matched by no specific rule
     (docs/design.md:254; lowest precedence)."""
-    hits = df.filter(
+    return _rule(df, "EmployeeDataUpdated", lambda: (
         (F.col("op") == "u")
         & ~PROMOTION_COND()
         & ~TERMINATION_COND()
         & ~TRANSFER_COND()
-        & ~MANAGER_COND()
-    )
-    return domain_event(
-        hits, "EmployeeDataUpdated", "employee", F.col("after.id"), "Employee",
-        _emp_payload(F.col("after.employee_number").alias("employeeNumber")),
-    )
+        & ~MANAGER_COND(),
+        domain_event_cols(
+            "EmployeeDataUpdated", "employee", F.col("after.id"), "Employee",
+            _emp_payload(F.col("after.employee_number").alias("employeeNumber")),
+        ),
+    ))
 
 
 # ---------------------------------------------------- department rules --
 
 def department_created(df: DataFrame) -> DataFrame:
     """I6: op='c' on departments (docs/design.md:257); 'r' excluded as in I1."""
-    hits = df.filter((F.col("op") == "c") & F.col("after").isNotNull())
-    return domain_event(
-        hits, "DepartmentCreated", "organization", F.col("after.id"), "Department",
-        _emp_payload(F.col("after.name").alias("name")),
-    )
+    return _rule(df, "DepartmentCreated", lambda: (
+        (F.col("op") == "c") & F.col("after").isNotNull(),
+        domain_event_cols(
+            "DepartmentCreated", "organization", F.col("after.id"), "Department",
+            _emp_payload(F.col("after.name").alias("name")),
+        ),
+    ))
 
 
 def department_restructured(df: DataFrame) -> DataFrame:
     """I7: parent_department_id changed (docs/design.md:258)."""
-    hits = df.filter(
+    return _rule(df, "DepartmentRestructured", lambda: (
         (F.col("op") == "u")
-        & _changed("before.parent_department_id", "after.parent_department_id")
-    )
-    return domain_event(
-        hits, "DepartmentRestructured", "organization", F.col("after.id"), "Department",
-        _emp_payload(
-            F.col("before.parent_department_id").alias("previousParentId"),
-            F.col("after.parent_department_id").alias("newParentId"),
+        & _changed("before.parent_department_id", "after.parent_department_id"),
+        domain_event_cols(
+            "DepartmentRestructured", "organization", F.col("after.id"), "Department",
+            _emp_payload(
+                F.col("before.parent_department_id").alias("previousParentId"),
+                F.col("after.parent_department_id").alias("newParentId"),
+            ),
         ),
-    )
+    ))
 
 
 # --------------------------------------------------------- fact rules --
 
 def salary_adjusted(df: DataFrame) -> DataFrame:
     """I10: op='c' on salary_changes (docs/design.md:267)."""
-    hits = df.filter((F.col("op") == "c") & F.col("after").isNotNull())
-    return domain_event(
-        hits, "SalaryAdjusted", "compensation", F.col("after.employee_id"), "Employee",
-        _emp_payload(
-            F.col("after.old_salary").cast("double").alias("oldSalary"),
-            F.col("after.new_salary").cast("double").alias("newSalary"),
-            F.col("after.reason").alias("reason"),
-            F.col("after.effective_date").cast("string").alias("effectiveDate"),
+    return _rule(df, "SalaryAdjusted", lambda: (
+        (F.col("op") == "c") & F.col("after").isNotNull(),
+        domain_event_cols(
+            "SalaryAdjusted", "compensation", F.col("after.employee_id"), "Employee",
+            _emp_payload(
+                F.col("after.old_salary").cast("double").alias("oldSalary"),
+                F.col("after.new_salary").cast("double").alias("newSalary"),
+                F.col("after.reason").alias("reason"),
+                F.col("after.effective_date").cast("string").alias("effectiveDate"),
+            ),
         ),
-    )
+    ))
 
 
 def leave_requested(df: DataFrame) -> DataFrame:
     """I11: op='c' on leave_requests (docs/design.md:273)."""
-    hits = df.filter((F.col("op") == "c") & F.col("after").isNotNull())
-    return domain_event(
-        hits, "LeaveRequested", "leave", F.col("after.employee_id"), "Employee",
-        _emp_payload(
-            F.col("after.leave_type").alias("leaveType"),
-            F.col("after.start_date").cast("string").alias("startDate"),
-            F.col("after.end_date").cast("string").alias("endDate"),
+    return _rule(df, "LeaveRequested", lambda: (
+        (F.col("op") == "c") & F.col("after").isNotNull(),
+        domain_event_cols(
+            "LeaveRequested", "leave", F.col("after.employee_id"), "Employee",
+            _emp_payload(
+                F.col("after.leave_type").alias("leaveType"),
+                F.col("after.start_date").cast("string").alias("startDate"),
+                F.col("after.end_date").cast("string").alias("endDate"),
+            ),
         ),
-    )
+    ))
 
 
 def leave_approved(df: DataFrame) -> DataFrame:
     """I12: status → 'approved' on leave_requests (docs/design.md:274)."""
-    hits = df.filter(
+    return _rule(df, "LeaveApproved", lambda: (
         (F.col("op") == "u")
         & (F.col("after.status") == "approved")
-        & (F.col("before.status") != "approved")
-    )
-    return domain_event(
-        hits, "LeaveApproved", "leave", F.col("after.employee_id"), "Employee",
-        _emp_payload(
-            F.col("after.leave_type").alias("leaveType"),
-            F.col("after.approved_by").alias("approvedBy"),
+        & (F.col("before.status") != "approved"),
+        domain_event_cols(
+            "LeaveApproved", "leave", F.col("after.employee_id"), "Employee",
+            _emp_payload(
+                F.col("after.leave_type").alias("leaveType"),
+                F.col("after.approved_by").alias("approvedBy"),
+            ),
         ),
-    )
+    ))
 
 
 def bonus_awarded(df: DataFrame) -> DataFrame:
@@ -272,42 +330,48 @@ def bonus_awarded(df: DataFrame) -> DataFrame:
     SOURCE-OPTIONAL — the reference's init-db.sql ships no bonuses
     table; the rule exists so a payroll-extended schema fires it without
     engine changes (SURVEY §2.I scope note)."""
-    hits = df.filter((F.col("op") == "c") & F.col("after").isNotNull())
-    return domain_event(
-        hits, "BonusAwarded", "compensation", F.col("after.employee_id"), "Employee",
-        _emp_payload(
-            F.col("after.amount").cast("double").alias("amount"),
-            F.col("after.bonus_type").alias("bonusType"),
-            F.col("after.award_date").cast("string").alias("awardDate"),
+    return _rule(df, "BonusAwarded", lambda: (
+        (F.col("op") == "c") & F.col("after").isNotNull(),
+        domain_event_cols(
+            "BonusAwarded", "compensation", F.col("after.employee_id"), "Employee",
+            _emp_payload(
+                F.col("after.amount").cast("double").alias("amount"),
+                F.col("after.bonus_type").alias("bonusType"),
+                F.col("after.award_date").cast("string").alias("awardDate"),
+            ),
         ),
-    )
+    ))
 
 
 def stock_granted(df: DataFrame) -> DataFrame:
     """Compensation event: op='c' on stock_grants (docs/design.md:269).
     SOURCE-OPTIONAL like bonus_awarded."""
-    hits = df.filter((F.col("op") == "c") & F.col("after").isNotNull())
-    return domain_event(
-        hits, "StockGranted", "compensation", F.col("after.employee_id"), "Employee",
-        _emp_payload(
-            F.col("after.shares").alias("shares"),
-            F.col("after.grant_date").cast("string").alias("grantDate"),
-            F.col("after.vesting_months").alias("vestingMonths"),
-            F.col("after.cliff_months").alias("cliffMonths"),
+    return _rule(df, "StockGranted", lambda: (
+        (F.col("op") == "c") & F.col("after").isNotNull(),
+        domain_event_cols(
+            "StockGranted", "compensation", F.col("after.employee_id"), "Employee",
+            _emp_payload(
+                F.col("after.shares").alias("shares"),
+                F.col("after.grant_date").cast("string").alias("grantDate"),
+                F.col("after.vesting_months").alias("vestingMonths"),
+                F.col("after.cliff_months").alias("cliffMonths"),
+            ),
         ),
-    )
+    ))
 
 
 def attendance_marked(df: DataFrame) -> DataFrame:
     """I13: op='c' on attendance_records (docs/design.md:275)."""
-    hits = df.filter((F.col("op") == "c") & F.col("after").isNotNull())
-    return domain_event(
-        hits, "AttendanceMarked", "attendance", F.col("after.employee_id"), "Employee",
-        _emp_payload(
-            F.col("after.attendance_date").cast("string").alias("attendanceDate"),
-            F.col("after.status").alias("status"),
+    return _rule(df, "AttendanceMarked", lambda: (
+        (F.col("op") == "c") & F.col("after").isNotNull(),
+        domain_event_cols(
+            "AttendanceMarked", "attendance", F.col("after.employee_id"), "Employee",
+            _emp_payload(
+                F.col("after.attendance_date").cast("string").alias("attendanceDate"),
+                F.col("after.status").alias("status"),
+            ),
         ),
-    )
+    ))
 
 
 # ----------------------------------------------------------- registry --

@@ -15,6 +15,32 @@ from pyspark.sql import DataFrame, functions as F
 # (docs/design.md:943-972): eventId, eventType, timestamp, aggregateId, payload
 REQUIRED = ["eventId", "eventType", "timestamp", "aggregateId", "payload"]
 
+# per-SparkContext cache of the structural reason chain: Columns are
+# immutable and DataFrame-independent, and foreachBatch would otherwise
+# rebuild this ~40-node tree over py4j every micro-batch (same pattern
+# as rules._rule / registry._cached — BENCHLOG r6)
+_STRUCTURAL_CACHE: dict[int, F.Column] = {}
+
+
+def _structural_reason() -> F.Column:
+    from pyspark import SparkContext
+
+    key = id(SparkContext._active_spark_context)
+    if key not in _STRUCTURAL_CACHE:
+        _STRUCTURAL_CACHE.clear()  # entries from a stopped context
+        reason = F.lit(None).cast("string")
+        # later checks win by being applied first in the coalesce chain
+        checks = [
+            (F.col(c).isNull(), f"missing_{c}") for c in REQUIRED
+        ] + [
+            (F.get_json_object("payload", "$").isNull(), "payload_not_json"),
+            (F.length("eventType") == 0, "empty_event_type"),
+        ]
+        for cond, why in checks:
+            reason = F.coalesce(reason, F.when(cond, F.lit(why)))
+        _STRUCTURAL_CACHE[key] = reason
+    return _STRUCTURAL_CACHE[key]
+
 
 def with_validation(events: DataFrame, registry=None) -> DataFrame:
     """Add ``invalid_reason`` (NULL = valid).
@@ -26,20 +52,19 @@ def with_validation(events: DataFrame, registry=None) -> DataFrame:
     ``schema:<subject>:v<N>:<fields>`` reason, and every row is stamped
     with ``schema_version`` (the contract it was judged against — NULL
     for uncontracted types).  Both are single JVM-side projections."""
-    reason = F.lit(None).cast("string")
-    # later checks win by being applied first in the coalesce chain
-    checks = [
-        (F.col(c).isNull(), f"missing_{c}") for c in REQUIRED
-    ] + [
-        (F.get_json_object("payload", "$") .isNull(), "payload_not_json"),
-        (F.length("eventType") == 0, "empty_event_type"),
-    ]
-    for cond, why in checks:
-        reason = F.coalesce(reason, F.when(cond, F.lit(why)))
+    reason = _structural_reason()
+    helpers: list[str] = []
     if registry is not None:
-        reason = F.coalesce(reason, registry.violation_expr())
+        # contract_check materializes the union-schema parse ONCE per
+        # row; the single-Column violation_expr form re-parsed the
+        # payload per (subject x required field) because codegen cannot
+        # hoist subtrees out of conditional WHEN branches (measured 5x
+        # on the events sink, BENCHLOG r6)
+        events, contract_reason, helpers = registry.contract_check(events)
+        reason = F.coalesce(reason, contract_reason)
         events = events.withColumn("schema_version", registry.version_expr())
-    return events.withColumn("invalid_reason", reason)
+    out = events.withColumn("invalid_reason", reason)
+    return out.drop(*helpers) if helpers else out
 
 
 def split_valid(events: DataFrame,

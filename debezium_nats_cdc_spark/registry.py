@@ -93,6 +93,24 @@ class SchemaRegistry:
 
     def __init__(self) -> None:
         self._subjects: dict[str, list[EventSchema]] = {}
+        # built-Column cache for the per-batch hot path: constructing the
+        # contract CASE chain costs hundreds of py4j round trips, and
+        # foreachBatch would otherwise rebuild it every micro-batch
+        # (measured 0.3-0.6 s/batch — BENCHLOG r6).  Columns are
+        # immutable and DataFrame-independent, so they key on the active
+        # SparkContext id; register() invalidates on any schema change.
+        self._expr_cache: dict[tuple, object] = {}
+
+    def _cached(self, kind: str, build):
+        from pyspark import SparkContext
+
+        key = (kind, id(SparkContext._active_spark_context))
+        if key not in self._expr_cache:
+            stale = [k for k in self._expr_cache if k[1] != key[1]]
+            for k in stale:
+                del self._expr_cache[k]
+            self._expr_cache[key] = build()
+        return self._expr_cache[key]
 
     def subjects(self) -> list[str]:
         return sorted(self._subjects)
@@ -113,6 +131,7 @@ class SchemaRegistry:
                 )
         schema = EventSchema(subject, len(history) + 1, fs)
         history.append(schema)
+        self._expr_cache.clear()  # contract changed: rebuild hot-path exprs
         return schema.version
 
     def get(self, subject: str, version: int | None = None) -> EventSchema:
@@ -157,6 +176,32 @@ class SchemaRegistry:
             [T.StructField(n, _TYPES[d], True) for n, d in sorted(seen.items())]
         )
 
+    def _violation_case_chain(self, parsed, bad_parse):
+        """CASE chain over eventType: the versioned reason string when
+        ``parsed``'s required fields for that subject are NULL (or
+        ``bad_parse``), else NULL.  ``parsed``/``bad_parse`` may be raw
+        from_json expressions OR materialized attribute references —
+        the reason strings are identical either way."""
+        expr = None
+        for subject in self.subjects():
+            schema = self.get(subject)
+            missing = [
+                F.when(parsed[f.name].isNull(), F.lit(f.name))
+                for f in schema.fields if f.required
+            ]
+            viol = F.concat_ws(
+                ",", F.when(bad_parse, F.lit("unparseable_payload")), *missing
+            )
+            tagged = F.when(
+                viol != "",
+                F.concat(F.lit(f"schema:{schema.subject}:v{schema.version}:"),
+                         viol),
+            )
+            cond = F.col("eventType") == subject
+            expr = (F.when(cond, tagged) if expr is None
+                    else expr.when(cond, tagged))
+        return expr
+
     def violation_expr(self):
         """One Column over a domain-event DataFrame (eventType + payload
         JSON): NULL when the payload satisfies the latest registered
@@ -171,7 +216,14 @@ class SchemaRegistry:
         chain of cheap null-checks per subject — same reason strings,
         ~5× fewer expression nodes.  Falls back to per-subject parses
         only if two contracts ever declare one field name at different
-        dtypes (identical semantics, bigger plan)."""
+        dtypes (identical semantics, bigger plan).
+
+        NOTE for hot paths: this single-Column form re-evaluates the
+        from_json subtrees per reference (codegen cannot hoist a
+        subexpression that only some WHEN branches evaluate) — prefer
+        ``contract_check`` inside foreachBatch, which materializes the
+        parse once per row as attributes (measured: the events sink's
+        validation stage dropped ~5×, BENCHLOG r6)."""
         subjects = self.subjects()
         if not subjects:
             return F.lit(None).cast("string")
@@ -186,37 +238,66 @@ class SchemaRegistry:
             return expr
         parsed = F.from_json("payload", merged)
         bad_parse = F.from_json("payload", "map<string,string>").isNull()
-        expr = None
-        for subject in subjects:
-            schema = self.get(subject)
-            missing = [
-                F.when(parsed[f.name].isNull(), F.lit(f.name))
-                for f in schema.fields if f.required
-            ]
-            viol = F.concat_ws(
-                ",", F.when(bad_parse, F.lit("unparseable_payload")), *missing
+        return self._violation_case_chain(parsed, bad_parse)
+
+    # helper columns contract_check stamps (and with_validation drops)
+    HELPER_COLS = ("_contract_parsed", "_contract_bad")
+
+    def contract_check(self, events: DataFrame):
+        """Hot-path form of ``violation_expr``: returns
+        ``(events', reason_col, helper_cols)`` where ``events'`` carries
+        the union-schema parse and the parseability probe as MATERIALIZED
+        columns and ``reason_col`` references them as attributes.
+
+        Why: the single-expression form references the from_json subtree
+        once per (subject × required field) — ~70 JSON parses per row
+        with the default 14-subject registry, and whole-stage codegen's
+        subexpression elimination cannot hoist them because each sits
+        inside a conditionally-evaluated WHEN branch.  Materializing the
+        parse as an attribute makes every reference a struct-field read
+        (Catalyst's CollapseProject keeps the barrier: it never inlines
+        a non-cheap alias referenced more than once).  Measured on a
+        1k-row batch: rules+validate+persist 1.66 s -> 0.27 s
+        (BENCHLOG r6).  The caller must drop ``helper_cols`` after
+        computing its derived columns."""
+        subjects = self.subjects()
+        if not subjects:
+            return events, F.lit(None).cast("string"), []
+        merged = self._required_union_schema()
+        if merged is None:  # dtype conflict: rare general form, no helpers
+            return events, self.violation_expr(), []
+        parsed_c, bad_c = self.HELPER_COLS
+
+        def build():
+            return (
+                {
+                    parsed_c: F.from_json("payload", merged),
+                    bad_c: F.from_json("payload",
+                                       "map<string,string>").isNull(),
+                },
+                self._violation_case_chain(F.col(parsed_c), F.col(bad_c)),
             )
-            tagged = F.when(
-                viol != "",
-                F.concat(F.lit(f"schema:{subject}:v{schema.version}:"), viol),
-            )
-            cond = F.col("eventType") == subject
-            expr = (F.when(cond, tagged) if expr is None
-                    else expr.when(cond, tagged))
-        return expr
+
+        helpers, reason = self._cached("contract_check", build)
+        return events.withColumns(helpers), reason, list(self.HELPER_COLS)
 
     def version_expr(self):
         """Latest registered contract version per eventType (NULL for
         uncontracted types) — the stamp the DLQ rows carry so an
         incompatible producer is attributable to the exact contract
         version it failed."""
-        expr = None
-        for subject in self.subjects():
-            ver = F.lit(self.get(subject).version)
-            cond = F.col("eventType") == subject
-            expr = (F.when(cond, ver) if expr is None
-                    else expr.when(cond, ver))
-        return F.lit(None).cast("int") if expr is None else expr.cast("int")
+
+        def build():
+            expr = None
+            for subject in self.subjects():
+                ver = F.lit(self.get(subject).version)
+                cond = F.col("eventType") == subject
+                expr = (F.when(cond, ver) if expr is None
+                        else expr.when(cond, ver))
+            return (F.lit(None).cast("int") if expr is None
+                    else expr.cast("int"))
+
+        return self._cached("version_expr", build)
 
     def validate_events(self, events: DataFrame, subject: str,
                         version: int | None = None) -> tuple[DataFrame, DataFrame]:
