@@ -19,46 +19,57 @@ def field_diff(unwrapped: DataFrame, columns: list[str]) -> DataFrame:
     op='c': every non-null after field (old_value NULL);
     op='d': every non-null before field (new_value NULL);
     op='u': fields where before <> after (null-safe).
+
+    The two select-lists (one py4j node per expression, ~6 per audited
+    column) build once per (column set, SparkContext) — this runs in
+    foreachBatch every micro-batch (speccache.py / BENCHLOG r6).
     """
-    def old_of(c: str) -> F.Column:
-        return F.col(f"before.{c}").cast("string")
+    from ..speccache import per_context
 
-    def new_of(c: str) -> F.Column:
-        return F.col(f"after.{c}").cast("string")
+    def build() -> tuple[list[F.Column], list[F.Column]]:
+        def old_of(c: str) -> F.Column:
+            return F.col(f"before.{c}").cast("string")
 
-    changed = F.map_from_arrays(
-        F.array(*[F.lit(c) for c in columns]),
-        F.array(
-            *[
-                F.when(
-                    ~old_of(c).eqNullSafe(new_of(c)),
-                    F.struct(old_of(c).alias("old"), new_of(c).alias("new")),
-                )
-                for c in columns
-            ]
-        ),
-    )
-    exploded = unwrapped.select(
-        F.col("table").alias("entity_type"),
-        F.coalesce(F.col("after.id"), F.col("before.id")).cast("string").alias("entity_id"),
-        F.col("op"),
-        F.col("event_time").alias("changed_at"),
-        F.col("change_key").alias("event_id"),
-        F.explode(F.map_filter(changed, lambda k, v: v.isNotNull())).alias("field", "vals"),
-    )
-    return exploded.select(
-        F.md5(F.concat_ws("|", "event_id", "field")).alias("audit_id"),
-        "entity_type",
-        "entity_id",
-        F.when(F.col("op") == "c", "INSERT")
-        .when(F.col("op") == "u", "UPDATE")
-        .when(F.col("op") == "d", "DELETE")
-        .otherwise("SNAPSHOT")
-        .alias("operation"),
-        F.lit(None).cast("string").alias("changed_by"),
-        "changed_at",
-        F.col("vals.old").alias("old_value"),
-        F.col("vals.new").alias("new_value"),
-        "event_id",
-        F.col("field"),
-    )
+        def new_of(c: str) -> F.Column:
+            return F.col(f"after.{c}").cast("string")
+
+        changed = F.map_from_arrays(
+            F.array(*[F.lit(c) for c in columns]),
+            F.array(
+                *[
+                    F.when(
+                        ~old_of(c).eqNullSafe(new_of(c)),
+                        F.struct(old_of(c).alias("old"), new_of(c).alias("new")),
+                    )
+                    for c in columns
+                ]
+            ),
+        )
+        explode_cols = [
+            F.col("table").alias("entity_type"),
+            F.coalesce(F.col("after.id"), F.col("before.id")).cast("string").alias("entity_id"),
+            F.col("op"),
+            F.col("event_time").alias("changed_at"),
+            F.col("change_key").alias("event_id"),
+            F.explode(F.map_filter(changed, lambda k, v: v.isNotNull())).alias("field", "vals"),
+        ]
+        out_cols = [
+            F.md5(F.concat_ws("|", "event_id", "field")).alias("audit_id"),
+            F.col("entity_type"),
+            F.col("entity_id"),
+            F.when(F.col("op") == "c", "INSERT")
+            .when(F.col("op") == "u", "UPDATE")
+            .when(F.col("op") == "d", "DELETE")
+            .otherwise("SNAPSHOT")
+            .alias("operation"),
+            F.lit(None).cast("string").alias("changed_by"),
+            F.col("changed_at"),
+            F.col("vals.old").alias("old_value"),
+            F.col("vals.new").alias("new_value"),
+            F.col("event_id"),
+            F.col("field"),
+        ]
+        return explode_cols, out_cols
+
+    explode_cols, out_cols = per_context(("field_diff", tuple(columns)), build)
+    return unwrapped.select(*explode_cols).select(*out_cols)

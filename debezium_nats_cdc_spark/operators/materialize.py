@@ -30,22 +30,29 @@ VERSION_COLS = ["_ts_ms", "_change_key"]
 def _reduce_last_per_key(df: DataFrame) -> DataFrame:
     """Last event per key by (ts_ms, change_key) — deterministic total
     order even when redeliveries tie on ts_ms."""
-    w = W.partitionBy("pk").orderBy(F.desc("_ts_ms"), F.desc("_change_key"))
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    from ..speccache import per_context
+
+    rn = per_context("materialize.reduce_rn", lambda: F.row_number().over(
+        W.partitionBy("pk").orderBy(F.desc("_ts_ms"), F.desc("_change_key"))
+    ))
+    return df.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def batch_latest_with_deletes(unwrapped: DataFrame) -> DataFrame:
     """Micro-batch reduced to its newest event per key, deletes kept —
-    the merge_state input.  Columns: pk, op, after, _ts_ms, _change_key."""
-    return _reduce_last_per_key(
-        unwrapped.select(
-            F.coalesce(F.col("after.id"), F.col("before.id")).alias("pk"),
-            "op",
-            "after",
-            F.col("ts_ms").alias("_ts_ms"),
-            F.col("change_key").alias("_change_key"),
-        )
-    )
+    the merge_state input.  Columns: pk, op, after, _ts_ms, _change_key.
+    Select-list cached per SparkContext (per-micro-batch path —
+    speccache.py)."""
+    from ..speccache import per_context
+
+    cols = per_context("materialize.batch_latest", lambda: [
+        F.coalesce(F.col("after.id"), F.col("before.id")).alias("pk"),
+        F.col("op"),
+        F.col("after"),
+        F.col("ts_ms").alias("_ts_ms"),
+        F.col("change_key").alias("_change_key"),
+    ])
+    return _reduce_last_per_key(unwrapped.select(*cols))
 
 
 def latest_state(unwrapped: DataFrame) -> DataFrame:

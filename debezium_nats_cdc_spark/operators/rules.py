@@ -28,32 +28,15 @@ def _changed(a: str, b: str) -> F.Column:
     return ~F.col(a).eqNullSafe(F.col(b))
 
 
-# --------------------------------------------------------- spec cache --
-#
-# Building a rule's Column forest costs hundreds of py4j round trips.
-# foreachBatch re-applies the rules to a NEW DataFrame every micro-batch,
-# so without caching that build ran per batch and dominated the events
-# sink (apply_rules spent 0.6-0.9 s/batch BUILDING expressions vs ~0.2 s
-# executing them — profiled in BENCHLOG r6).  Column objects are
-# immutable and hold no DataFrame reference — only unresolved attribute
-# names — so each rule's (predicate, select-list) builds ONCE per
-# SparkContext and replays as two py4j calls per batch.  Keyed by the
-# active context's id: a restarted JVM gateway invalidates stale handles.
-
-_SPEC_CACHE: dict[tuple, tuple[F.Column, list[F.Column]]] = {}
-
+# Each rule's (predicate, select-list) builds ONCE per SparkContext and
+# replays as two py4j calls per batch — building the forest per batch
+# cost 0.6-0.9 s inside foreachBatch vs ~0.2 s of execution (profiled
+# in BENCHLOG r6; rationale in speccache.py).
 
 def _rule(df: DataFrame, name: str, build) -> DataFrame:
-    from pyspark import SparkContext
+    from ..speccache import per_context
 
-    key = (name, id(SparkContext._active_spark_context))
-    spec = _SPEC_CACHE.get(key)
-    if spec is None:
-        stale = [k for k in _SPEC_CACHE if k[1] != key[1]]
-        for k in stale:  # entries from a stopped context are dead weight
-            del _SPEC_CACHE[k]
-        spec = _SPEC_CACHE[key] = build()
-    cond, cols = spec
+    cond, cols = per_context(("rule", name), build)
     return df.filter(cond).select(*cols)
 
 

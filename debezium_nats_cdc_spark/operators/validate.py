@@ -15,19 +15,13 @@ from pyspark.sql import DataFrame, functions as F
 # (docs/design.md:943-972): eventId, eventType, timestamp, aggregateId, payload
 REQUIRED = ["eventId", "eventType", "timestamp", "aggregateId", "payload"]
 
-# per-SparkContext cache of the structural reason chain: Columns are
-# immutable and DataFrame-independent, and foreachBatch would otherwise
-# rebuild this ~40-node tree over py4j every micro-batch (same pattern
-# as rules._rule / registry._cached — BENCHLOG r6)
-_STRUCTURAL_CACHE: dict[int, F.Column] = {}
-
-
 def _structural_reason() -> F.Column:
-    from pyspark import SparkContext
+    """The structural-check coalesce chain, built once per SparkContext
+    (foreachBatch would otherwise rebuild this ~40-node tree over py4j
+    every micro-batch — BENCHLOG r6; rationale in speccache.py)."""
+    from ..speccache import per_context
 
-    key = id(SparkContext._active_spark_context)
-    if key not in _STRUCTURAL_CACHE:
-        _STRUCTURAL_CACHE.clear()  # entries from a stopped context
+    def build() -> F.Column:
         reason = F.lit(None).cast("string")
         # later checks win by being applied first in the coalesce chain
         checks = [
@@ -38,8 +32,9 @@ def _structural_reason() -> F.Column:
         ]
         for cond, why in checks:
             reason = F.coalesce(reason, F.when(cond, F.lit(why)))
-        _STRUCTURAL_CACHE[key] = reason
-    return _STRUCTURAL_CACHE[key]
+        return reason
+
+    return per_context("validate.structural_reason", build)
 
 
 def with_validation(events: DataFrame, registry=None) -> DataFrame:

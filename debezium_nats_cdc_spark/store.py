@@ -19,8 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def to_store_rows(events: DataFrame) -> DataFrame:
-    """Domain envelope -> hr_events storage schema (FIXTURES §2.3)."""
-    return events.select(
+    """Domain envelope -> hr_events storage schema (FIXTURES §2.3).
+    Select-list built once per SparkContext (runs per micro-batch in
+    foreachBatch — speccache.py / BENCHLOG r6)."""
+    from .speccache import per_context
+
+    cols = per_context("store.to_store_rows", lambda: [
         F.col("eventId").alias("event_id"),
         F.col("eventType").alias("event_type"),
         F.col("timestamp").alias("event_timestamp"),
@@ -32,7 +36,8 @@ def to_store_rows(events: DataFrame) -> DataFrame:
         F.lit("hr-cdc-engine").alias("source_system"),
         F.current_timestamp().alias("created_at"),
         F.date_format("timestamp", "yyyyMM").alias("event_month"),
-    )
+    ])
+    return events.select(*cols)
 
 
 def clustered_store_rows(events: DataFrame) -> DataFrame:
