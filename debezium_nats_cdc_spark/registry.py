@@ -102,9 +102,9 @@ class SchemaRegistry:
         self._expr_cache: dict[tuple, object] = {}
 
     def _cached(self, kind: str, build):
-        from pyspark import SparkContext
+        from .speccache import context_token
 
-        key = (kind, id(SparkContext._active_spark_context))
+        key = (kind, context_token())
         if key not in self._expr_cache:
             stale = [k for k in self._expr_cache if k[1] != key[1]]
             for k in stale:

@@ -32,10 +32,19 @@ from collections.abc import Callable
 _CACHE: dict[tuple, object] = {}
 
 
-def per_context(key, build: Callable[[], object]):
+def context_token():
+    """Identity of the active SparkContext, collision-safe: id() alone
+    could recycle a stopped context's address, so pair it with the
+    applicationId (one py4j call, ~0.3 ms — noise next to the builds
+    this module elides)."""
     from pyspark import SparkContext
 
-    k = (key, id(SparkContext._active_spark_context))
+    sc = SparkContext._active_spark_context
+    return (id(sc), sc.applicationId) if sc is not None else None
+
+
+def per_context(key, build: Callable[[], object]):
+    k = (key, context_token())
     hit = _CACHE.get(k)
     if hit is None:
         stale = [x for x in _CACHE if x[1] != k[1]]
