@@ -292,13 +292,16 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id",
     re-evaluation) into the Filter, a measured 2× regression at sf0.1.
     ``gs`` is non-empty by construction (text IS NOT NULL is filtered
     here), so outer vs inner explode is semantically identical."""
-    return docs.filter(F.col(text_col).isNotNull()).withColumn(
-        "_toks", F.split(F.lower(text_col), " ")
-    ).select(
+    from ..speccache import per_context
+
+    cols = per_context(("doc_shingles", id_col, text_col), lambda: [
         F.col(id_col),
         F.size("_toks").alias("n_toks"),
         _shingle_expr(F.col("_toks")).alias("gs"),
-    )
+    ])
+    return docs.filter(F.col(text_col).isNotNull()).withColumn(
+        "_toks", F.split(F.lower(text_col), " ")
+    ).select(*cols)
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -320,22 +323,32 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     document K× per use site (no CSE across lambdas) and benched 25×
     slower at sf0.1.  One shuffle on doc id; md5 is JVM-codegen'd.
     """
-    m = F.md5("g")
+    from ..speccache import per_context
+
+    def build():
+        m = F.md5("g")
+        hash_cols = [
+            F.col(id_col),
+            F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(m, 17, 15), 16, 10).cast("bigint")
+            .bitwiseAND(F.lit(_H2_MASK)).alias("h2m"),
+        ]
+        agg_exprs = [
+            F.min(F.col("h1") + F.lit(i) * F.col("h2m")).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+        out_cols = [
+            F.col(id_col),
+            F.array(*[f"h{i}" for i in range(N_HASHES)]).alias("sig"),
+        ]
+        return hash_cols, agg_exprs, out_cols
+
+    hash_cols, agg_exprs, out_cols = per_context(
+        ("minhash_signatures", id_col, text_col), build)
     postings = doc_shingles(docs, id_col, text_col).select(
         F.col(id_col), F.explode_outer("gs").alias("g")
-    ).select(
-        F.col(id_col),
-        F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(m, 17, 15), 16, 10).cast("bigint")
-        .bitwiseAND(F.lit(_H2_MASK)).alias("h2m"),
-    )
-    sigs = postings.groupBy(id_col).agg(
-        *[F.min(F.col("h1") + F.lit(i) * F.col("h2m")).alias(f"h{i}")
-          for i in range(N_HASHES)]
-    )
-    return sigs.select(
-        F.col(id_col), F.array(*[f"h{i}" for i in range(N_HASHES)]).alias("sig")
-    )
+    ).select(*hash_cols)
+    return postings.groupBy(id_col).agg(*agg_exprs).select(*out_cols)
 
 
 def minhash_candidates(docs: DataFrame, id_col: str = "doc_id",

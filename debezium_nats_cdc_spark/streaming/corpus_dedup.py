@@ -51,34 +51,44 @@ INTRA_BUCKET_CAP = 1000
 
 
 def _bands(sigs: DataFrame) -> DataFrame:
-    """(doc_id, sig) -> one row per band: (band_id, band_hash, doc_id, sig)."""
-    return sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * _ROWS_PER_BAND + r + 1)
-                              for r in range(_ROWS_PER_BAND)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("band.band_id", "band.band_hash", "doc_id", "sig")
+    """(doc_id, sig) -> one row per band: (band_id, band_hash, doc_id, sig).
+    The ~(7 x N_BANDS)-node explode builds once per SparkContext — this
+    runs per micro-batch in foreachBatch (speccache.py / BENCHLOG r6)."""
+    from ..speccache import per_context
+
+    band_col = per_context("corpus_dedup.bands", lambda: F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.xxhash64(
+                        *[F.element_at("sig", b * _ROWS_PER_BAND + r + 1)
+                          for r in range(_ROWS_PER_BAND)]
+                    ).alias("band_hash"),
+                )
+                for b in range(N_BANDS)
+            ]
+        )
+    ).alias("band"))
+    return sigs.select("doc_id", "sig", band_col).select(
+        "band.band_id", "band.band_hash", "doc_id", "sig")
 
 
-def _est_jaccard(sig_a, sig_b):
-    matches = F.aggregate(
-        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    return matches / F.lit(N_HASHES)
+def _est_jaccard(sig_a: str, sig_b: str):
+    """Estimated Jaccard from two signature COLUMN NAMES (names, not
+    Columns, so the built lambda tree caches per name pair)."""
+    from ..speccache import per_context
+
+    def build():
+        matches = F.aggregate(
+            F.zip_with(F.col(sig_a), F.col(sig_b),
+                       lambda x, y: F.when(x == y, 1).otherwise(0)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        return matches / F.lit(N_HASHES)
+
+    return per_context(("corpus_dedup.est_jaccard", sig_a, sig_b), build)
 
 
 def dedup_batch_against_index(batch_bands: DataFrame,
@@ -126,47 +136,56 @@ def dedup_batch_against_index(batch_bands: DataFrame,
             )
         )
 
-    # intra-batch pairs via group-then-expand (see operators/dedup.py)
+    # intra-batch pairs via group-then-expand (see operators/dedup.py);
+    # the pair-expansion tree (~80 nodes of nested HOF lambdas) builds
+    # once per SparkContext (speccache.py — per-micro-batch path)
+    from ..speccache import per_context
+
     grouped = (
         batch_bands.groupBy("band_id", "band_hash")
         .agg(F.collect_list(F.struct(F.col("doc_id").alias("id"), "sig")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    ds = F.col("ds")
-    full_pairs = F.flatten(
-        F.transform(
-            ds,
-            lambda x: F.transform(
-                F.filter(ds, lambda y: y["id"] > x["id"]),
-                lambda y: F.struct(
-                    x["id"].alias("keeper"),
-                    y["id"].alias("doc_id"),
-                    x["sig"].alias("sig_a"),
-                    y["sig"].alias("sig_b"),
+
+    def build_pair_arr():
+        ds = F.col("ds")
+        full_pairs = F.flatten(
+            F.transform(
+                ds,
+                lambda x: F.transform(
+                    F.filter(ds, lambda y: y["id"] > x["id"]),
+                    lambda y: F.struct(
+                        x["id"].alias("keeper"),
+                        y["id"].alias("doc_id"),
+                        x["sig"].alias("sig_a"),
+                        y["sig"].alias("sig_b"),
+                    ),
                 ),
+            )
+        )
+        # Skew guard — DIFFERENT from the batch ops' drop-the-bucket cap:
+        # a dedup INGEST must not let duplicates through, so an over-cap
+        # bucket degrades to ANCHOR matching (every member vs the
+        # bucket's minimum-id doc, O(k) instead of O(k²)) rather than
+        # being dropped.  Degenerate buckets are near-identical
+        # boilerplate, exactly where anchor matching is lossless; a pair
+        # is only missed if one side matches some mid-id member but NOT
+        # the bucket minimum.
+        anchor = F.element_at(F.array_sort(ds), 1)  # struct sorts by id 1st
+        anchor_pairs = F.transform(
+            F.filter(ds, lambda y: y["id"] > anchor["id"]),
+            lambda y: F.struct(
+                anchor["id"].alias("keeper"),
+                y["id"].alias("doc_id"),
+                anchor["sig"].alias("sig_a"),
+                y["sig"].alias("sig_b"),
             ),
         )
-    )
-    # Skew guard — DIFFERENT from the batch ops' drop-the-bucket cap: a
-    # dedup INGEST must not let duplicates through, so an over-cap
-    # bucket degrades to ANCHOR matching (every member vs the bucket's
-    # minimum-id doc, O(k) instead of O(k²)) rather than being dropped.
-    # Degenerate buckets are near-identical boilerplate, exactly where
-    # anchor matching is lossless; a pair is only missed if one side
-    # matches some mid-id member but NOT the bucket minimum.
-    anchor = F.element_at(F.array_sort(ds), 1)  # struct sorts by id first
-    anchor_pairs = F.transform(
-        F.filter(ds, lambda y: y["id"] > anchor["id"]),
-        lambda y: F.struct(
-            anchor["id"].alias("keeper"),
-            y["id"].alias("doc_id"),
-            anchor["sig"].alias("sig_a"),
-            y["sig"].alias("sig_b"),
-        ),
-    )
-    pair_arr = F.when(F.size(ds) <= INTRA_BUCKET_CAP, full_pairs).otherwise(
-        anchor_pairs
-    )
+        return F.when(F.size(ds) <= INTRA_BUCKET_CAP, full_pairs).otherwise(
+            anchor_pairs
+        )
+
+    pair_arr = per_context("corpus_dedup.pair_arr", build_pair_arr)
     intra = (
         grouped.select(F.explode_outer(pair_arr).alias("p"))
         .select("p.keeper", "p.doc_id", "p.sig_a", "p.sig_b")
