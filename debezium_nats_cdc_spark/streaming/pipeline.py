@@ -115,8 +115,22 @@ def _maybe_compact(spark: SparkSession, state_dir: str,
     backend.swap_write(reduced, state_dir)
 
 
+# Below this row count a micro-batch's sink outputs coalesce to ONE
+# task/file each: the events frame is a 6-15-way union of rule branches,
+# so an uncoalesced write launches that many tiny tasks and leaves that
+# many sub-MB files per sink per epoch (more tasks now, more compaction
+# churn later).  Large batches keep parallel writes — on a cluster a
+# backfill batch can carry millions of rows.
+SMALL_BATCH_ROWS = 100_000
+
+
+def _one_file_if_small(df: DataFrame, small: bool) -> DataFrame:
+    return df.coalesce(1) if small else df
+
+
 def _sink_events(batch: DataFrame, table: str, dirs: PipelineDirs,
-                 epoch_id: int | None, registry=None) -> None:
+                 epoch_id: int | None, registry=None,
+                 small: bool = False) -> None:
     """Rules fan-out -> validate -> event store + DLQ.  The validate
     split checks envelope structure AND the registry's versioned payload
     contracts (A3/F4): a producer emitting a payload that violates the
@@ -132,28 +146,34 @@ def _sink_events(batch: DataFrame, table: str, dirs: PipelineDirs,
     sink's per-batch plan (see registry.violation_expr)."""
     events = with_validation(apply_rules(batch, table), registry).persist()
     try:
-        valid = events.filter(F.col("invalid_reason").isNull()).drop(
-            "invalid_reason")
+        valid = _one_file_if_small(
+            events.filter(F.col("invalid_reason").isNull())
+            .drop("invalid_reason"), small)
         dlq = events.filter(F.col("invalid_reason").isNotNull())
+        # coalesce BEFORE the clustering sort: one globally-sorted file
+        # per month beats N task-local sorted slivers for row-group
+        # min/max skipping
         _append(store.clustered_store_rows(valid), dirs.events,
                 f"events-{table}", epoch_id, dirs, ["event_month"])
         if dlq.limit(1).count() > 0:
-            _append(dlq, dirs.dead_letter, f"dlq-{table}", epoch_id, dirs)
+            _append(_one_file_if_small(dlq, small), dirs.dead_letter,
+                    f"dlq-{table}", epoch_id, dirs)
     finally:
         events.unpersist()
 
 
 def _sink_audit(batch: DataFrame, table: str, dirs: PipelineDirs,
-                epoch_id: int | None) -> None:
+                epoch_id: int | None, small: bool = False) -> None:
     """Field-level audit trail (F6)."""
     cols = [f.name for f in TABLE_SCHEMAS[table].fields
             if f.name not in ("created_at", "updated_at")]
-    rows = field_diff(batch, cols)
+    rows = _one_file_if_small(field_diff(batch, cols), small)
     _append(rows, dirs.audit, f"audit-{table}", epoch_id, dirs)
 
 
 def _sink_state(spark: SparkSession, batch: DataFrame, table: str,
-                dirs: PipelineDirs, epoch_id: int | None) -> None:
+                dirs: PipelineDirs, epoch_id: int | None,
+                small: bool = False) -> None:
     """Materialized current state — LSM-shaped: APPEND this batch's
     newest-per-key rows (O(batch)), compact when the log grows.  A full
     read-merge-rewrite here would be O(state) per micro-batch and was
@@ -170,7 +190,8 @@ def _sink_state(spark: SparkSession, batch: DataFrame, table: str,
     # the next compaction would overwrite the orphaned full-state
     # staging copy — silently losing all prior state
     dirs.backend.recover(state_dir)
-    _append(initial_state(latest), state_dir, f"state-{table}", epoch_id, dirs)
+    _append(_one_file_if_small(initial_state(latest), small), state_dir,
+            f"state-{table}", epoch_id, dirs)
     _maybe_compact(spark, state_dir, dirs.backend)
 
 
@@ -217,11 +238,16 @@ def process_batch(spark: SparkSession, batch: DataFrame, table: str,
         return
     if registry is None:
         registry = default_registry()
+    # count() on the checkpointed batch is ~10 ms and steers the write
+    # shape: small batches coalesce each sink's output to one task/file
+    small = batch.count() <= SMALL_BATCH_ROWS
     with ThreadPoolExecutor(max_workers=3) as pool:
         futures = [
-            pool.submit(_sink_events, batch, table, dirs, epoch_id, registry),
-            pool.submit(_sink_audit, batch, table, dirs, epoch_id),
-            pool.submit(_sink_state, spark, batch, table, dirs, epoch_id),
+            pool.submit(_sink_events, batch, table, dirs, epoch_id, registry,
+                        small),
+            pool.submit(_sink_audit, batch, table, dirs, epoch_id, small),
+            pool.submit(_sink_state, spark, batch, table, dirs, epoch_id,
+                        small),
         ]
         for f in futures:
             f.result()  # re-raise sink failures -> batch retries
