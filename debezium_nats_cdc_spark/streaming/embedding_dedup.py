@@ -1,0 +1,332 @@
+"""Streaming embedding dedup: incremental cosine near-dup over a vector
+stream (the K2 twin of streaming/corpus_dedup.py's text path).
+
+An embedding INGEST pipeline asks, as new vectors arrive (document
+embeddings, image features): which are near-duplicates — cosine above a
+threshold — of anything already accepted?  Emit the fresh ones,
+quarantine the dups with their match, and grow the index.  Batch-mode
+`sim_embedding_neardup` (operators/similarity.py:228) answers the
+within-corpus question; this class answers it against an unbounded,
+continuously-growing corpus with exactly-once sinks.
+
+Design (no cross join anywhere, mirrors corpus_dedup):
+- Sketch each vector ONCE into T=4 hyperplane tables of B=8 planes
+  (32 sign bits from one Arrow kernel pass, the same deterministic
+  planes as the batch op but 8 bits/table: 256 buckets per table keeps
+  per-bucket candidate counts bounded at ingest batch sizes; the batch
+  op's 4-bit tables are tuned for one-shot self-joins at sf0.01).
+- The accumulated state is a BUCKET INDEX: (table_id, bucket, vec_id,
+  embedding, norm) rows for every accepted vector, an append-only
+  parquet log.  At 100 TB this is a bucketed table co-located with the
+  probe join; storing the vector per bucket row (x4) trades space for a
+  join-free verify — the normalized layout (vectors once + id-only
+  buckets) drops in by swapping the probe select for a join, exactly as
+  the batch op's ids-only blocking does.
+- Per micro-batch: probe = equi-join batch sketches vs index on
+  (table_id, bucket), verify candidates with an Arrow pair-cosine, keep
+  matches >= threshold (the index vector always wins — it arrived
+  first).  Intra-batch dups resolve through the same capped
+  group-then-expand kernel as the text path (lowest vec_id wins,
+  over-cap buckets degrade to anchor matching, never dropped).
+- dup_of must point at an ACCEPTED vector: pointer-jump chains exactly
+  like corpus_dedup (intra targets strictly decrease; index targets are
+  terminal).
+- EXACTLY-ONCE under micro-batch replay: accepted/quarantine/index all
+  publish through the epoch-keyed commit protocol (streaming/txn.py via
+  the StateBackend seam), and the index heals torn compactions BEFORE
+  probing (the corpus_dedup crash lesson).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.vectors import dot_product_arrow, l2_norm, plane_sign_word_arrow
+from ..operators.similarity import _hyperplanes
+from .state_backend import LocalFSBackend, StateBackend
+
+log = logging.getLogger(__name__)
+
+N_TABLES = 4
+PLANES_PER_TABLE = 8
+COS_THRESHOLD = 0.92
+INTRA_BUCKET_CAP = 1000
+
+# signature family persisted in the index; bump when planes/threshold
+# derivation changes (stale sketches would match nothing — same failure
+# mode as corpus_dedup.INDEX_FORMAT)
+INDEX_FORMAT = f"hyperplane-{N_TABLES}x{PLANES_PER_TABLE}-v1"
+INDEX_COMPACT_THRESHOLD = 48
+
+
+def _sketch(vecs: DataFrame, id_col: str = "vec_id",
+            emb_col: str = "embedding") -> DataFrame:
+    """(id, embedding) -> one row per table: (table_id, bucket, id,
+    embedding, norm).  All T*B plane signs come from ONE Arrow kernel
+    pass; per-table buckets are integer slices of the sign word."""
+    from ..speccache import per_context
+
+    def build():
+        word = plane_sign_word_arrow(
+            emb_col, _hyperplanes(n_planes=N_TABLES * PLANES_PER_TABLE))
+        tables = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        F.shiftrightunsigned("_w", t * PLANES_PER_TABLE)
+                        .bitwiseAND(F.lit((1 << PLANES_PER_TABLE) - 1))
+                        .alias("bucket"),
+                    )
+                    for t in range(N_TABLES)
+                ]
+            )
+        ).alias("tb")
+        pre = [F.col(id_col), F.col(emb_col),
+               l2_norm(F.col(emb_col)).alias("norm"), word.alias("_w")]
+        mid = [F.col(id_col), F.col(emb_col), F.col("norm"), tables]
+        out = [F.col("tb.table_id"), F.col("tb.bucket"), F.col(id_col),
+               F.col(emb_col), F.col("norm")]
+        return pre, mid, out
+
+    pre, mid, out = per_context(
+        ("embedding_dedup.sketch", id_col, emb_col), build)
+    return vecs.select(*pre).select(*mid).select(*out)
+
+
+def _pair_cos(emb_a, emb_b, norm_a, norm_b):
+    return dot_product_arrow(emb_a, emb_b) / (norm_a * norm_b)
+
+
+def dedup_batch_against_index(batch_sk: DataFrame,
+                              index_sk: DataFrame | None,
+                              id_col: str = "vec_id") -> DataFrame:
+    """Resolve one batch: (vec_id, dup_of, cos_sim) with dup_of NULL for
+    accepted vectors.  Candidates come only from bucket collisions —
+    probe (batch vs index) and intra-batch — each verified by true
+    cosine before any match is claimed."""
+    from ..speccache import per_context
+
+    probe_matches = None
+    if index_sk is not None:
+        cand = (
+            batch_sk.alias("b")
+            .join(
+                index_sk.alias("i"),
+                (F.col("b.table_id") == F.col("i.table_id"))
+                & (F.col("b.bucket") == F.col("i.bucket"))
+                # replay guard: a partially-committed epoch may have
+                # indexed this batch's own vectors already
+                & (F.col(f"b.{id_col}") != F.col(f"i.{id_col}")),
+            )
+            .select(
+                F.col(f"b.{id_col}").alias("vec_id"),
+                F.col(f"i.{id_col}").alias("dup_of"),
+                F.col("b.embedding").alias("emb_b"),
+                F.col("i.embedding").alias("emb_i"),
+                F.col("b.norm").alias("norm_b"),
+                F.col("i.norm").alias("norm_i"),
+            )
+            .dropDuplicates(["vec_id", "dup_of"])  # OR across tables
+        )
+        probe_matches = (
+            cand.withColumn("cos_sim", _pair_cos(
+                F.col("emb_b"), F.col("emb_i"),
+                F.col("norm_b"), F.col("norm_i")))
+            .filter(F.col("cos_sim") >= COS_THRESHOLD)
+            .groupBy("vec_id")
+            .agg(
+                F.max_by("dup_of",
+                         F.struct(F.col("cos_sim"), -F.col("dup_of"))
+                         ).alias("dup_of"),
+                F.max("cos_sim").alias("cos_sim"),
+            )
+        )
+
+    # intra-batch pairs: capped group-then-expand per bucket (the
+    # corpus_dedup kernel with (sig -> embedding, est_jaccard -> cosine))
+    grouped = (
+        batch_sk.groupBy("table_id", "bucket")
+        .agg(F.collect_list(
+            F.struct(F.col(id_col).alias("id"), "embedding", "norm")
+        ).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+
+    def build_pair_arr():
+        ds = F.col("ds")
+        full_pairs = F.flatten(
+            F.transform(
+                ds,
+                lambda x: F.transform(
+                    F.filter(ds, lambda y: y["id"] > x["id"]),
+                    lambda y: F.struct(
+                        x["id"].alias("keeper"),
+                        y["id"].alias("vec_id"),
+                        x["embedding"].alias("emb_a"),
+                        y["embedding"].alias("emb_b"),
+                        x["norm"].alias("norm_a"),
+                        y["norm"].alias("norm_b"),
+                    ),
+                ),
+            )
+        )
+        anchor = F.element_at(F.array_sort(ds), 1)
+        anchor_pairs = F.transform(
+            F.filter(ds, lambda y: y["id"] > anchor["id"]),
+            lambda y: F.struct(
+                anchor["id"].alias("keeper"),
+                y["id"].alias("vec_id"),
+                anchor["embedding"].alias("emb_a"),
+                y["embedding"].alias("emb_b"),
+                anchor["norm"].alias("norm_a"),
+                y["norm"].alias("norm_b"),
+            ),
+        )
+        return F.when(F.size(ds) <= INTRA_BUCKET_CAP, full_pairs).otherwise(
+            anchor_pairs)
+
+    pair_arr = per_context("embedding_dedup.pair_arr", build_pair_arr)
+    intra = (
+        grouped.select(F.explode_outer(pair_arr).alias("p"))
+        .select("p.keeper", "p.vec_id", "p.emb_a", "p.emb_b",
+                "p.norm_a", "p.norm_b")
+        .dropDuplicates(["keeper", "vec_id"])
+        .withColumn("cos_sim", _pair_cos(
+            F.col("emb_a"), F.col("emb_b"), F.col("norm_a"), F.col("norm_b")))
+        .filter(F.col("cos_sim") >= COS_THRESHOLD)
+    )
+    intra_matches = intra.groupBy("vec_id").agg(
+        F.min("keeper").alias("dup_of"),
+        F.max("cos_sim").alias("cos_sim"),
+    )
+
+    all_ids = batch_sk.select(id_col).distinct().withColumnRenamed(
+        id_col, "vec_id")
+    matches = (probe_matches.unionByName(intra_matches)
+               if probe_matches is not None else intra_matches)
+    best = matches.groupBy("vec_id").agg(
+        F.max_by("dup_of", F.struct(F.col("cos_sim"), -F.col("dup_of"))
+                 ).alias("dup_of"),
+        F.max("cos_sim").alias("cos_sim"),
+    )
+
+    # chains terminate exactly as in corpus_dedup: intra targets strictly
+    # decrease, probe targets are already-accepted index vectors
+    for _ in range(8):
+        targets = best.filter(F.col("dup_of").isNotNull()).select(
+            F.col("vec_id").alias("t_id"), F.col("dup_of").alias("t_dup"))
+        jumped = best.join(targets, best["dup_of"] == targets["t_id"], "left")
+        if jumped.filter(F.col("t_dup").isNotNull()).limit(1).count() == 0:
+            break
+        best = jumped.withColumn(
+            "dup_of", F.coalesce("t_dup", F.col("dup_of"))
+        ).drop("t_id", "t_dup")
+
+    return all_ids.join(best, "vec_id", "left")
+
+
+class EmbeddingDedupPipeline:
+    """foreachBatch-driven incremental embedding dedup with an on-disk
+    bucket index (structure mirrors CorpusDedupPipeline)."""
+
+    def __init__(self, root: str, backend: StateBackend | None = None):
+        self.index_dir = os.path.join(root, "bucket_index")
+        self.accepted_dir = os.path.join(root, "accepted")
+        self.quarantine_dir = os.path.join(root, "quarantine")
+        self.checkpoint_dir = os.path.join(root, "_checkpoints")
+        self.txn_dir = os.path.join(root, "_txn")
+        self.backend = backend or LocalFSBackend()
+
+    def _index(self, spark: SparkSession) -> DataFrame | None:
+        if not self.backend.has_data(self.index_dir):
+            return None
+        marker = Path(self.index_dir, "._format")
+        stamped = marker.read_text() if marker.exists() else "<none>"
+        if stamped != INDEX_FORMAT:
+            raise ValueError(
+                f"bucket index at {self.index_dir} was built with sketch "
+                f"format {stamped!r}, engine now uses {INDEX_FORMAT!r} — "
+                "buckets from different plane families never collide, so "
+                "probing would silently accept every near-duplicate. "
+                "Rebuild the index or pin the old engine."
+            )
+        return spark.read.parquet(self.index_dir)
+
+    def _stamp_format(self) -> None:
+        marker = Path(self.index_dir, "._format")
+        if not marker.exists():
+            marker.parent.mkdir(parents=True, exist_ok=True)
+            marker.write_text(INDEX_FORMAT)
+
+    def process_batch(self, spark: SparkSession, vecs: DataFrame,
+                      epoch_id: int | None = None) -> None:
+        vecs = vecs.localCheckpoint(eager=True)
+        if vecs.isEmpty():
+            return
+        # heal a torn compaction BEFORE probing (corpus_dedup lesson: a
+        # torn index reads as empty and silently accepts near-dups)
+        self.backend.recover(self.index_dir)
+        self._stamp_format()
+        sk = _sketch(vecs).localCheckpoint(eager=True)
+        verdict = dedup_batch_against_index(sk, self._index(spark))
+        verdict = verdict.localCheckpoint(eager=True)
+
+        dup_ids = verdict.filter(F.col("dup_of").isNotNull())
+        accepted_ids = verdict.filter(F.col("dup_of").isNull()).select("vec_id")
+
+        self._append(vecs.join(dup_ids, "vec_id", "inner"),
+                     self.quarantine_dir, "quarantine", epoch_id)
+        self._append(vecs.join(accepted_ids, "vec_id", "left_semi"),
+                     self.accepted_dir, "accepted", epoch_id)
+        self._append(sk.join(accepted_ids, "vec_id", "left_semi"),
+                     self.index_dir, "index", epoch_id)
+        self._maybe_compact_index(spark)
+
+    def _maybe_compact_index(self, spark: SparkSession) -> None:
+        n_files = self.backend.data_file_count(self.index_dir)
+        if n_files < INDEX_COMPACT_THRESHOLD:
+            return
+        target = max(1, n_files // 8)
+        self.backend.swap_write(
+            spark.read.parquet(self.index_dir).coalesce(target),
+            self.index_dir,
+        )
+        self._stamp_format()
+
+    def _append(self, df: DataFrame, final_dir: str, sink: str,
+                epoch_id: int | None) -> None:
+        if epoch_id is None:
+            self.backend.append(df, final_dir)
+        else:
+            self.backend.append_exactly_once(df, final_dir,
+                                             f"{sink}-{epoch_id}",
+                                             self.txn_dir)
+
+    def start(self, spark: SparkSession, stream: DataFrame,
+              available_now: bool = True):
+        if not self.backend.checkpoint_established(self.checkpoint_dir):
+            cleared = self.backend.clear_markers(self.txn_dir, [""])
+            if cleared:
+                kept = [d for d in (self.accepted_dir, self.quarantine_dir,
+                                    self.index_dir)
+                        if self.backend.has_data(d)]
+                if kept:
+                    log.warning(
+                        "fresh embedding-dedup checkpoint but %d commit "
+                        "markers were cleared while %s still hold data: the "
+                        "rerun will APPEND. Clear those dirs too for a clean "
+                        "reprocess.", len(cleared), kept,
+                    )
+        writer = (
+            stream.writeStream.queryName("embedding-dedup")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .foreachBatch(lambda b, e: self.process_batch(spark, b, e))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
