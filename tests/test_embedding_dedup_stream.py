@@ -118,6 +118,36 @@ def test_restart_does_not_duplicate_sinks(spark, tmp_path, pipeline_run):
     assert spark.read.parquet(pipe.accepted_dir).count() == before
 
 
+def test_dirty_embeddings_pass_through_without_matching(spark, tmp_path):
+    """NULL / wrong-dimension vectors: un-sketchable (NULL sign word ->
+    NULL buckets, dropped by every equi-join and every cosine filter),
+    so they are accepted as-is and can never quarantine a real vector —
+    one corrupt row at 100 TB must not fail or poison the ingest."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    batch = [
+        Row(vec_id=1, embedding=V1),
+        Row(vec_id=2, embedding=None),
+        Row(vec_id=3, embedding=[1.0, 2.0]),        # ragged: wrong dim
+        Row(vec_id=4, embedding=_scaled(V1, 3.0)),  # real dup of 1
+    ]
+    spark.createDataFrame(batch, VEC_SCHEMA).coalesce(1).write.parquet(
+        os.path.join(in_dir, "b1"))
+    pipe = EmbeddingDedupPipeline(str(tmp_path / "emb-dedup"))
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    pipe.start(spark, stream).awaitTermination()
+    accepted = {r.vec_id for r in
+                spark.read.parquet(pipe.accepted_dir).collect()}
+    quarantined = {r.vec_id: r.dup_of for r in
+                   spark.read.parquet(pipe.quarantine_dir).collect()}
+    assert accepted == {1, 2, 3}
+    assert quarantined == {4: 1}
+
+
 def test_format_stamp_guards_stale_index(spark, pipeline_run):
     pipe = pipeline_run
     from pathlib import Path
