@@ -1,0 +1,220 @@
+"""Persisted IVF index: build once, probe many (SURVEY §2.K2 scale path).
+
+The catalog query `sim_ivf_probe_topk` (similarity.py:339) demonstrates
+IVF search end-to-end inside ONE query — centroids, assignment, and
+probe all recomputed per run, which is the right shape for an
+oracle-checked benchmark but not for production, where the expensive
+parts (k-means, corpus assignment) run once and every query batch pays
+only the probe.  This module persists that split:
+
+    ivf_build(spark, vectors, index_dir)   # k-means + assign + write
+    ivf_add(spark, index_dir, new_vectors) # incremental: assign + append
+    ivf_search(spark, index_dir, queries)  # nprobe cells only
+
+Physical layout IS the search structure (the 100 TB story):
+- `centroids/` — n_cells rows (cell_id, c_emb, c_norm); always
+  broadcast on probe.
+- `vectors/` — (vec_id, embedding, _norm) written
+  `partitionBy("cell_id")`: one directory per IVF cell.  A probe
+  filters on literal cell ids, so the parquet scan PARTITION-PRUNES to
+  the nprobe directories — `.explain` shows the pruned PartitionFilters
+  and the test pins it.  On a cluster the same layout is a bucketed /
+  partitioned table and the probe touches ~nprobe/n_cells of the data.
+- `_meta.json` — format stamp + dims; a probe against an index built
+  by a different centroid family or dimension refuses loudly (same
+  failure mode as the dedup band indexes: wrong-family buckets match
+  nothing and would silently return garbage neighbors).
+
+Determinism: seed centroids are the n_cells lowest vector ids, k-means
+means accumulate in DECIMAL (associative — same centroids under any
+partitioning), and every ranking breaks ties by id, so build+search are
+bit-stable across runs and cluster sizes (the engine-wide oracle
+discipline, even though this module is pytest-verified rather than
+SQL-oracle-checked: the search result depends on the PERSISTED index
+state, which SQL cannot see).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..functions.vectors import l2_norm
+from .similarity import _pair_cos, _with_norm
+
+INDEX_FORMAT = "ivf-cos-decmean-v1"
+
+
+def _meta_path(index_dir: str) -> Path:
+    return Path(index_dir, "_meta.json")
+
+
+def _assign(vectors: DataFrame, cents: DataFrame,
+            id_col: str = "vec_id") -> DataFrame:
+    """Nearest centroid per vector (6dp cosine, id tiebreak)."""
+    cos = F.round(
+        _pair_cos(F.col("c_emb"), F.col("embedding"),
+                  F.col("c_norm"), F.col("_norm")), 6
+    ).cast("decimal(10,6)")
+    w = W.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell_id"))
+    return (
+        vectors.join(F.broadcast(cents))
+        .withColumn("cos", cos)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "embedding", "_norm", "cell_id")
+    )
+
+
+def _recompute_centroids(assigned: DataFrame) -> DataFrame:
+    """Deterministic per-cell mean: DECIMAL accumulation, position sort."""
+    dims = assigned.select("cell_id", F.posexplode("embedding").alias("pos", "val"))
+    m = dims.groupBy("cell_id", "pos").agg(
+        F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return (
+        m.select("cell_id", "pos",
+                 (F.col("s").cast("double") / F.col("n")).alias("mv"))
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda x: x["mv"],
+            ).alias("c_emb")
+        )
+        .withColumn("c_norm", l2_norm(F.col("c_emb")))
+    )
+
+
+def ivf_build(spark: SparkSession, vectors: DataFrame, index_dir: str,
+              n_cells: int = 16, kmeans_rounds: int = 2,
+              id_col: str = "vec_id", emb_col: str = "embedding") -> None:
+    """K-means (deterministic seed = lowest ids) + assignment + persist."""
+    v = _with_norm(
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(emb_col).alias("embedding"))
+        .filter(F.col("embedding").isNotNull())
+    )
+    dim = v.select(F.size("embedding").alias("d")).first()["d"]
+    cents = v.orderBy("vec_id").limit(n_cells).select(
+        F.row_number().over(W.orderBy("vec_id")).alias("cell_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    for _ in range(kmeans_rounds):
+        assigned = _assign(v, cents)
+        cents = _recompute_centroids(assigned)
+    assigned = _assign(v, cents)
+    cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    (
+        assigned.repartition("cell_id")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+    _meta_path(index_dir).write_text(json.dumps(
+        {"format": INDEX_FORMAT, "n_cells": n_cells, "dim": dim,
+         "kmeans_rounds": kmeans_rounds}))
+
+
+def _load_meta(index_dir: str) -> dict:
+    p = _meta_path(index_dir)
+    if not p.exists():
+        raise ValueError(f"no IVF index at {index_dir} (missing _meta.json)")
+    meta = json.loads(p.read_text())
+    if meta.get("format") != INDEX_FORMAT:
+        raise ValueError(
+            f"IVF index at {index_dir} has format {meta.get('format')!r}, "
+            f"engine expects {INDEX_FORMAT!r} — centroid families don't "
+            "mix; rebuild the index or pin the old engine."
+        )
+    return meta
+
+
+def _centroids(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(index_dir, "centroids"))
+
+
+def ivf_add(spark: SparkSession, index_dir: str, vectors: DataFrame,
+            id_col: str = "vec_id", emb_col: str = "embedding") -> None:
+    """Incremental ingest: assign new vectors to the EXISTING centroids
+    and append into their cell partitions (no rebuild; centroids drift
+    is handled by periodic ivf_build off the hot path, like every other
+    compaction in this engine)."""
+    meta = _load_meta(index_dir)
+    v = _with_norm(
+        vectors.select(F.col(id_col).alias("vec_id"),
+                       F.col(emb_col).alias("embedding"))
+        .filter(F.col("embedding").isNotNull())
+        .filter(F.size("embedding") == meta["dim"])
+    )
+    assigned = _assign(v, _centroids(spark, index_dir))
+    (
+        assigned.repartition("cell_id")
+        .write.mode("append").partitionBy("cell_id")
+        .parquet(os.path.join(index_dir, "vectors"))
+    )
+
+
+def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
+               k: int = 5, nprobe: int = 4,
+               id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+    """Top-k cosine neighbors per query, scanning only nprobe cells.
+
+    The probed cell set (n_queries x nprobe ids, bounded and small) is
+    collected and inlined as a LITERAL partition filter, so Catalyst
+    statically prunes the vectors scan to those directories — the plan
+    shows `PartitionFilters: [cell_id IN (...)]` and
+    tests/test_ann_index.py pins it.  With very large query batches,
+    probe instead by joining `probes` (dynamic partition pruning path);
+    the cutover is the point where the literal list stops being small.
+    """
+    _load_meta(index_dir)
+    cents = _centroids(spark, index_dir)
+    q = _with_norm(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(emb_col).alias("embedding"))
+    ).select("query_id", F.col("embedding").alias("q_emb"),
+             F.col("_norm").alias("q_norm"))
+    pcos = F.round(
+        _pair_cos(F.col("c_emb"), F.col("q_emb"),
+                  F.col("c_norm"), F.col("q_norm")), 6
+    ).cast("decimal(10,6)")
+    w_probe = W.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("pcos", pcos)
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "q_emb", "q_norm", "cell_id")
+    )
+    probed_cells = sorted({r["cell_id"] for r in
+                           probes.select("cell_id").distinct().collect()})
+    # the engine session disables partition-column type inference (a
+    # STRING event_month contract elsewhere), so the partition column
+    # reads back as string: filter with string literals (these are what
+    # statically prune) and cast for the probe join
+    vectors = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .filter(F.col("cell_id").isin([str(c) for c in probed_cells]))
+        .withColumn("cell_id", F.col("cell_id").cast("int"))
+    )
+    cos = F.round(
+        _pair_cos(F.col("q_emb"), F.col("embedding"),
+                  F.col("q_norm"), F.col("_norm")), 6
+    ).cast("decimal(10,6)")
+    w_topk = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbor_id"))
+    return (
+        vectors.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w_topk))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
+    )

@@ -1,0 +1,112 @@
+"""Persisted IVF index (operators/ann_index.py): build / add / search,
+recall vs the exact baseline, and the partition-pruned probe scan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import Window as W, functions as F
+
+from debezium_nats_cdc_spark.io import load_table
+from debezium_nats_cdc_spark.operators.ann_index import (
+    ivf_add,
+    ivf_build,
+    ivf_search,
+    INDEX_FORMAT,
+    _meta_path,
+)
+from debezium_nats_cdc_spark.operators.similarity import _pair_cos, _with_norm
+
+SF = "/root/testdata/sf0.001"
+N_CELLS, NPROBE, K = 8, 3, 5
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ivf") / "index")
+    ivf_build(spark, load_table(spark, SF, "embeddings"), d, n_cells=N_CELLS)
+    return d
+
+
+def _queries(spark):
+    return load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 8)
+
+
+def _brute_topk(spark, k=K):
+    e = _with_norm(load_table(spark, SF, "embeddings"))
+    q = _queries(spark)
+    qq = _with_norm(q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"), F.col("_norm").alias("q_norm"))
+    cos = F.round(_pair_cos(F.col("q_emb"), F.col("embedding"),
+                            F.col("q_norm"), F.col("_norm")), 6) \
+        .cast("decimal(10,6)")
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                          F.asc("neighbor_id"))
+    return (
+        qq.join(e.select("vec_id", "embedding", "_norm"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def test_exhaustive_probe_equals_brute_force(spark, index_dir):
+    """nprobe = n_cells scans everything -> must equal the exact top-k."""
+    got = {(r.query_id, r.neighbor_id, r.rnk) for r in
+           ivf_search(spark, index_dir, _queries(spark), k=K,
+                      nprobe=N_CELLS).collect()}
+    want = {(r.query_id, r.neighbor_id, r.rnk) for r in
+            _brute_topk(spark).collect()}
+    assert got == want
+
+
+def test_nprobe_recall_floor(spark, index_dir):
+    got = ivf_search(spark, index_dir, _queries(spark), k=K, nprobe=NPROBE)
+    want = _brute_topk(spark)
+    hit = got.select("query_id", "neighbor_id").intersect(
+        want.select("query_id", "neighbor_id")).count()
+    recall = hit / want.count()
+    assert recall >= 0.4, f"recall@{K} {recall:.2f} with nprobe={NPROBE}"
+
+
+def test_probe_scan_partition_prunes(spark, index_dir):
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    df = ivf_search(spark, index_dir, _queries(spark).limit(1), k=K,
+                    nprobe=NPROBE)
+    plan = formatted_plan(df)
+    pruned = [ln for ln in plan.splitlines()
+              if "PartitionFilters" in ln and "cell_id#" in ln
+              and " IN (" in ln]
+    assert pruned, f"vectors scan not partition-pruned\n{plan}"
+
+
+def test_ivf_add_makes_new_vectors_searchable(spark, index_dir, tmp_path):
+    base = load_table(spark, SF, "embeddings")
+    # clone vector 3 under a fresh id: it must become its own top-1
+    clone = base.filter(F.col("vec_id") == 3).select(
+        F.lit(900001).cast("long").alias("vec_id"), "embedding", "label")
+    ivf_add(spark, index_dir, clone)
+    got = ivf_search(spark, index_dir,
+                     base.filter(F.col("vec_id") == 3), k=1, nprobe=NPROBE)
+    row = got.first()
+    assert row.neighbor_id == 900001 and row.cos_sim >= 0.999999
+
+
+def test_format_guard_refuses_foreign_index(spark, index_dir):
+    import json
+
+    meta = json.loads(_meta_path(index_dir).read_text())
+    try:
+        _meta_path(index_dir).write_text(
+            json.dumps({**meta, "format": "ivf-OTHER"}))
+        with pytest.raises(ValueError, match="centroid families"):
+            ivf_search(spark, index_dir, _queries(spark))
+    finally:
+        _meta_path(index_dir).write_text(
+            json.dumps({**meta, "format": INDEX_FORMAT}))
