@@ -21,9 +21,11 @@ Physical layout IS the search structure (the 100 TB story):
   and the test pins it.  On a cluster the same layout is a bucketed /
   partitioned table and the probe touches ~nprobe/n_cells of the data.
 - `_meta.json` — format stamp + dims; a probe against an index built
-  by a different centroid family or dimension refuses loudly (same
-  failure mode as the dedup band indexes: wrong-family buckets match
-  nothing and would silently return garbage neighbors).
+  by a different centroid FAMILY refuses loudly (wrong-family buckets
+  match nothing and would silently return garbage neighbors — the dedup
+  band indexes' failure mode), while dimension-mismatched or NULL
+  vectors/queries are dropped by the same guard everywhere (build, add,
+  search): one corrupt row must not fail or poison the index.
 
 Determinism: seed centroids are the n_cells lowest vector ids, k-means
 means accumulate in DECIMAL (associative — same centroids under any
@@ -99,7 +101,14 @@ def ivf_build(spark: SparkSession, vectors: DataFrame, index_dir: str,
                        F.col(emb_col).alias("embedding"))
         .filter(F.col("embedding").isNotNull())
     )
-    dim = v.select(F.size("embedding").alias("d")).first()["d"]
+    first = v.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        raise ValueError("ivf_build: no non-NULL embeddings to index")
+    dim = first["d"]
+    # ragged vectors would poison centroids (positions mix across dims)
+    # and skew the lowest cell via NULL-cosine assignment — drop them,
+    # matching ivf_add's guard and the engine's dirty-input discipline
+    v = v.filter(F.size("embedding") == dim)
     cents = v.orderBy("vec_id").limit(n_cells).select(
         F.row_number().over(W.orderBy("vec_id")).alias("cell_id"),
         F.col("embedding").alias("c_emb"),
@@ -172,11 +181,16 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
     probe instead by joining `probes` (dynamic partition pruning path);
     the cutover is the point where the literal list stops being small.
     """
-    _load_meta(index_dir)
+    meta = _load_meta(index_dir)
     cents = _centroids(spark, index_dir)
+    # dimension-mismatched / NULL queries would probe nprobe cells by
+    # pure id-tiebreak (every cosine NULL) and return k NULL-cos_sim
+    # "neighbors" — drop them up front, same guard as ivf_add
     q = _with_norm(
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(emb_col).alias("embedding"))
+        .filter(F.col("embedding").isNotNull())
+        .filter(F.size("embedding") == meta["dim"])
     ).select("query_id", F.col("embedding").alias("q_emb"),
              F.col("_norm").alias("q_norm"))
     pcos = F.round(

@@ -31,13 +31,11 @@ Design (scales like the batch LSH path — no cross join anywhere):
 from __future__ import annotations
 
 import logging
-import os
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import N_BANDS, N_HASHES, minhash_signatures
-from .state_backend import LocalFSBackend, StateBackend
+from ._ingest_base import FormatStampedIndexIngest, pointer_jump
 
 log = logging.getLogger(__name__)
 
@@ -100,8 +98,9 @@ def dedup_batch_against_index(batch_bands: DataFrame,
     1. probe: batch vs index — any index hit at/above threshold is a dup
        (the index doc always wins; it arrived first).
     2. intra-batch: group-then-expand on the batch's own bands — lowest
-       doc_id wins, and only among docs that survived the probe (a doc
-       that duplicates the index can't claim a batch-mate).
+       doc_id wins.  A doc that duplicates the index can still appear as
+       a batch-mate's keeper; the post-aggregation pointer-jump below
+       rewrites such chains so dup_of always lands on an ACCEPTED doc.
     """
     probe_matches = None
     if index_bands is not None:
@@ -185,7 +184,10 @@ def dedup_batch_against_index(batch_bands: DataFrame,
             anchor_pairs
         )
 
-    pair_arr = per_context("corpus_dedup.pair_arr", build_pair_arr)
+    # cap in the key: the built tree freezes the cap value, so a changed
+    # (or test-monkeypatched) INTRA_BUCKET_CAP must build a fresh tree
+    pair_arr = per_context(("corpus_dedup.pair_arr", INTRA_BUCKET_CAP),
+                           build_pair_arr)
     intra = (
         grouped.select(F.explode_outer(pair_arr).alias("p"))
         .select("p.keeper", "p.doc_id", "p.sig_a", "p.sig_b")
@@ -224,18 +226,7 @@ def dedup_batch_against_index(batch_bands: DataFrame,
     # member-vs-final-target (both cleared the threshold against a
     # shared near-identical text).  Common case (no chains) costs one
     # small batch-local join per micro-batch.
-    for _ in range(8):
-        targets = best.filter(F.col("dup_of").isNotNull()).select(
-            F.col("doc_id").alias("t_id"), F.col("dup_of").alias("t_dup")
-        )
-        jumped = best.join(targets, best["dup_of"] == targets["t_id"], "left")
-        if jumped.filter(F.col("t_dup").isNotNull()).limit(1).count() == 0:
-            break
-        best = jumped.withColumn(
-            "dup_of", F.coalesce("t_dup", F.col("dup_of"))
-        ).drop("t_id", "t_dup")
-
-    return all_ids.join(best, "doc_id", "left")
+    return all_ids.join(pointer_jump(best, "doc_id"), "doc_id", "left")
 
 
 # the signature family persisted in the band index; bump whenever the
@@ -252,37 +243,21 @@ INDEX_FORMAT = "minhash-md5km-16x4"
 INDEX_COMPACT_THRESHOLD = 48
 
 
-class CorpusDedupPipeline:
-    """foreachBatch-driven incremental dedup with an on-disk band index."""
+class CorpusDedupPipeline(FormatStampedIndexIngest):
+    """foreachBatch-driven incremental dedup with an on-disk band index.
+    Index/sink/compaction/start machinery lives in _ingest_base; this
+    class owns only the text sketch + batch resolution."""
 
-    def __init__(self, root: str, backend: StateBackend | None = None):
-        self.index_dir = os.path.join(root, "band_index")
-        self.accepted_dir = os.path.join(root, "accepted")
-        self.quarantine_dir = os.path.join(root, "quarantine")
-        self.checkpoint_dir = os.path.join(root, "_checkpoints")
-        self.txn_dir = os.path.join(root, "_txn")
-        self.backend = backend or LocalFSBackend()
+    QUERY_NAME = "corpus-dedup"
+    INDEX_DIR_NAME = "band_index"
+    INDEX_NOUN = "band index"
+    FORMAT_NOUN = "signature format"
 
-    def _index(self, spark: SparkSession) -> DataFrame | None:
-        if not self.backend.has_data(self.index_dir):
-            return None
-        marker = Path(self.index_dir, "._format")
-        stamped = marker.read_text() if marker.exists() else "<none>"
-        if stamped != INDEX_FORMAT:
-            raise ValueError(
-                f"band index at {self.index_dir} was built with signature "
-                f"format {stamped!r}, engine now uses {INDEX_FORMAT!r} — "
-                "hashes from different families never collide, so probing "
-                "would silently accept every near-duplicate. Rebuild the "
-                "index (reprocess the corpus) or pin the old engine."
-            )
-        return spark.read.parquet(self.index_dir)
+    def _format(self) -> str:
+        return INDEX_FORMAT  # module global: test-monkeypatchable
 
-    def _stamp_format(self) -> None:
-        marker = Path(self.index_dir, "._format")
-        if not marker.exists():
-            marker.parent.mkdir(parents=True, exist_ok=True)
-            marker.write_text(INDEX_FORMAT)
+    def _compact_threshold(self) -> int:
+        return INDEX_COMPACT_THRESHOLD
 
     def process_batch(self, spark: SparkSession, docs: DataFrame,
                       epoch_id: int | None = None) -> None:
@@ -312,63 +287,3 @@ class CorpusDedupPipeline:
         self._append(bands.join(accepted_ids, "doc_id", "left_semi"),
                      self.index_dir, "index", epoch_id)
         self._maybe_compact_index(spark)
-
-    def _maybe_compact_index(self, spark: SparkSession) -> None:
-        """Coalesce the band-index log once its file count passes the
-        threshold.  Safe under epoch replay: exactly-once is keyed on
-        commit MARKERS in txn_dir (outside the index dir), so a replayed
-        epoch after compaction is skipped, not re-appended; the format
-        stamp is re-written because swap_write replaces the directory.
-        """
-        n_files = self.backend.data_file_count(self.index_dir)
-        if n_files < INDEX_COMPACT_THRESHOLD:
-            return
-        # coalesce explicitly: Spark's leaf parallelism floor keeps tiny
-        # files in separate partitions, so an un-coalesced rewrite would
-        # preserve the file count instead of shrinking it. ~8× per
-        # compaction amortizes to O(log) rewrites of any prefix.
-        target = max(1, n_files // 8)
-        self.backend.swap_write(
-            spark.read.parquet(self.index_dir).coalesce(target),
-            self.index_dir,
-        )
-        self._stamp_format()
-
-    def _append(self, df: DataFrame, final_dir: str, sink: str,
-                epoch_id: int | None) -> None:
-        if epoch_id is None:  # ad-hoc batch call — no replay to guard
-            self.backend.append(df, final_dir)
-        else:
-            self.backend.append_exactly_once(df, final_dir,
-                                             f"{sink}-{epoch_id}",
-                                             self.txn_dir)
-
-    def start(self, spark: SparkSession, stream: DataFrame,
-              available_now: bool = True):
-        # fresh checkpoint => epoch ids restart at 0; stale commit
-        # markers from a previous run would silently skip every publish.
-        # Same reset contract as pipeline._reset_stale_txn_markers: a
-        # checkpoint reset that KEEPS sink/index data is a half-reset —
-        # warn, because rerun epochs that batch differently will append
-        # alongside the old token files instead of replacing them.
-        if not self.backend.checkpoint_established(self.checkpoint_dir):
-            cleared = self.backend.clear_markers(self.txn_dir, [""])
-            if cleared:
-                kept = [d for d in (self.accepted_dir, self.quarantine_dir,
-                                    self.index_dir)
-                        if self.backend.has_data(d)]
-                if kept:
-                    log.warning(
-                        "fresh corpus-dedup checkpoint but %d commit markers "
-                        "were cleared while %s still hold data: the rerun "
-                        "will APPEND. Clear those dirs too for a clean "
-                        "reprocess.", len(cleared), kept,
-                    )
-        writer = (
-            stream.writeStream.queryName("corpus-dedup")
-            .option("checkpointLocation", self.checkpoint_dir)
-            .foreachBatch(lambda b, e: self.process_batch(spark, b, e))
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()

@@ -40,14 +40,12 @@ Design (no cross join anywhere, mirrors corpus_dedup):
 from __future__ import annotations
 
 import logging
-import os
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions.vectors import dot_product_arrow, l2_norm, plane_sign_word_arrow
-from ..operators.similarity import _hyperplanes
-from .state_backend import LocalFSBackend, StateBackend
+from ..functions.vectors import l2_norm, plane_sign_word_arrow
+from ..operators.similarity import _hyperplanes, _pair_cos_arrow
+from ._ingest_base import FormatStampedIndexIngest, pointer_jump
 
 log = logging.getLogger(__name__)
 
@@ -98,8 +96,9 @@ def _sketch(vecs: DataFrame, id_col: str = "vec_id",
     return vecs.select(*pre).select(*mid).select(*out)
 
 
-def _pair_cos(emb_a, emb_b, norm_a, norm_b):
-    return dot_product_arrow(emb_a, emb_b) / (norm_a * norm_b)
+# candidate verification reuses the batch ops' Arrow pair-cosine
+# (operators/similarity._pair_cos_arrow) — one kernel to fix, not two
+_pair_cos = _pair_cos_arrow
 
 
 def dedup_batch_against_index(batch_sk: DataFrame,
@@ -190,7 +189,10 @@ def dedup_batch_against_index(batch_sk: DataFrame,
         return F.when(F.size(ds) <= INTRA_BUCKET_CAP, full_pairs).otherwise(
             anchor_pairs)
 
-    pair_arr = per_context("embedding_dedup.pair_arr", build_pair_arr)
+    # cap in the key: the built tree freezes the cap value (see
+    # corpus_dedup's twin comment)
+    pair_arr = per_context(("embedding_dedup.pair_arr", INTRA_BUCKET_CAP),
+                           build_pair_arr)
     intra = (
         grouped.select(F.explode_outer(pair_arr).alias("p"))
         .select("p.keeper", "p.vec_id", "p.emb_a", "p.emb_b",
@@ -217,51 +219,25 @@ def dedup_batch_against_index(batch_sk: DataFrame,
 
     # chains terminate exactly as in corpus_dedup: intra targets strictly
     # decrease, probe targets are already-accepted index vectors
-    for _ in range(8):
-        targets = best.filter(F.col("dup_of").isNotNull()).select(
-            F.col("vec_id").alias("t_id"), F.col("dup_of").alias("t_dup"))
-        jumped = best.join(targets, best["dup_of"] == targets["t_id"], "left")
-        if jumped.filter(F.col("t_dup").isNotNull()).limit(1).count() == 0:
-            break
-        best = jumped.withColumn(
-            "dup_of", F.coalesce("t_dup", F.col("dup_of"))
-        ).drop("t_id", "t_dup")
-
-    return all_ids.join(best, "vec_id", "left")
+    return all_ids.join(pointer_jump(best, "vec_id"), "vec_id", "left")
 
 
-class EmbeddingDedupPipeline:
+class EmbeddingDedupPipeline(FormatStampedIndexIngest):
     """foreachBatch-driven incremental embedding dedup with an on-disk
-    bucket index (structure mirrors CorpusDedupPipeline)."""
+    bucket index.  Index/sink/compaction/start machinery lives in
+    _ingest_base; this class owns only the vector sketch + batch
+    resolution."""
 
-    def __init__(self, root: str, backend: StateBackend | None = None):
-        self.index_dir = os.path.join(root, "bucket_index")
-        self.accepted_dir = os.path.join(root, "accepted")
-        self.quarantine_dir = os.path.join(root, "quarantine")
-        self.checkpoint_dir = os.path.join(root, "_checkpoints")
-        self.txn_dir = os.path.join(root, "_txn")
-        self.backend = backend or LocalFSBackend()
+    QUERY_NAME = "embedding-dedup"
+    INDEX_DIR_NAME = "bucket_index"
+    INDEX_NOUN = "bucket index"
+    FORMAT_NOUN = "sketch format"
 
-    def _index(self, spark: SparkSession) -> DataFrame | None:
-        if not self.backend.has_data(self.index_dir):
-            return None
-        marker = Path(self.index_dir, "._format")
-        stamped = marker.read_text() if marker.exists() else "<none>"
-        if stamped != INDEX_FORMAT:
-            raise ValueError(
-                f"bucket index at {self.index_dir} was built with sketch "
-                f"format {stamped!r}, engine now uses {INDEX_FORMAT!r} — "
-                "buckets from different plane families never collide, so "
-                "probing would silently accept every near-duplicate. "
-                "Rebuild the index or pin the old engine."
-            )
-        return spark.read.parquet(self.index_dir)
+    def _format(self) -> str:
+        return INDEX_FORMAT  # module global: test-monkeypatchable
 
-    def _stamp_format(self) -> None:
-        marker = Path(self.index_dir, "._format")
-        if not marker.exists():
-            marker.parent.mkdir(parents=True, exist_ok=True)
-            marker.write_text(INDEX_FORMAT)
+    def _compact_threshold(self) -> int:
+        return INDEX_COMPACT_THRESHOLD
 
     def process_batch(self, spark: SparkSession, vecs: DataFrame,
                       epoch_id: int | None = None) -> None:
@@ -286,47 +262,3 @@ class EmbeddingDedupPipeline:
         self._append(sk.join(accepted_ids, "vec_id", "left_semi"),
                      self.index_dir, "index", epoch_id)
         self._maybe_compact_index(spark)
-
-    def _maybe_compact_index(self, spark: SparkSession) -> None:
-        n_files = self.backend.data_file_count(self.index_dir)
-        if n_files < INDEX_COMPACT_THRESHOLD:
-            return
-        target = max(1, n_files // 8)
-        self.backend.swap_write(
-            spark.read.parquet(self.index_dir).coalesce(target),
-            self.index_dir,
-        )
-        self._stamp_format()
-
-    def _append(self, df: DataFrame, final_dir: str, sink: str,
-                epoch_id: int | None) -> None:
-        if epoch_id is None:
-            self.backend.append(df, final_dir)
-        else:
-            self.backend.append_exactly_once(df, final_dir,
-                                             f"{sink}-{epoch_id}",
-                                             self.txn_dir)
-
-    def start(self, spark: SparkSession, stream: DataFrame,
-              available_now: bool = True):
-        if not self.backend.checkpoint_established(self.checkpoint_dir):
-            cleared = self.backend.clear_markers(self.txn_dir, [""])
-            if cleared:
-                kept = [d for d in (self.accepted_dir, self.quarantine_dir,
-                                    self.index_dir)
-                        if self.backend.has_data(d)]
-                if kept:
-                    log.warning(
-                        "fresh embedding-dedup checkpoint but %d commit "
-                        "markers were cleared while %s still hold data: the "
-                        "rerun will APPEND. Clear those dirs too for a clean "
-                        "reprocess.", len(cleared), kept,
-                    )
-        writer = (
-            stream.writeStream.queryName("embedding-dedup")
-            .option("checkpointLocation", self.checkpoint_dir)
-            .foreachBatch(lambda b, e: self.process_batch(spark, b, e))
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
