@@ -98,6 +98,31 @@ def test_ivf_add_makes_new_vectors_searchable(spark, index_dir, tmp_path):
     assert row.neighbor_id == 900001 and row.cos_sim >= 0.999999
 
 
+def test_build_refuses_empty_and_drops_ragged(spark, tmp_path):
+    from pyspark.sql import Row
+    from pyspark.sql.types import (ArrayType, FloatType, LongType,
+                                   StructField, StructType)
+
+    schema = StructType([StructField("vec_id", LongType()),
+                         StructField("embedding", ArrayType(FloatType()))])
+    with pytest.raises(ValueError, match="no non-NULL"):
+        ivf_build(spark, spark.createDataFrame(
+            [Row(vec_id=1, embedding=None)], schema),
+            str(tmp_path / "empty"))
+    # ragged vectors are dropped at build; a ragged QUERY returns no rows
+    base = load_table(spark, SF, "embeddings").limit(20)
+    ragged = spark.createDataFrame(
+        [Row(vec_id=777, embedding=[1.0, 2.0])], schema)
+    d = str(tmp_path / "mixed")
+    ivf_build(spark, base.select("vec_id", "embedding").unionByName(ragged),
+              d, n_cells=4)
+    import json
+    assert json.loads(_meta_path(d).read_text())["dim"] == 64
+    idx = spark.read.parquet(os.path.join(d, "vectors"))
+    assert idx.filter(F.col("vec_id") == 777).count() == 0
+    assert ivf_search(spark, d, ragged, k=3, nprobe=2).count() == 0
+
+
 def test_format_guard_refuses_foreign_index(spark, index_dir):
     import json
 
