@@ -40,7 +40,8 @@ def loadavg() -> float:
     return round(os.getloadavg()[0], 1)
 
 
-def run_throughput(spark, registry, n_events: int = 500_000) -> dict:
+def run_throughput(spark, registry, n_events: int = 500_000,
+                   source: str = "json") -> dict:
     from debezium_nats_cdc_spark.sources import fixtures
     from debezium_nats_cdc_spark.streaming.bench import _synthetic_updates
     from debezium_nats_cdc_spark.streaming.pipeline import run_pipeline_until_done
@@ -48,11 +49,14 @@ def run_throughput(spark, registry, n_events: int = 500_000) -> dict:
     root = tempfile.mkdtemp(prefix="cdc-ab-")
     try:
         log_dir = os.path.join(root, "log")
-        fixtures.write_event_log(_synthetic_updates(n_events), log_dir,
-                                 events_per_file=2000)
+        events = _synthetic_updates(n_events)
+        if source == "broker":
+            fixtures.write_broker_log(events, log_dir, events_per_file=2000)
+        else:
+            fixtures.write_event_log(events, log_dir, events_per_file=2000)
         t0 = time.time()
         run_pipeline_until_done(spark, log_dir, root, tables=["employees"],
-                                registry=registry)
+                                registry=registry, source=source)
         wall = time.time() - t0
         return {"events_per_sec": round(n_events / wall, 1),
                 "wall_sec": round(wall, 2), "loadavg": loadavg()}
@@ -100,6 +104,27 @@ def main() -> None:
             results[arm].append(r["events_per_sec"])
         for arm, vals in results.items():
             print(json.dumps({"exp": "throughput", "arm": arm,
+                              "median_events_per_sec": statistics.median(vals),
+                              "runs": vals}), flush=True)
+
+    if which in ("source", "all"):
+        # the two supported source formats at the same event volume:
+        # JSON-lines schema-on-read vs Kafka-wire parquet records whose
+        # value blob parses via ONE from_json (the shape a real broker
+        # deployment reads)
+        from debezium_nats_cdc_spark.registry import default_registry as _dr
+
+        arms_src = ["json", "broker"]
+        for s in arms_src:  # warm both plans
+            run_throughput(spark, _dr(), n_events=2000, source=s)
+        src_results: dict[str, list[float]] = {a: [] for a in arms_src}
+        for s in (["json", "broker", "broker", "json"] * reps)[: 4 * reps]:
+            r = run_throughput(spark, _dr(), source=s)
+            r["arm"] = s
+            print(json.dumps({"exp": "source", **r}), flush=True)
+            src_results[s].append(r["events_per_sec"])
+        for s, vals in src_results.items():
+            print(json.dumps({"exp": "source", "arm": s,
                               "median_events_per_sec": statistics.median(vals),
                               "runs": vals}), flush=True)
 
