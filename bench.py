@@ -108,6 +108,9 @@ def build_summary(timings: dict[str, float], sf: str,
     if len(line) > TAIL_BUDGET:  # fallback: coarser values, never truncation
         out["queries"] = {k: round(v, 1) for k, v in qmap.items()}
         line = json.dumps(out, separators=(",", ":"))
+    if len(line) > TAIL_BUDGET:  # meltdown tier: whole seconds still beat
+        out["queries"] = {k: int(round(v)) for k, v in qmap.items()}
+        line = json.dumps(out, separators=(",", ":"))  # a truncated head
     return line
 
 

@@ -85,9 +85,11 @@ def _load_modules() -> None:
 # Round-6 plan: the 13 stale queries lead (5 last green r2, 8 last green
 # r3 — displaced from the r5 plan by the import front-run), then the 10
 # r4-green (joins 4 + similarity 6), then dedup's 7 (module touched this
-# round: recall-bound work), then 20 r5-green fillers (windows 5,
-# aggregates 5, multimodal 5, sampling 5).  Out of window (23), all
-# r5-green: cdc_queries 11, text 9, curation 3 — those modules are
+# round: recall-bound work), then the 5 NEW r6 queries (never verified —
+# rule A/B both demand them in-window), then 15 r5-green fillers
+# (windows 5, aggregates 5, sampling 5).  Out of window (28), all
+# r5-green: cdc_queries 11, text 9, curation 3, multimodal 5 (the mm_*
+# fillers ceded their slots to the new queries) — those modules are
 # deliberately untouched this round and rotate back in r7.
 _WINDOW_ORDER: list[str] = [
     # last green r2
@@ -135,11 +137,12 @@ _WINDOW_ORDER: list[str] = [
     "agg_metrics_by_type",
     "agg_rollup_region_nation",
     "agg_cube_orders",
-    "mm_binary_metadata",
-    "mm_feature_extract",
-    "mm_frame_sample",
-    "mm_resize_plan",
-    "mm_audio_chunk_plan",
+    # new in r6 (rule A: defining modules touched this round)
+    "corpus_global_shuffle",
+    "dedup_prefix_cluster",
+    "join_salted_skew",
+    "window_ntile_curriculum",
+    "emb_norm_stats",
     "corpus_train_split",
     "corpus_stratified_sample",
     "corpus_pack_sequences",

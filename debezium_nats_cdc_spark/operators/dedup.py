@@ -991,3 +991,51 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b",
         F.col("inter").cast("bigint").alias("n_shared_windows"),
     ).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------------- prefix boilerplate --
+
+PREFIX_TOKENS = 16
+
+
+@register(
+    "dedup_prefix_cluster",
+    oracle=f"""
+    SELECT prefix_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(
+               string_split(lower(coalesce(text, '')), ' ')[1:{PREFIX_TOKENS}],
+               ' ')) AS prefix_hash
+      FROM documents)
+    GROUP BY prefix_hash
+    HAVING COUNT(*) > 1
+    """,
+    survey_ids=["K1"],
+    doc=f"Head-boilerplate dedup: cluster docs by the md5 of their "
+        f"normalized first-{PREFIX_TOKENS}-token prefix and report every "
+        "cluster with >1 member (keeper = min doc_id). Catches template/"
+        "mirror pages whose bodies diverge after a shared head — a case "
+        "full-text exact dedup misses entirely and Jaccard dilutes on "
+        "long docs. One map-side hash projection + one partial-"
+        "aggregated groupBy on a 16-byte key: linear, skew-safe (a "
+        "mega-cluster is just a big count, never a materialized pair "
+        "list), the cheapest member of the dedup family at 100 TB.",
+)
+def dedup_prefix_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), " ")
+    prefix = F.array_join(F.slice(toks, 1, PREFIX_TOKENS), " ")
+    return (
+        d.select(F.md5(prefix).alias("prefix_hash"), "doc_id", "n_chars")
+        .groupBy("prefix_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -95,3 +95,59 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("_qv", lambda v: F.abs(v) == _QMAX)).cast("int")
         .alias("n_saturated"),
     )
+
+
+_NORM_ORACLE = """
+    WITH n AS (
+      SELECT label,
+             CAST(ROUND(
+               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> x * x))),
+               4) AS DECIMAL(18,4)) AS norm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(SUM(norm) AS DECIMAL(38,4)) AS DOUBLE) AS sum_norm,
+           CAST(MIN(norm) AS DOUBLE) AS min_norm,
+           CAST(MAX(norm) AS DOUBLE) AS max_norm,
+           CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero
+    FROM n
+    GROUP BY label
+"""
+
+
+@register(
+    "emb_norm_stats",
+    oracle=_NORM_ORACLE,
+    survey_ids=["K2"],
+    doc="Embedding-hygiene diagnostics per label: L2-norm distribution "
+        "(count, exact DECIMAL sum of 4dp-rounded norms — order-"
+        "independent, so cross-engine exact where a double AVG is not — "
+        "min/max, zero-vector count). The pre-flight check before "
+        "cosine ANN indexing: zero or wildly-scaled norms break cosine "
+        "math and flag upstream encoder bugs. Map-side per-vector norm "
+        "(no shuffle) + one partial-aggregated groupBy on a low-"
+        "cardinality key — the cheapest possible full-table pass at "
+        "100 TB.",
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda a, v: a + v.cast("double") * v.cast("double"),
+    )
+    norm = F.round(F.sqrt(sq), 4).cast("decimal(18,4)")
+    return (
+        e.select("label", norm.alias("_norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("_norm").cast("decimal(38,4)").cast("double").alias("sum_norm"),
+            F.min("_norm").cast("double").alias("min_norm"),
+            F.max("_norm").cast("double").alias("max_norm"),
+            F.sum(F.when(F.col("_norm") == 0, 1).otherwise(0)).cast("bigint")
+            .alias("n_zero"),
+        )
+    )

@@ -318,3 +318,47 @@ def corpus_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("keep_weight"),
         )
     )
+
+
+# ------------------------------------------------- global shuffle ------
+
+# 2 hex chars = 256 shards.  At 100 TB raise to 3-4 chars (4096-65536
+# shards) so each shard's within-shard sort fits one task comfortably;
+# the technique is unchanged.
+_SHUFFLE_SALT = ":shuffle:42"
+
+
+@register(
+    "corpus_global_shuffle",
+    oracle=f"""
+    SELECT doc_id, shard, CAST(pos AS INT) AS pos
+    FROM (
+      SELECT doc_id, substr(h, 1, 2) AS shard,
+             ROW_NUMBER() OVER (PARTITION BY substr(h, 1, 2)
+                                ORDER BY h, doc_id) AS pos
+      FROM (SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SALT}') AS h
+            FROM documents))
+    """,
+    survey_ids=["K1", "K3"],
+    doc="Deterministic global corpus shuffle for training-order "
+        "randomization: shard = md5(doc_id || salt) hex prefix (256 "
+        "shards), position = rank of the full md5 within the shard. "
+        "Epoch reshuffles change only the salt. No global sort anywhere "
+        "— the plan is one hash shuffle on the shard key plus a "
+        "per-shard (per-partition) sort, so it scales linearly where a "
+        "naive ORDER BY rand() needs a full range-partitioned sort and "
+        "a non-reproducible rand(). Reading shards in (shard, pos) "
+        "order replays the exact same epoch order on any cluster size.",
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT)))
+    shard = F.substring(F.col("h"), 1, 2)
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"))
+        .select("doc_id", shard.alias("shard"), F.col("h"))
+        .select("doc_id", "shard",
+                F.row_number().over(w).alias("pos"))
+    )

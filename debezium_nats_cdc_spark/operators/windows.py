@@ -164,3 +164,46 @@ def window_field_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("new_value"),
         )
     )
+
+
+_NTILE_BUCKETS = 4
+
+
+@register(
+    "window_ntile_curriculum",
+    oracle=f"""
+    SELECT lang, CAST(quartile AS INT) AS quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM (
+      SELECT lang, n_chars,
+             NTILE({_NTILE_BUCKETS}) OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) AS quartile
+      FROM documents)
+    GROUP BY lang, quartile
+    """,
+    survey_ids=["E2", "K3"],
+    doc="Length-curriculum bucketing: per-language NTILE(4) over doc "
+        "length (deterministic doc_id tiebreak), then bucket stats — the "
+        "assignment step of curriculum sampling (long-doc quartile "
+        "first). Windows are PARTITIONED by lang, so each language sorts "
+        "independently in its own tasks: no global sort, no single-"
+        "partition window collapse at 100 TB. A corpus-wide (unpartition"
+        "ed) ranking would instead use approx quantile boundaries + a "
+        "broadcast range lookup.",
+)
+def window_ntile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("quartile", F.ntile(_NTILE_BUCKETS).over(w))
+        .groupBy("lang", "quartile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

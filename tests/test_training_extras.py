@@ -1,0 +1,196 @@
+"""Semantic unit tests for the r6 training-pipeline additions
+(corpus_global_shuffle, dedup_prefix_cluster, join_salted_skew,
+window_ntile_curriculum, emb_norm_stats) — crafted inputs with
+hand-computable answers; the sf oracles check engine parity.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+DOC_SCHEMA = "doc_id long, lang string, source string, n_chars int, text string"
+
+
+def _docs(spark, rows, tmp_path):
+    spark.createDataFrame(rows, DOC_SCHEMA).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+# ------------------------------------------------ corpus_global_shuffle
+
+
+def test_global_shuffle_is_a_permutation_and_deterministic(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.sampling import corpus_global_shuffle
+
+    n = 300
+    root = _docs(spark, [(i, "en", "s", 10, f"doc {i}") for i in range(n)], tmp_path)
+    a = corpus_global_shuffle(spark, root).collect()
+    b = corpus_global_shuffle(spark, root).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    assert sorted(r["doc_id"] for r in a) == list(range(n))  # a permutation
+    # positions are dense 1..k within every shard
+    by_shard: dict[str, list[int]] = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # 300 docs over 256 shards: a global sort would leave one shard
+    assert len(by_shard) > 100
+
+
+def test_global_shuffle_plan_has_no_global_sort(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.sampling import corpus_global_shuffle
+
+    root = _docs(spark, [(i, "en", "s", 10, "t") for i in range(10)], tmp_path)
+    plan = formatted_plan(corpus_global_shuffle(spark, root))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1  # hash on shard; the sort is per-partition
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan  # no global sort anywhere
+
+
+# ------------------------------------------------- dedup_prefix_cluster
+
+
+def test_prefix_cluster_finds_shared_heads_only(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.dedup import (
+        PREFIX_TOKENS,
+        dedup_prefix_cluster,
+    )
+
+    head = " ".join(f"h{i}" for i in range(PREFIX_TOKENS))
+    rows = [
+        (1, "en", "s", 100, head + " body one two three"),
+        (2, "en", "s", 200, head + " completely different tail"),
+        (3, "en", "s", 300, "other " + head),  # shifted: different prefix
+        (4, "en", "s", 50, "short doc"),
+        (5, "en", "s", 60, "short doc"),  # full-text dup, shorter than K
+    ]
+    root = _docs(spark, rows, tmp_path)
+    out = {r["keeper"]: r for r in dedup_prefix_cluster(spark, root).collect()}
+    assert set(out) == {1, 4}
+    assert out[1]["n_docs"] == 2 and out[1]["total_chars"] == 300
+    assert out[4]["n_docs"] == 2 and out[4]["total_chars"] == 110
+
+
+def test_prefix_cluster_single_shuffle(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.dedup import dedup_prefix_cluster
+
+    root = _docs(spark, [(1, "en", "s", 1, "t")], tmp_path)
+    plan = formatted_plan(dedup_prefix_cluster(spark, root))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1  # hash agg with map-side partials, one shuffle
+
+
+# ----------------------------------------------------- join_salted_skew
+
+
+def test_salted_join_equals_unsalted(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.joins import join_salted_skew
+
+    # skewed: order 1 owns 40 of 46 lineitems
+    orders = [(1, "1-URGENT"), (2, "2-HIGH"), (3, "3-MEDIUM")]
+    lines = [(1, i % 7 + 1, 10.0 + i) for i in range(40)]
+    lines += [(2, i + 1, 5.0) for i in range(5)] + [(3, 1, 2.5)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_linenumber int, l_extendedprice double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    got = {r["o_orderpriority"]: r for r in
+           join_salted_skew(spark, str(tmp_path)).collect()}
+    assert got["1-URGENT"]["n_lineitems"] == 40
+    assert got["1-URGENT"]["total_price"] == sum(10.0 + i for i in range(40))
+    assert got["2-HIGH"]["n_lineitems"] == 5
+    assert got["2-HIGH"]["total_price"] == 25.0
+    assert got["3-MEDIUM"]["n_lineitems"] == 1
+    assert got["3-MEDIUM"]["total_price"] == 2.5
+
+
+def test_salted_join_spreads_the_key(spark, tmp_path):
+    """The join key must be (key, salt): the physical join keys include
+    the salt column, so one hot key hashes to SALT_FACTOR reducers."""
+    from debezium_nats_cdc_spark.operators.joins import join_salted_skew
+
+    spark.createDataFrame(
+        [(1, "1-URGENT")], "o_orderkey long, o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 1, 1.0)], "l_orderkey long, l_linenumber int, l_extendedprice double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    plan = formatted_plan(join_salted_skew(spark, str(tmp_path)))
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ----------------------------------------------- window_ntile_curriculum
+
+
+def test_ntile_curriculum_buckets_per_lang(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.windows import window_ntile_curriculum
+
+    # en: lengths 80,70,...,10 -> quartiles of 2; fr: 3 docs -> 1,1,1
+    rows = [(i, "en", "s", 80 - 10 * i, "t") for i in range(8)]
+    rows += [(100 + i, "fr", "s", 30 - 10 * i, "t") for i in range(3)]
+    root = _docs(spark, rows, tmp_path)
+    out = {(r["lang"], r["quartile"]): r for r in
+           window_ntile_curriculum(spark, root).collect()}
+    assert out[("en", 1)]["n_docs"] == 2
+    assert out[("en", 1)]["min_chars"] == 70 and out[("en", 1)]["max_chars"] == 80
+    assert out[("en", 4)]["max_chars"] == 20
+    # NTILE distributes the 3 fr docs 1/1/1 over the first 3 buckets
+    assert [out[("fr", q)]["n_docs"] for q in (1, 2, 3)] == [1, 1, 1]
+    assert ("fr", 4) not in out
+
+
+def test_ntile_window_is_partitioned_by_lang(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.windows import window_ntile_curriculum
+
+    root = _docs(spark, [(1, "en", "s", 1, "t")], tmp_path)
+    plan = formatted_plan(window_ntile_curriculum(spark, root))
+    assert "hashpartitioning(lang" in plan  # parallel per-lang sort
+    assert "SinglePartition" not in plan  # never a one-task global window
+
+
+# ----------------------------------------------------- emb_norm_stats
+
+
+def test_norm_stats_hand_computed(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.quantize import emb_norm_stats
+
+    rows = [
+        (1, [3.0, 4.0], 0),          # norm 5
+        (2, [0.0, 0.0], 0),          # zero vector
+        (3, [1.0, 0.0], 1),          # norm 1
+        (4, None, 1),                # NULL embedding: norm NULL
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["label"]: r for r in emb_norm_stats(spark, str(tmp_path)).collect()}
+    assert out[0]["n_vecs"] == 2 and out[0]["n_zero"] == 1
+    assert out[0]["sum_norm"] == 5.0
+    assert out[0]["min_norm"] == 0.0 and out[0]["max_norm"] == 5.0
+    # NULL vector: counted, excluded from min/max/sum, not "zero"
+    assert out[1]["n_vecs"] == 2 and out[1]["n_zero"] == 0
+    assert out[1]["sum_norm"] == 1.0
+    assert out[1]["min_norm"] == 1.0 and out[1]["max_norm"] == 1.0
+
+
+def test_norm_stats_no_prejoin_shuffle(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.quantize import emb_norm_stats
+
+    spark.createDataFrame(
+        [(1, [1.0], 0)], "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    plan = formatted_plan(emb_norm_stats(spark, str(tmp_path)))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1  # map-side norm + one partial-agg shuffle
