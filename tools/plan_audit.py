@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Catalog-wide physical-plan audit (SURVEY §4 discipline, whole-surface).
+
+tests/test_plans.py pins individual plan shapes; this tool sweeps EVERY
+catalog query and reports, per query:
+
+  * exchanges    — total shuffles (hash + range + single + broadcast-side)
+  * rangeparts   — range-partitioned (global-sort) exchanges
+  * broadcasts   — BroadcastHashJoin count
+  * smj          — SortMergeJoin count
+  * cartesian    — CartesianProduct / BroadcastNestedLoopJoin count
+  * pushed       — whether any PushedFilters reached a scan
+
+and FAILS (exit 1) when a query outside the explicit allowlists shows a
+cartesian product or a non-terminal global sort.  The allowlists carry a
+one-line justification each — a new entry is a reviewed decision, not a
+silent regression.
+
+Global sorts that ARE acceptable: a final ORDER BY over an
+already-aggregated (small) result, emitted for deterministic output.
+Those appear as a rangepartitioning exchange downstream of the last
+aggregate; anything range-partitioning raw fact rows is a scale bug.
+The heuristic here is positional — the allowlist names queries whose
+range exchange is known-terminal (reviewed by reading the plan).
+
+Usage: python tools/plan_audit.py [sf_dir]   (default sf0.001; plans are
+data-independent at this level, the small SF keeps analysis fast)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+# Queries allowed to contain a nested-loop/cartesian join, with why.
+# Every entry was verified by reading the plan: the nested-loop side is
+# either a broadcast of a bounded-small frame (centroids, a 1-row scalar
+# aggregate) or the brute-force baseline that a scale-path twin replaces.
+CARTESIAN_OK: dict[str, str] = {
+    "sim_cosine_topk": "brute-force ANN baseline: corpus x broadcast "
+                       "probe set IS the operator (scale path: "
+                       "sim_ivf_probe_topk / operators/ann_index.py)",
+    "sim_nearest_centroid": "corpus x broadcast 16-row centroid table — "
+                            "the coarse-quantizer scoring pattern",
+    "sim_ivf_probe_topk": "assign/probe scoring vs broadcast centroids "
+                          "(bounded k=16 rows, by construction)",
+    "sim_kmeans_refine": "Lloyd-iteration scoring vs broadcast "
+                         "centroids (bounded k rows)",
+    "corpus_quality_weighted_sample": "1-row corpus-total side broadcast "
+                                      "(crossJoin of a scalar aggregate)",
+    "text_unigram_logprob": "1-row corpus token-total broadcast",
+    "corpus_lang_mix": "1-row corpus-total crossJoin (scalar bound)",
+    "cdc_retention_filter": "1-row retention-cutoff (max ts - 7d) "
+                            "broadcast bound",
+}
+
+# Queries whose range-partitioning exchange is a reviewed TERMINAL sort
+# (deterministic presentation order of the final — aggregated or pair —
+# result; upstream work is hash-partitioned).  Note join_top_orders and
+# friends don't appear: orderBy().limit() compiles to TakeOrdered, no
+# range exchange at all.
+RANGE_OK: dict[str, str] = {
+    "dedup_minhash_lsh": "presentation sort of the candidate-pair result",
+    "dedup_simhash": "presentation sort of the near-pair result",
+    "dedup_exact_substring": "presentation sort of the pair result",
+    "sim_ivf_probe_topk": "presentation sort of (query_id, rnk) top-k rows",
+    "sim_lsh_bucketed_neardup": "presentation sort of the pair result",
+    "mm_feature_extract": "presentation sort by doc_id of the feature "
+                          "rows — N-row but over a map-only upstream; "
+                          "drop-candidate if it ever shows up in bench",
+}
+
+
+def audit(name: str, df) -> dict:
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(df)
+    return {
+        "exchanges": len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)),
+        "rangeparts": plan.count("rangepartitioning"),
+        "broadcasts": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "cartesian": plan.count("CartesianProduct")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+    }
+
+
+def run_audit(spark, sf_dir: str):
+    """Sweep the catalog; returns (rows, violations) where rows is
+    [(name, metrics, flags)] and violations is the flat failure list
+    (unallowlisted patterns + stale allowlist entries)."""
+    from debezium_nats_cdc_spark import catalog
+
+    rows, violations = [], []
+    for name, e in catalog.entries().items():
+        try:
+            m = audit(name, e.fn(spark, sf_dir))
+        except Exception as exc:  # analysis error = hard fail
+            violations.append(f"{name}: plan analysis raised {exc!r}")
+            continue
+        flags = []
+        if m["cartesian"] and name not in CARTESIAN_OK:
+            flags.append("CARTESIAN")
+        if m["rangeparts"] and name not in RANGE_OK:
+            flags.append("GLOBAL-SORT")
+        violations.extend(f"{name}: {f}" for f in flags)
+        rows.append((name, m, flags))
+
+    cart_hits = {n for n, m, _ in rows if m["cartesian"]}
+    range_hits = {n for n, m, _ in rows if m["rangeparts"]}
+    for label, allow, hits in (("CARTESIAN_OK", CARTESIAN_OK, cart_hits),
+                               ("RANGE_OK", RANGE_OK, range_hits)):
+        violations.extend(
+            f"stale {label} entry (pattern gone — prune): {n}"
+            for n in sorted(set(allow) - hits))
+    return rows, violations
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-audit")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows, violations = run_audit(spark, SF_DIR)
+    ok = not violations
+
+    w = max(len(n) for n, _, _ in rows)
+    print(f"{'query':{w}}  exch  range  bcast  smj  cart  pushed  flags")
+    for name, m, flags in rows:
+        print(f"{name:{w}}  {m['exchanges']:4d}  {m['rangeparts']:5d}  "
+              f"{m['broadcasts']:5d}  {m['smj']:3d}  {m['cartesian']:4d}  "
+              f"{str(m['pushed']):6}  {'/'.join(flags) or '-'}")
+        if flags:
+            print(f"{'':{w}}  ^^ FAIL: not in allowlist "
+                  f"(tools/plan_audit.py)")
+
+    n_cart = sum(1 for _, m, _ in rows if m["cartesian"])
+    n_range = sum(1 for _, m, _ in rows if m["rangeparts"])
+    print(f"\n{len(rows)} queries; {n_cart} with nested-loop joins "
+          f"(all allowlisted scalar-bound/baseline cases), "
+          f"{n_range} with range exchanges (reviewed terminal sorts)")
+    for v in violations:
+        print(f"FAIL {v}")
+    print("plan audit OK" if ok else "plan audit VIOLATED")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
