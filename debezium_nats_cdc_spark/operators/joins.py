@@ -255,6 +255,10 @@ def join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SALT_FACTOR = 8
+# probe rows per key above which the key is salted.  The hot set holds
+# <= |probe| / threshold keys, so a threshold sized to the real skew
+# (hundreds+ in production) keeps it broadcastable by construction.
+_HOT_KEY_THRESHOLD = 16
 
 
 @register(
@@ -268,27 +272,56 @@ _SALT_FACTOR = 8
     GROUP BY o_orderpriority
     """,
     survey_ids=["C1", "C4"],
-    doc="Salted large-large join (the manual skew-mitigation pattern): "
-        "the build side replicates each row SALT_FACTOR ways, the probe "
-        "side derives a deterministic salt (l_linenumber % factor), and "
-        "the join key becomes (key, salt) — a single hot key's rows "
-        "spread over `factor` reducers instead of one straggler task. "
-        "Result is provably identical to the unsalted join (the oracle "
-        "IS the unsalted join). On 100 TB with power-law keys this, or "
-        "AQE's skewedJoin (spark.sql.adaptive.skewJoin.enabled, on in "
-        "our session defaults), is the difference between a 5-minute "
-        "and a 5-hour stage; the explicit form works even where AQE "
-        "can't see the skew (e.g. pre-shuffle bucketed inputs).",
+    doc="Partially-salted large-large join (the production skew-"
+        "mitigation pattern): a cheap map-side-combined key count finds "
+        "hot probe keys (> threshold rows), that bounded hot set "
+        "broadcasts to both sides, and ONLY hot keys take the salted "
+        "path — build rows for hot keys replicate SALT_FACTOR ways "
+        "(explode of a conditional sequence), probe rows derive "
+        "salt = l_linenumber % factor, cold keys join with salt 0 and "
+        "zero replication. One scan per side, one shuffle join on "
+        "(key, salt); a hot key's rows spread over `factor` reducers "
+        "instead of one straggler task, and a skew-free input (like "
+        "TPC-H here) pays no replication at all. Result is provably "
+        "identical to the unsalted join (the oracle IS the unsalted "
+        "join). AQE's skewedJoin solves the same problem at runtime; "
+        "the explicit form works where AQE can't see the skew (e.g. "
+        "pre-shuffle bucketed inputs) and under any partitioning.",
 )
 def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(_SALT_FACTOR)]))
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    hot = (
+        l.groupBy("l_orderkey").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > _HOT_KEY_THRESHOLD)
+        .select(F.col("l_orderkey").alias("_hot_key"))
     )
-    l = load_table(spark, sf_dir, "lineitem").withColumn(
-        "_salt", (F.col("l_linenumber") % _SALT_FACTOR).cast("int")
+    l2 = (
+        l.join(F.broadcast(hot), l.l_orderkey == F.col("_hot_key"), "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hot_key").isNotNull(),
+                (F.col("l_linenumber") % _SALT_FACTOR).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_hot_key")
+    )
+    o2 = (
+        o.join(F.broadcast(hot), o.o_orderkey == F.col("_hot_key"), "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hot_key").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(_SALT_FACTOR - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("_hot_key")
     )
     return (
-        l.join(o, (l.l_orderkey == o.o_orderkey) & (l._salt == o._salt))
+        l2.join(o2, (l2.l_orderkey == o2.o_orderkey) & (l2._salt == o2._salt))
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_lineitems"),

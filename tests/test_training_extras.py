@@ -117,8 +117,10 @@ def test_salted_join_equals_unsalted(spark, tmp_path):
 
 def test_salted_join_spreads_the_key(spark, tmp_path):
     """The join key must be (key, salt): the physical join keys include
-    the salt column, so one hot key hashes to SALT_FACTOR reducers."""
+    the salt column, so one hot key hashes to SALT_FACTOR reducers; the
+    hot set broadcasts to both sides."""
     from debezium_nats_cdc_spark.operators.joins import join_salted_skew
+    from debezium_nats_cdc_spark.plans.explain import assert_broadcast_join
 
     spark.createDataFrame(
         [(1, "1-URGENT")], "o_orderkey long, o_orderpriority string"
@@ -126,9 +128,37 @@ def test_salted_join_spreads_the_key(spark, tmp_path):
     spark.createDataFrame(
         [(1, 1, 1.0)], "l_orderkey long, l_linenumber int, l_extendedprice double"
     ).write.parquet(str(tmp_path / "lineitem.parquet"))
-    plan = formatted_plan(join_salted_skew(spark, str(tmp_path)))
+    df = join_salted_skew(spark, str(tmp_path))
+    plan = formatted_plan(df)
     assert "_salt" in plan
     assert "CartesianProduct" not in plan
+    assert_broadcast_join(df, at_least=2)  # hot set -> probe AND build
+
+
+def test_salted_join_salts_only_hot_keys(spark, tmp_path):
+    """Partial salting: a key above the threshold spreads over multiple
+    salt values; a cold key stays on salt 0 with no build replication."""
+    from debezium_nats_cdc_spark.operators import joins
+
+    lines = [(1, i % 7 + 1, 1.0) for i in range(40)]  # hot (40 > 16)
+    lines += [(2, 1, 1.0)] * 3                        # cold
+    spark.createDataFrame(
+        [(1, "H"), (2, "C")], "o_orderkey long, o_orderpriority string"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        lines, "l_orderkey long, l_linenumber int, l_extendedprice double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    hot = (
+        spark.read.parquet(str(tmp_path / "lineitem.parquet"))
+        .groupBy("l_orderkey").count()
+        .filter(F.col("count") > joins._HOT_KEY_THRESHOLD)
+    )
+    assert [r["l_orderkey"] for r in hot.collect()] == [1]
+    out = {r["o_orderpriority"]: r for r in
+           joins.join_salted_skew(spark, str(tmp_path)).collect()}
+    assert out["H"]["n_lineitems"] == 40  # spread across salts, none lost
+    assert out["C"]["n_lineitems"] == 3   # unreplicated cold path
 
 
 # ----------------------------------------------- window_ntile_curriculum
