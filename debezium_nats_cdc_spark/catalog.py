@@ -70,6 +70,7 @@ def _load_modules() -> None:
         advanced,
         cdc_queries,
         similarity,
+        stats,
         text,
     )
 
@@ -85,12 +86,13 @@ def _load_modules() -> None:
 # Round-6 plan: the 13 stale queries lead (5 last green r2, 8 last green
 # r3 — displaced from the r5 plan by the import front-run), then the 10
 # r4-green (joins 4 + similarity 6), then dedup's 7 (module touched this
-# round: recall-bound work), then the 5 NEW r6 queries (never verified —
-# rule A/B both demand them in-window), then 15 r5-green fillers
-# (windows 5, aggregates 5, sampling 5).  Out of window (28), all
-# r5-green: cdc_queries 11, text 9, curation 3, multimodal 5 (the mm_*
-# fillers ceded their slots to the new queries) — those modules are
-# deliberately untouched this round and rotate back in r7.
+# round: recall-bound work), then the 8 NEW r6 queries (never verified —
+# rule A/B both demand them in-window), then 12 r5-green fillers
+# (windows 5, aggregates 2, sampling 5).  Out of window (31), all
+# r5-green: cdc_queries 11, text 9, curation 3, multimodal 5, and
+# aggregates 3 (the mm_* fillers and three agg fillers ceded their
+# slots to the new queries) — those modules are deliberately untouched
+# this round and rotate back in r7.
 _WINDOW_ORDER: list[str] = [
     # last green r2
     "agg_pivot_returnflag",
@@ -134,9 +136,12 @@ _WINDOW_ORDER: list[str] = [
     "window_field_diff_audit",
     "agg_pricing_summary",
     "agg_daily_event_volume",
-    "agg_metrics_by_type",
-    "agg_rollup_region_nation",
-    "agg_cube_orders",
+    # second r6 wave (rule A: stats is new, windows/quantize touched);
+    # agg_metrics_by_type / agg_rollup_region_nation / agg_cube_orders
+    # (r5-green, aggregates untouched) ceded these three slots
+    "stats_key_skew_report",
+    "window_state_as_of",
+    "emb_dim_stats",
     # new in r6 (rule A: defining modules touched this round)
     "corpus_global_shuffle",
     "dedup_prefix_cluster",

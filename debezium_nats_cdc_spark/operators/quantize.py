@@ -151,3 +151,53 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_zero"),
         )
     )
+
+
+_DIM_ORACLE = """
+    WITH flat AS (
+      SELECT unnest(range(0, len(embedding))) AS pos,
+             unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> CAST(ROUND(x, 6) AS DECIMAL(14,6))))
+               AS x
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+    )
+    SELECT CAST(pos AS INT) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vals,
+           CAST(CAST(SUM(x) AS DECIMAL(38,6)) AS DOUBLE) AS sum_x,
+           CAST(MIN(x) AS DOUBLE) AS min_x,
+           CAST(MAX(x) AS DOUBLE) AS max_x
+    FROM flat
+    GROUP BY pos
+"""
+
+
+@register(
+    "emb_dim_stats",
+    oracle=_DIM_ORACLE,
+    survey_ids=["K2"],
+    doc="Per-dimension embedding statistics (count, DECIMAL-exact sum "
+        "of 6dp-rounded values, min, max) — the input to mean-centering "
+        "/ whitening before quantization or PCA, and the fastest way "
+        "to spot a dead or exploding encoder dimension. posexplode "
+        "keeps vector order; the groupBy key is the dimension index "
+        "(bounded, = vector width), so the aggregation is map-side "
+        "partial everywhere and the shuffle carries one row per "
+        "(partition, dim). DECIMAL sums keep the result order-"
+        "independent — cross-engine exact where double sums are not.",
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.round(F.col("x").cast("double"), 6).cast("decimal(14,6)")
+    return (
+        e.filter(F.col("embedding").isNotNull())
+        .select(F.posexplode("embedding").alias("pos", "x"))
+        .select("pos", x.alias("_x"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n_vals"),
+            F.sum("_x").cast("decimal(38,6)").cast("double").alias("sum_x"),
+            F.min("_x").cast("double").alias("min_x"),
+            F.max("_x").cast("double").alias("max_x"),
+        )
+    )

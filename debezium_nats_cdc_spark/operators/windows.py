@@ -207,3 +207,47 @@ def window_ntile_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@register(
+    "window_state_as_of",
+    oracle="""
+    WITH cut AS (SELECT MAX(ts) - INTERVAL 3 DAY AS cutoff FROM events)
+    SELECT user_id, event_id AS asof_event_id,
+           event_type AS asof_event_type,
+           value AS asof_value, ts AS asof_ts
+    FROM events CROSS JOIN cut
+    WHERE ts <= cutoff
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    survey_ids=["E2", "E4", "H1"],
+    doc="Event-sourcing time travel: the materialized state each entity "
+        "had AS OF a cutoff instant — replay events <= T, keep the "
+        "latest per key. The batch twin of E4's ordered replay "
+        "(rebuilding read-model state at any past point is the event "
+        "store's core promise). Scale shape: the ts predicate prunes "
+        "event-store partitions (clustered by month at rest) before "
+        "any shuffle; then the same single hash shuffle as "
+        "latest-state-per-key. The cutoff here derives from max(ts) "
+        "(a 1-row broadcast) so the query is stable on static testdata; "
+        "production passes a literal timestamp and the scan prunes "
+        "statically.",
+)
+def window_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cut = e.agg((F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("cutoff"))
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.crossJoin(F.broadcast(cut))
+        .filter(F.col("ts") <= F.col("cutoff"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("asof_event_id"),
+            F.col("event_type").alias("asof_event_type"),
+            F.col("value").alias("asof_value"),
+            F.col("ts").alias("asof_ts"),
+        )
+    )

@@ -224,3 +224,70 @@ def test_norm_stats_no_prejoin_shuffle(spark, tmp_path):
     plan = formatted_plan(emb_norm_stats(spark, str(tmp_path)))
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges == 1  # map-side norm + one partial-agg shuffle
+
+
+# -------------------------------------------------- second r6 wave ----
+
+
+def test_key_skew_report_hand_computed(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.stats import stats_key_skew_report
+
+    # user 1: 6 events, user 2: 3, user 3: 1  (total 10, 3 keys)
+    rows = [(i, f"2024-01-0{1 + i % 5}", 1, "t", 1.0, "{}") for i in range(6)]
+    rows += [(10 + i, "2024-01-01", 2, "t", 1.0, "{}") for i in range(3)]
+    rows += [(20, "2024-01-01", 3, "t", 1.0, "{}")]
+    spark.createDataFrame(
+        [(r[0], r[1] + " 00:00:00", r[2], r[3], r[4], r[5]) for r in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    out = {r["user_id"]: r for r in
+           stats_key_skew_report(spark, str(tmp_path)).collect()}
+    assert [out[u]["rnk"] for u in (1, 2, 3)] == [1, 2, 3]
+    assert out[1]["n_events"] == 6 and out[1]["share"] == 0.6
+    # mean freq = 10/3; skew_ratio(user 1) = 6 / (10/3) = 1.8
+    assert out[1]["skew_ratio"] == 1.8
+    assert out[1]["total_rows"] == 10 and out[1]["n_keys"] == 3
+
+
+def test_state_as_of_excludes_post_cutoff_events(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.windows import window_state_as_of
+
+    # max ts = Jan 10; cutoff = Jan 7.  user 1 updates on 1, 6, 9;
+    # as-of state must be the Jan 6 event.  user 2 only after cutoff.
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a", 1.0),
+        (2, "2024-01-06 00:00:00", 1, "b", 2.0),
+        (3, "2024-01-09 00:00:00", 1, "c", 3.0),
+        (4, "2024-01-10 00:00:00", 2, "d", 4.0),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+              "value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {r["user_id"]: r for r in
+           window_state_as_of(spark, str(tmp_path)).collect()}
+    assert set(out) == {1}
+    assert out[1]["asof_event_id"] == 2 and out[1]["asof_value"] == 2.0
+
+
+def test_dim_stats_hand_computed(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.quantize import emb_dim_stats
+
+    rows = [
+        (1, [1.0, -2.0], 0),
+        (2, [3.0, 4.0], 0),
+        (3, None, 0),  # NULL vector excluded entirely
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r["pos"]: r for r in emb_dim_stats(spark, str(tmp_path)).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_vals"] == 2 and out[0]["sum_x"] == 4.0
+    assert out[0]["min_x"] == 1.0 and out[0]["max_x"] == 3.0
+    assert out[1]["sum_x"] == 2.0 and out[1]["min_x"] == -2.0

@@ -56,6 +56,10 @@ CARTESIAN_OK: dict[str, str] = {
     "corpus_lang_mix": "1-row corpus-total crossJoin (scalar bound)",
     "cdc_retention_filter": "1-row retention-cutoff (max ts - 7d) "
                             "broadcast bound",
+    "stats_key_skew_report": "1-row totals frame crossJoined onto the "
+                             "top-10 heavy-hitter slice",
+    "window_state_as_of": "1-row as-of cutoff (max ts - 3d) broadcast "
+                          "bound",
 }
 
 # Queries whose range-partitioning exchange is a reviewed TERMINAL sort
