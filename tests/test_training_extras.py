@@ -291,3 +291,48 @@ def test_dim_stats_hand_computed(spark, tmp_path):
     assert out[0]["n_vals"] == 2 and out[0]["sum_x"] == 4.0
     assert out[0]["min_x"] == 1.0 and out[0]["max_x"] == 3.0
     assert out[1]["sum_x"] == 2.0 and out[1]["min_x"] == -2.0
+
+
+# ------------------------------------------- salted-join property test
+
+
+def test_salted_join_equals_plain_join_property(spark, tmp_path):
+    """Model-based: over a spread of key distributions (uniform, heavy
+    skew, hot key exactly at/over the threshold, keys without a build
+    row), the salted join must equal a plain-join model computed in
+    Python.  One Spark round-trip per distribution, model is exact."""
+    from collections import defaultdict
+
+    from debezium_nats_cdc_spark.operators import joins
+
+    T = joins._HOT_KEY_THRESHOLD
+    distributions = [
+        {1: 1, 2: 1, 3: 1},              # uniform tiny (all-cold path)
+        {1: T, 2: T + 1, 7: 3},          # at vs just-over threshold +
+                                         #   probe key with no build row
+        {1: 5 * T, 2: 1},                # heavy skew
+        {1: T + 5, 9: T + 5, 2: 2},      # two hot keys, one cold
+    ]
+    orders = [(k, f"P{k}") for k in (1, 2, 3, 9)]
+    for case, dist in enumerate(distributions):
+        base = tmp_path / f"case{case}"
+        base.mkdir()
+        lines = [(k, i % 7 + 1, float(k * 100 + i))
+                 for k, n in dist.items() for i in range(n)]
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_orderpriority string"
+        ).coalesce(1).write.parquet(str(base / "orders.parquet"))
+        spark.createDataFrame(
+            lines, "l_orderkey long, l_linenumber int, l_extendedprice double",
+        ).coalesce(1).write.parquet(str(base / "lineitem.parquet"))
+
+        model: dict[str, list[float]] = defaultdict(list)
+        okeys = dict(orders)
+        for k, _, price in lines:
+            if k in okeys:
+                model[okeys[k]].append(price)
+
+        got = {r["o_orderpriority"]: (r["n_lineitems"], r["total_price"])
+               for r in joins.join_salted_skew(spark, str(base)).collect()}
+        want = {p: (len(v), round(sum(v), 2)) for p, v in model.items()}
+        assert got == want, f"case {case} ({dist}): {got} != {want}"
