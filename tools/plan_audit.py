@@ -34,7 +34,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+_paths = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _paths[0] if _paths else "/root/testdata/sf0.001"
 
 # Queries allowed to contain a nested-loop/cartesian join, with why.
 # Every entry was verified by reading the plan: the nested-loop side is
@@ -125,6 +126,42 @@ def run_audit(spark, sf_dir: str):
     return rows, violations
 
 
+def write_markdown(rows, violations, path: str) -> None:
+    """Emit the audit as a committed artifact (PLANS.md): per-query plan
+    metrics plus the reviewed allowlists.  Regenerate with
+    `python tools/plan_audit.py --write-md` after plan-shape changes —
+    tests/test_plan_audit.py keeps violations at zero either way."""
+    lines = [
+        "# Physical-plan audit (generated by `tools/plan_audit.py --write-md`)",
+        "",
+        "Per-catalog-query plan metrics at sf0.001 (plan shapes are",
+        "data-independent at this level).  `exch` counts shuffle",
+        "exchanges, `range` global-sort (range-partitioned) exchanges,",
+        "`bcast` broadcast hash joins, `smj` sort-merge joins, `cart`",
+        "nested-loop/cartesian joins, `pushed` whether a predicate",
+        "reached a parquet scan.  Cartesians and global sorts are only",
+        "legal with a reviewed allowlist entry (bottom); the pytest gate",
+        "(tests/test_plan_audit.py) fails on anything else.",
+        "",
+        "| query | exch | range | bcast | smj | cart | pushed |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, m, flags in rows:
+        mark = " **FAIL**" if flags else ""
+        lines.append(
+            f"| {name}{mark} | {m['exchanges']} | {m['rangeparts']} | "
+            f"{m['broadcasts']} | {m['smj']} | {m['cartesian']} | "
+            f"{'yes' if m['pushed'] else ''} |")
+    lines += ["", "## Reviewed nested-loop allowlist", ""]
+    lines += [f"- `{n}` — {why}" for n, why in CARTESIAN_OK.items()]
+    lines += ["", "## Reviewed terminal-sort allowlist", ""]
+    lines += [f"- `{n}` — {why}" for n, why in RANGE_OK.items()]
+    if violations:
+        lines += ["", "## VIOLATIONS", ""] + [f"- {v}" for v in violations]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def main() -> int:
     from pyspark.sql import SparkSession
 
@@ -139,6 +176,10 @@ def main() -> int:
 
     rows, violations = run_audit(spark, SF_DIR)
     ok = not violations
+
+    if "--write-md" in sys.argv[1:]:
+        write_markdown(rows, violations, "PLANS.md")
+        print("wrote PLANS.md")
 
     w = max(len(n) for n, _, _ in rows)
     print(f"{'query':{w}}  exch  range  bcast  smj  cart  pushed  flags")
