@@ -111,6 +111,13 @@ def build_summary(timings: dict[str, float], sf: str,
     if len(line) > TAIL_BUDGET:  # meltdown tier: whole seconds still beat
         out["queries"] = {k: int(round(v)) for k, v in qmap.items()}
         line = json.dumps(out, separators=(",", ":"))  # a truncated head
+    # last resort (3-digit timings across a wide catalog): drop the
+    # FASTEST queries — qmap is sorted ascending, and the slow tail is
+    # what the plan audit needs — and say how many were cut
+    while len(line) > TAIL_BUDGET and out["queries"]:
+        out["queries"].pop(next(iter(out["queries"])))
+        out["n_omitted"] = out.get("n_omitted", 0) + 1
+        line = json.dumps(out, separators=(",", ":"))
     return line
 
 

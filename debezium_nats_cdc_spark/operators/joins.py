@@ -299,10 +299,15 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     l2 = (
         l.join(F.broadcast(hot), l.l_orderkey == F.col("_hot_key"), "left")
         .withColumn(
+            # pmod+coalesce: a NULL or negative l_linenumber must still
+            # land in [0, factor) — a plain % would yield NULL/negative
+            # salt and silently drop the row from the inner join,
+            # breaking the == unsalted-join guarantee
             "_salt",
             F.when(
                 F.col("_hot_key").isNotNull(),
-                (F.col("l_linenumber") % _SALT_FACTOR).cast("int"),
+                F.pmod(F.coalesce(F.col("l_linenumber"), F.lit(0)),
+                       F.lit(_SALT_FACTOR)).cast("int"),
             ).otherwise(F.lit(0)),
         )
         .drop("_hot_key")

@@ -100,10 +100,13 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NORM_ORACLE = """
     WITH n AS (
       SELECT label,
-             CAST(ROUND(
-               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
-                                            x -> x * x))),
-               4) AS DECIMAL(18,4)) AS norm
+             CASE WHEN embedding IS NOT NULL THEN
+               CAST(ROUND(
+                 sqrt(coalesce(
+                   list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> x * x)), 0)),
+                 4) AS DECIMAL(18,4))
+             END AS norm
       FROM embeddings
     )
     SELECT label,
@@ -134,11 +137,19 @@ _NORM_ORACLE = """
 )
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
+    # coalesce(v*v, 0): skip NULL elements the way DuckDB's list_sum
+    # does, and make the empty vector a true zero vector on both
+    # engines (fold init 0.0 vs list_sum([]) = NULL + coalesce); a
+    # NULL *embedding* stays a NULL norm on both sides
     sq = F.aggregate(
         F.col("embedding"), F.lit(0.0),
-        lambda a, v: a + v.cast("double") * v.cast("double"),
+        lambda a, v: a + F.coalesce(v.cast("double") * v.cast("double"),
+                                    F.lit(0.0)),
     )
-    norm = F.round(F.sqrt(sq), 4).cast("decimal(18,4)")
+    norm = F.when(
+        F.col("embedding").isNotNull(),
+        F.round(F.sqrt(sq), 4).cast("decimal(18,4)"),
+    )
     return (
         e.select("label", norm.alias("_norm"))
         .groupBy("label")

@@ -72,3 +72,14 @@ def scan_columns(df: DataFrame, table_fragment: str) -> list[str]:
                 cols.append(cur.split(":", 1)[0].strip())
             break
     return cols
+
+
+def count_exchanges(plan_or_df) -> int:
+    """Number of Exchange nodes (shuffles) in a formatted plan.  The
+    single point of truth for the '^(N) Exchange' layout assumption —
+    accepts a DataFrame or an already-formatted plan string."""
+    import re
+
+    plan = (plan_or_df if isinstance(plan_or_df, str)
+            else formatted_plan(plan_or_df))
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))

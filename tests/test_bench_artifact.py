@@ -70,3 +70,21 @@ def test_failed_query_is_flagged_not_dropped():
     parsed = json.loads(line)
     assert parsed["n_failed"] == 1
     assert parsed["queries"][bench.abbr_name(names[3])] == -1.0
+
+
+def test_summary_meltdown_drops_fastest_and_reports_omissions():
+    """3-digit timings across the whole catalog can exceed the tail
+    budget even at whole-second precision: the summary must then drop
+    the FASTEST queries (slow tail survives for the plan audit) and
+    report n_omitted — never emit an over-budget line."""
+    names = _names()
+    timings = {n: 123.456 + i for i, n in enumerate(names)}
+    line = bench.build_summary(timings, "1", {})
+    assert len(line) + 1 <= 2000
+    parsed = json.loads(line)
+    kept = parsed["queries"]
+    assert len(kept) + parsed.get("n_omitted", 0) == len(names)
+    if parsed.get("n_omitted"):
+        # the slowest query is always retained (slowest-last ordering)
+        slowest = bench.abbr_name(max(timings, key=timings.get))
+        assert list(kept)[-1] == slowest

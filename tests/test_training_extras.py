@@ -6,11 +6,9 @@ hand-computable answers; the sf oracles check engine parity.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import functions as F
 
-from debezium_nats_cdc_spark.plans.explain import formatted_plan
+from debezium_nats_cdc_spark.plans.explain import count_exchanges, formatted_plan
 
 DOC_SCHEMA = "doc_id long, lang string, source string, n_chars int, text string"
 
@@ -49,8 +47,7 @@ def test_global_shuffle_plan_has_no_global_sort(spark, tmp_path):
 
     root = _docs(spark, [(i, "en", "s", 10, "t") for i in range(10)], tmp_path)
     plan = formatted_plan(corpus_global_shuffle(spark, root))
-    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
-    assert n_exchanges == 1  # hash on shard; the sort is per-partition
+    assert count_exchanges(plan) == 1  # hash on shard; sort per-partition
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan  # no global sort anywhere
 
@@ -84,8 +81,7 @@ def test_prefix_cluster_single_shuffle(spark, tmp_path):
 
     root = _docs(spark, [(1, "en", "s", 1, "t")], tmp_path)
     plan = formatted_plan(dedup_prefix_cluster(spark, root))
-    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
-    assert n_exchanges == 1  # hash agg with map-side partials, one shuffle
+    assert count_exchanges(plan) == 1  # map-side partial agg, one shuffle
 
 
 # ----------------------------------------------------- join_salted_skew
@@ -201,6 +197,8 @@ def test_norm_stats_hand_computed(spark, tmp_path):
         (2, [0.0, 0.0], 0),          # zero vector
         (3, [1.0, 0.0], 1),          # norm 1
         (4, None, 1),                # NULL embedding: norm NULL
+        (5, [], 1),                  # empty vector == zero vector
+        (6, [3.0, None, 4.0], 1),    # NULL element skipped: norm 5
     ]
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
@@ -209,10 +207,11 @@ def test_norm_stats_hand_computed(spark, tmp_path):
     assert out[0]["n_vecs"] == 2 and out[0]["n_zero"] == 1
     assert out[0]["sum_norm"] == 5.0
     assert out[0]["min_norm"] == 0.0 and out[0]["max_norm"] == 5.0
-    # NULL vector: counted, excluded from min/max/sum, not "zero"
-    assert out[1]["n_vecs"] == 2 and out[1]["n_zero"] == 0
-    assert out[1]["sum_norm"] == 1.0
-    assert out[1]["min_norm"] == 1.0 and out[1]["max_norm"] == 1.0
+    # NULL vector: counted, excluded from min/max/sum, not "zero";
+    # empty vector: a zero vector; NULL element: skipped from the sum
+    assert out[1]["n_vecs"] == 4 and out[1]["n_zero"] == 1
+    assert out[1]["sum_norm"] == 6.0
+    assert out[1]["min_norm"] == 0.0 and out[1]["max_norm"] == 5.0
 
 
 def test_norm_stats_no_prejoin_shuffle(spark, tmp_path):
@@ -222,8 +221,7 @@ def test_norm_stats_no_prejoin_shuffle(spark, tmp_path):
         [(1, [1.0], 0)], "vec_id long, embedding array<float>, label int"
     ).write.parquet(str(tmp_path / "embeddings.parquet"))
     plan = formatted_plan(emb_norm_stats(spark, str(tmp_path)))
-    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
-    assert n_exchanges == 1  # map-side norm + one partial-agg shuffle
+    assert count_exchanges(plan) == 1  # map-side norm + one agg shuffle
 
 
 # -------------------------------------------------- second r6 wave ----

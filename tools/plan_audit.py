@@ -81,11 +81,14 @@ RANGE_OK: dict[str, str] = {
 
 
 def audit(name: str, df) -> dict:
-    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+    from debezium_nats_cdc_spark.plans.explain import (
+        count_exchanges,
+        formatted_plan,
+    )
 
     plan = formatted_plan(df)
     return {
-        "exchanges": len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)),
+        "exchanges": count_exchanges(plan),
         "rangeparts": plan.count("rangepartitioning"),
         "broadcasts": plan.count("BroadcastHashJoin"),
         "smj": plan.count("SortMergeJoin"),
@@ -180,6 +183,12 @@ def main() -> int:
     if "--write-md" in sys.argv[1:]:
         write_markdown(rows, violations, "PLANS.md")
         print("wrote PLANS.md")
+
+    if not rows:  # e.g. bad sf_dir: every query failed analysis
+        for v in violations:
+            print(f"FAIL {v}")
+        print("plan audit VIOLATED (no query produced a plan)")
+        return 1
 
     w = max(len(n) for n, _, _ in rows)
     print(f"{'query':{w}}  exch  range  bcast  smj  cart  pushed  flags")
