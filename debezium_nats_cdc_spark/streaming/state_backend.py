@@ -226,9 +226,53 @@ class GenerationPointerBackend(LocalFSBackend):
     readers release them.
     """
 
+    def __init__(self, keep_generations: int = 1):
+        # >1 enables time travel: superseded snapshots survive pruning
+        # and stay readable via read_generation() — the Delta/Iceberg
+        # VERSION AS OF + retention/vacuum shape.  1 (default) keeps
+        # only the live generation (the original behavior).
+        self.keep_generations = max(1, keep_generations)
+
     @staticmethod
     def _gen_root(table_dir: str) -> str:
         return table_dir + ".gens"
+
+    @classmethod
+    def _complete_gens(cls, table_dir: str) -> list[str]:
+        """Committed generation dir-names (have _SUCCESS), ascending."""
+        try:
+            entries = os.listdir(cls._gen_root(table_dir))
+        except FileNotFoundError:
+            return []
+        return sorted(
+            d for d in entries
+            if d.startswith("g") and d[1:].isdigit()
+            and os.path.exists(os.path.join(cls._gen_root(table_dir), d,
+                                            "_SUCCESS"))
+        )
+
+    def list_generations(self, table_dir: str) -> list[int]:
+        """Snapshot versions available for time travel, ascending.
+        The last entry is the live generation."""
+        return [int(d[1:]) for d in self._complete_gens(table_dir)]
+
+    def read_generation(self, spark, table_dir: str,
+                        gen: int | None = None) -> DataFrame:
+        """Read a pinned state snapshot — ``VERSION AS OF`` for the
+        materialized read model.  ``gen=None`` reads the live pointer;
+        a retained older generation reproduces the exact state an
+        earlier epoch published (training-reproducibility twin of the
+        batch ``window_state_as_of`` event replay).  Raises ValueError
+        for a pruned/unknown generation, listing what is retained."""
+        if gen is None:
+            return spark.read.parquet(table_dir)
+        name = f"g{gen:06d}"
+        path = os.path.join(self._gen_root(table_dir), name)
+        if name not in self._complete_gens(table_dir):
+            raise ValueError(
+                f"generation {gen} of {table_dir} is pruned or unknown; "
+                f"retained: {self.list_generations(table_dir)}")
+        return spark.read.parquet(path)
 
     def swap_write(self, df: DataFrame, table_dir: str) -> None:
         gen_root = self._gen_root(table_dir)
@@ -262,11 +306,7 @@ class GenerationPointerBackend(LocalFSBackend):
             entries = os.listdir(gen_root)
         except FileNotFoundError:
             return
-        gens = sorted(
-            d for d in entries
-            if d.startswith("g") and d[1:].isdigit()
-            and os.path.exists(os.path.join(gen_root, d, "_SUCCESS"))
-        )
+        gens = self._complete_gens(table_dir)
         displaced = sorted(d for d in entries if d.startswith("displaced"))
         if gens:  # prefer the newest COMPLETE generation (it is newer
             #       than any displaced dir by construction)
@@ -276,13 +316,16 @@ class GenerationPointerBackend(LocalFSBackend):
             os.rename(os.path.join(gen_root, displaced[-1]), table_dir)
 
     def _prune(self, table_dir: str) -> None:
-        """Drop everything but the committed generation (superseded gens,
-        displaced first-transition dirs, stale tmp pointers)."""
+        """Drop superseded state beyond the retention window: complete
+        generations older than the newest ``keep_generations``, torn
+        (no _SUCCESS) generations, displaced first-transition dirs, and
+        stale tmp pointers.  The live generation is always retained."""
         gen_root = self._gen_root(table_dir)
         current = os.path.realpath(table_dir)
+        keep = set(self._complete_gens(table_dir)[-self.keep_generations:])
         for d in os.listdir(gen_root):
             p = os.path.join(gen_root, d)
             if os.path.islink(p):
                 os.remove(p)
-            elif os.path.realpath(p) != current:
+            elif os.path.realpath(p) != current and d not in keep:
                 shutil.rmtree(p, ignore_errors=True)

@@ -323,3 +323,49 @@ def test_slow_partitioned_source_empty_and_late_batches(
         for e in range(10)
     )
     assert committed == 2
+
+
+def test_generation_retention_and_time_travel(spark, tmp_root):
+    """keep_generations=3: superseded snapshots stay readable via
+    read_generation (VERSION AS OF), older ones are vacuumed, and a
+    pruned version raises with the retained list."""
+    b = GenerationPointerBackend(keep_generations=3)
+    final = os.path.join(tmp_root, "state")
+    for i in range(1, 6):  # five epochs, distinct contents
+        b.swap_write(_rows(spark, i * 10), final)
+    assert b.list_generations(final) == [3, 4, 5]
+    # live pointer == newest generation
+    assert b.read_generation(spark, final).count() == 50
+    assert b.read_generation(spark, final, 5).count() == 50
+    # retained history reproduces each epoch's exact published state
+    assert b.read_generation(spark, final, 4).count() == 40
+    assert b.read_generation(spark, final, 3).count() == 30
+    with pytest.raises(ValueError, match=r"retained: \[3, 4, 5\]"):
+        b.read_generation(spark, final, 2)
+
+
+def test_time_travel_survives_pointer_recovery(spark, tmp_root):
+    """After a crash that loses the live pointer, recover() re-points at
+    the newest snapshot and the retained history is still readable."""
+    b = GenerationPointerBackend(keep_generations=2)
+    final = os.path.join(tmp_root, "state")
+    b.swap_write(_rows(spark, 10), final)
+    b.swap_write(_rows(spark, 20), final)
+    os.remove(final)  # simulate crash losing the symlink
+    b.recover(final)
+    assert spark.read.parquet(final).count() == 20
+    assert b.list_generations(final) == [1, 2]
+    assert b.read_generation(spark, final, 1).count() == 10
+
+
+def test_default_retention_keeps_only_live_generation(spark, tmp_root):
+    """keep_generations default (1) preserves the original prune
+    behavior: exactly one generation on disk after every swap."""
+    b = GenerationPointerBackend()
+    final = os.path.join(tmp_root, "state")
+    for i in range(1, 4):
+        b.swap_write(_rows(spark, i), final)
+    assert b.list_generations(final) == [3]
+    gen_root = final + ".gens"
+    assert [d for d in sorted(os.listdir(gen_root))
+            if d.startswith("g")] == ["g000003"]
