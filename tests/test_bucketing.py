@@ -34,8 +34,7 @@ def bucketed_tables(spark, tmp_path_factory):
     spark.sql("DROP DATABASE IF EXISTS bktdb")
 
 
-def _n_exchanges(plan: str) -> int:
-    return len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+from debezium_nats_cdc_spark.plans.explain import count_exchanges as _n_exchanges
 
 
 def test_bucketed_join_no_shuffle(spark, bucketed_tables):

@@ -15,7 +15,7 @@ from debezium_nats_cdc_spark.plans import (
     assert_no_cartesian,
     assert_pushed_filters,
 )
-from debezium_nats_cdc_spark.plans.explain import scan_columns
+from debezium_nats_cdc_spark.plans.explain import count_exchanges, scan_columns
 
 SF = "/root/testdata/sf0.001"
 
@@ -82,7 +82,7 @@ def test_latest_state_single_shuffle(spark):
     from debezium_nats_cdc_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(df)
-    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    n_exchanges = count_exchanges(plan)
     assert n_exchanges == 1
     assert "hashpartitioning(user_id" in plan
 
@@ -97,7 +97,7 @@ def test_asof_join_single_shuffle(spark):
     from debezium_nats_cdc_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(df)
-    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    n_exchanges = count_exchanges(plan)
     assert n_exchanges == 1
     assert "hashpartitioning(user_id" in plan
     assert "Join" not in plan
