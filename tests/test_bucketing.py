@@ -8,7 +8,6 @@ pin that contract at plan level.
 
 from __future__ import annotations
 
-import re
 
 import pytest
 
