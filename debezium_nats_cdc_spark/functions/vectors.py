@@ -36,7 +36,11 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm (or empty) vector yields SQL NULL instead
+    # of an ANSI DIVIDE_BY_ZERO that would kill the stage — one corrupt
+    # row must never fail a 100 TB job, and DuckDB's x/0.0 is NULL too,
+    # so the oracle twin agrees without special-casing
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def _stack_valid(vals, dim: int):

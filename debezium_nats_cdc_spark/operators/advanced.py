@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from ..catalog import register
 from ..io import load_table
 from ._common import dec2
+from .similarity import _sql_cos
 
 
 @register(
@@ -241,11 +242,12 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_doc_embedding_join",
-    oracle="""
+    # _sql_cos: guarded cosine shared with the sim_* oracles — NULL (not
+    # -1.0, not an error) for zero/NULL/empty vectors, like try_divide
+    oracle=f"""
     SELECT d.doc_id, d.lang, d.n_chars, e.label,
            CAST(len(e.embedding) AS INT) AS embedding_dim,
-           CAST(CAST(ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-                                             CAST(e.embedding AS DOUBLE[])), 4)
+           CAST(CAST(ROUND({_sql_cos('e.embedding', 'e.embedding')}, 4)
                 AS DECIMAL(10,4)) AS DOUBLE) AS self_cos
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
     """,

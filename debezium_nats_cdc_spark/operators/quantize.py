@@ -70,8 +70,11 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # also called "scale", and Spark's lateral column alias resolution
     # would silently rebind F.col("scale") inside the rmse expression to
     # the 6dp-ROUNDED output, skewing the metric (caught by the oracle)
+    # empty vector: absmax's fold init (0.0) is NOT a real max — emit
+    # NULL scale like the oracle's list_max([]) (and like a NULL vector)
     d = e.select("vec_id", "label", "embedding",
-                 (absmax / F.lit(float(_QMAX))).alias("_scale"))
+                 F.when(F.size("embedding") > 0,
+                        absmax / F.lit(float(_QMAX))).alias("_scale"))
     q = F.when(
         F.col("_scale") > 0,
         F.transform(emb, lambda x: F.round(x.cast("double") / F.col("_scale"))
@@ -87,7 +90,7 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, v: a + v,
     )
-    rmse = F.sqrt(sq / F.size(emb))
+    rmse = F.sqrt(F.try_divide(sq, F.size(emb)))  # empty vector -> NULL
     return d.select(
         "vec_id", "label",
         F.round("_scale", 6).cast("decimal(10,6)").cast("double").alias("scale"),

@@ -34,18 +34,36 @@ def _with_norm(df, emb_col: str = "embedding"):
 
 
 def _pair_cos(a_emb, b_emb, a_norm, b_norm):
-    return dot_product(a_emb, b_emb) / (a_norm * b_norm)
+    # try_divide: zero-norm rows produce NULL cosine (dropped by every
+    # downstream threshold), never an ANSI divide-by-zero stage failure
+    return F.try_divide(dot_product(a_emb, b_emb), a_norm * b_norm)
 
 
 def _pair_cos_arrow(a_emb, b_emb, a_norm, b_norm):
     """Arrow-batched pair cosine for candidate-VERIFICATION stages, where
     pair count ≫ row count (see dot_product_arrow).  Norms stay JVM-side:
     computed once per row before the join, not per pair."""
-    return dot_product_arrow(a_emb, b_emb) / (a_norm * b_norm)
+    return F.try_divide(dot_product_arrow(a_emb, b_emb), a_norm * b_norm)
 
-_ORACLE_COS = """
-    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-"""
+def _sql_cos(a: str, b: str) -> str:
+    """Degenerate-input-safe cosine for oracle SQL, matching the
+    engine's try_divide semantics exactly: NULL for zero-norm, NULL,
+    or empty vectors.  Built from list comprehensions + list_sum, NOT
+    list_cosine_similarity (returns -1.0 for a zero vector) and NOT
+    list_dot_product (RAISES on NULL/empty/ragged lists — and DuckDB's
+    vectorized CASE still evaluates it on guarded-out rows, so a CASE
+    wrapper cannot save it).  list_sum over the in-order comprehension
+    folds in the same sequence as the engine's left fold."""
+    dot = (f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)"
+           f" for i in range(1, len({a}) + 1)])")
+    na = (f"sqrt(list_sum(list_transform(CAST({a} AS DOUBLE[]),"
+          f" x -> x * x)))")
+    nb = (f"sqrt(list_sum(list_transform(CAST({b} AS DOUBLE[]),"
+          f" x -> x * x)))")
+    return f"({dot} / ({na} * {nb}))"
+
+
+_ORACLE_COS = _sql_cos("a.embedding", "b.embedding")
 
 
 def _hyperplanes(dim: int = 64, n_planes: int = 8) -> list[list[float]]:
@@ -72,16 +90,24 @@ def _bucket_sql(emb_expr: str = "embedding",
                 planes: list[list[float]] | None = None) -> str:
     """SQL twin of plane_sign_word_arrow for the DuckDB oracles (plane
     literals embedded at full repr precision — parses to the identical
-    doubles; list_inner_product folds in the same sequential order the
-    Arrow kernel accumulates, so sign bits match bitwise)."""
+    doubles; the in-order comprehension dot folds in the same sequence
+    the Arrow kernel accumulates, so sign bits match bitwise).  The
+    whole word is guarded on vector validity: the Arrow kernel emits a
+    SQL NULL bucket for NULL/empty/ragged rows (_stack_valid), and a
+    comprehension-based dot (unlike list_inner_product) cannot raise on
+    them."""
+    plane_list = planes if planes is not None else _hyperplanes()
+    dim = len(plane_list[0])
     terms = []
-    for i, plane in enumerate(planes if planes is not None else _hyperplanes()):
+    for i, plane in enumerate(plane_list):
         lits = ", ".join(repr(v) for v in plane)
-        terms.append(
-            f"(CASE WHEN list_inner_product(CAST({emb_expr} AS DOUBLE[]), "
-            f"CAST([{lits}] AS DOUBLE[])) >= 0 THEN {1 << i} ELSE 0 END)"
-        )
-    return " + ".join(terms)
+        dot = (f"list_sum([CAST({emb_expr}[i] AS DOUBLE)"
+               f" * (CAST([{lits}] AS DOUBLE[]))[i]"
+               f" for i in range(1, len({emb_expr}) + 1)])")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
+    word = " + ".join(terms)
+    return (f"(CASE WHEN {emb_expr} IS NOT NULL"
+            f" AND len({emb_expr}) = {dim} THEN {word} END)")
 
 
 # banded multi-table LSH for near-dup blocking: T tables of B planes each;
@@ -204,12 +230,10 @@ def _neardup_oracle() -> str:
        AND a.label = b.label AND a.vec_id < b.vec_id
     )
     SELECT vec_a, vec_b,
-           CAST(CAST(ROUND(list_cosine_similarity(
-                CAST(emb_a AS DOUBLE[]), CAST(emb_b AS DOUBLE[])), 6)
+           CAST(CAST(ROUND({_sql_cos('emb_a', 'emb_b')}, 6)
                 AS DECIMAL(10,6)) AS DOUBLE) AS cos_sim
     FROM cand
-    WHERE ROUND(list_cosine_similarity(
-          CAST(emb_a AS DOUBLE[]), CAST(emb_b AS DOUBLE[])), 6) >= 0.35
+    WHERE ROUND({_sql_cos('emb_a', 'emb_b')}, 6) >= 0.35
     """
 
 
@@ -289,14 +313,14 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_ORACLE = """
+_IVF_ORACLE = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
     cents AS (SELECT vec_id AS cell_id, emb AS c_emb FROM e WHERE vec_id < 16),
     assigned AS (
       SELECT vec_id, emb, cell_id FROM (
         SELECT v.vec_id, v.emb, c.cell_id,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                 ORDER BY CAST(ROUND(list_cosine_similarity(c.c_emb, v.emb), 6)
+                 ORDER BY CAST(ROUND({_sql_cos('c.c_emb', 'v.emb')}, 6)
                                AS DECIMAL(10,6)) DESC, c.cell_id) AS rn
         FROM e v CROSS JOIN cents c)
       WHERE rn = 1),
@@ -304,7 +328,7 @@ _IVF_ORACLE = """
       SELECT query_id, q_emb, cell_id FROM (
         SELECT q.vec_id AS query_id, q.emb AS q_emb, c.cell_id,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                 ORDER BY CAST(ROUND(list_cosine_similarity(c.c_emb, q.emb), 6)
+                 ORDER BY CAST(ROUND({_sql_cos('c.c_emb', 'q.emb')}, 6)
                                AS DECIMAL(10,6)) DESC, c.cell_id) AS rn
         FROM e q CROSS JOIN cents c WHERE q.vec_id < 8)
       WHERE rn <= 4)
@@ -312,10 +336,10 @@ _IVF_ORACLE = """
            CAST(rnk AS INT) AS rnk
     FROM (
       SELECT p.query_id, a.vec_id AS neighbor_id,
-             CAST(ROUND(list_cosine_similarity(a.emb, p.q_emb), 6)
+             CAST(ROUND({_sql_cos('a.emb', 'p.q_emb')}, 6)
                   AS DECIMAL(10,6)) AS cos_sim,
              ROW_NUMBER() OVER (PARTITION BY p.query_id
-               ORDER BY CAST(ROUND(list_cosine_similarity(a.emb, p.q_emb), 6)
+               ORDER BY CAST(ROUND({_sql_cos('a.emb', 'p.q_emb')}, 6)
                              AS DECIMAL(10,6)) DESC, a.vec_id) AS rnk
       FROM assigned a JOIN probes p ON a.cell_id = p.cell_id
       WHERE a.vec_id <> p.query_id)
@@ -444,7 +468,7 @@ def sim_lsh_bucketed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- k-means refinement --
 
-_KMEANS_ORACLE = """
+_KMEANS_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
     ),
@@ -453,7 +477,7 @@ _KMEANS_ORACLE = """
       SELECT vec_id, emb, cell_id FROM (
         SELECT v.vec_id, v.emb, c.cell_id,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                 ORDER BY CAST(ROUND(list_cosine_similarity(c.c_emb, v.emb), 6)
+                 ORDER BY CAST(ROUND({_sql_cos('c.c_emb', 'v.emb')}, 6)
                                AS DECIMAL(10,6)) DESC, c.cell_id) AS rn
         FROM e v CROSS JOIN c0 c) WHERE rn = 1),
     m AS (
@@ -467,10 +491,10 @@ _KMEANS_ORACLE = """
     a1 AS (
       SELECT vec_id, cell_id, cos FROM (
         SELECT v.vec_id, c.cell_id,
-               CAST(ROUND(list_cosine_similarity(c.c_emb, v.emb), 6)
+               CAST(ROUND({_sql_cos('c.c_emb', 'v.emb')}, 6)
                     AS DECIMAL(10,6)) AS cos,
                ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                 ORDER BY CAST(ROUND(list_cosine_similarity(c.c_emb, v.emb), 6)
+                 ORDER BY CAST(ROUND({_sql_cos('c.c_emb', 'v.emb')}, 6)
                                AS DECIMAL(10,6)) DESC, c.cell_id) AS rn
         FROM e v CROSS JOIN c1 c) WHERE rn = 1)
     SELECT cell_id,

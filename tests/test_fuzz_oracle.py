@@ -1,0 +1,25 @@
+"""Differential-fuzzing gate: seed-0 random dirty tables through every
+oracle-backed catalog query on BOTH engines, strict-canonicalized
+compare.  This is the CI pin of tools/fuzz_oracle.py — extra seeds run
+from the CLI.  The known-failures allowlist is enforced in both
+directions: an unknown divergence fails, and an allowlisted one that
+stops reproducing fails too (stale debt entry).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+
+def test_every_oracle_matches_on_seed0_fuzz_tables(spark):
+    import fuzz_oracle
+
+    fails = fuzz_oracle.run_seed(spark, seed=0)
+    unknown = [q for q in fails if q not in fuzz_oracle.KNOWN_FAILURES]
+    assert not unknown, f"fuzz divergences not in KNOWN_FAILURES: {unknown}"
+    stale = [q for q in fuzz_oracle.KNOWN_FAILURES if q not in fails]
+    assert not stale, (
+        f"KNOWN_FAILURES entries no longer reproduce — prune them: {stale}")
