@@ -25,3 +25,8 @@ def test_catalog_plan_audit_clean(spark):
         __import__("debezium_nats_cdc_spark.catalog", fromlist=["catalog"])
         .entries()
     )
+    # full-metrics regression lock: ANY plan-shape drift (new shuffle,
+    # lost broadcast/pushdown) fails until reviewed + regenerated via
+    # `python tools/plan_audit.py --write-md`
+    drift = plan_audit.check_lock(rows)
+    assert not drift, "\n".join(drift)

@@ -29,6 +29,7 @@ data-independent at this level, the small SF keeps analysis fast)
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
@@ -129,6 +130,49 @@ def run_audit(spark, sf_dir: str):
     return rows, violations
 
 
+LOCKFILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans.lock.json")
+
+
+def write_lock(rows, path: str = None) -> None:
+    """Persist every query's plan metrics as a lockfile.  The pytest
+    gate compares the LIVE audit against this: any drift — a broadcast
+    silently becoming a sort-merge join, a new shuffle, a lost pushdown
+    — fails until the change is reviewed and the lock regenerated with
+    `python tools/plan_audit.py --write-md`."""
+    import json
+
+    with open(path or LOCKFILE, "w") as f:
+        json.dump({n: m for n, m, _ in rows}, f, indent=1, sort_keys=True)
+
+
+def check_lock(rows, path: str = None) -> list[str]:
+    """Diffs live metrics vs the lockfile; returns human-readable drift
+    lines (empty = clean).  A missing lockfile is itself a violation —
+    the gate must never pass vacuously."""
+    import json
+
+    try:
+        with open(path or LOCKFILE) as f:
+            want = json.load(f)
+    except FileNotFoundError:
+        return [f"plan lockfile missing: {path or LOCKFILE} "
+                f"(regenerate: python tools/plan_audit.py --write-md)"]
+    live = {n: m for n, m, _ in rows}
+    out = []
+    for n in sorted(set(want) | set(live)):
+        if n not in want:
+            out.append(f"{n}: NEW query not in lockfile (regenerate)")
+        elif n not in live:
+            out.append(f"{n}: in lockfile but gone from catalog (regenerate)")
+        elif want[n] != live[n]:
+            diff = {k: (want[n].get(k), v) for k, v in live[n].items()
+                    if want[n].get(k) != v}
+            out.append(f"{n}: plan drift {diff} (locked, live)")
+    return out
+
+
 def write_markdown(rows, violations, path: str) -> None:
     """Emit the audit as a committed artifact (PLANS.md): per-query plan
     metrics plus the reviewed allowlists.  Regenerate with
@@ -182,7 +226,12 @@ def main() -> int:
 
     if "--write-md" in sys.argv[1:]:
         write_markdown(rows, violations, "PLANS.md")
-        print("wrote PLANS.md")
+        write_lock(rows)
+        print("wrote PLANS.md + plans.lock.json")
+    else:
+        for d in check_lock(rows):
+            ok = False
+            violations.append(d)
 
     if not rows:  # e.g. bad sf_dir: every query failed analysis
         for v in violations:
