@@ -39,9 +39,15 @@ _QUANT_ORACLE = f"""
     )
     SELECT vec_id, label,
            CAST(CAST(ROUND(scale, 6) AS DECIMAL(10,6)) AS DOUBLE) AS scale,
+           -- NULL-lane guard: list_sum skips the NULL residuals (a
+           -- partial rmse) where the engine's fold null-propagates;
+           -- scale needs no guard (list_max and F.greatest both skip
+           -- NULL lanes identically)
            CAST(CAST(ROUND(
-             sqrt(list_sum([power(emb[i] - qv[i] * scale, 2)
-                            for i in range(1, len(emb) + 1)]) / len(emb)),
+             CASE WHEN len(list_filter(emb, x -> x IS NULL)) = 0 THEN
+               sqrt(list_sum([power(emb[i] - qv[i] * scale, 2)
+                              for i in range(1, len(emb) + 1)]) / len(emb))
+             END,
              6) AS DECIMAL(10,6)) AS DOUBLE) AS rmse,
            CAST(len(list_filter(qv, x -> abs(x) = {_QMAX})) AS INT)
              AS n_saturated

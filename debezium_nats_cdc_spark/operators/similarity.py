@@ -60,7 +60,13 @@ def _sql_cos(a: str, b: str) -> str:
           f" x -> x * x)))")
     nb = (f"sqrt(list_sum(list_transform(CAST({b} AS DOUBLE[]),"
           f" x -> x * x)))")
-    return f"({dot} / ({na} * {nb}))"
+    # no-NULL-lane guard: DuckDB's list_sum SKIPS NULL products (a
+    # partial dot/norm) while the engine's Catalyst fold and Arrow
+    # kernels null-propagate the whole cosine — a vector with a NULL
+    # element must be NULL on both sides
+    lanes = (f"len(list_filter({a}, x -> x IS NULL)) = 0"
+             f" AND len(list_filter({b}, x -> x IS NULL)) = 0")
+    return f"(CASE WHEN {lanes} THEN {dot} / ({na} * {nb}) END)"
 
 
 _ORACLE_COS = _sql_cos("a.embedding", "b.embedding")
@@ -106,8 +112,13 @@ def _bucket_sql(emb_expr: str = "embedding",
                f" for i in range(1, len({emb_expr}) + 1)])")
         terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << i} ELSE 0 END)")
     word = " + ".join(terms)
+    # validity guard mirrors _stack_valid exactly: NULL vector, wrong
+    # width, or a NULL lane (list_sum would silently skip it and emit a
+    # partial-dot sign word the Arrow kernel never produces) -> NULL
     return (f"(CASE WHEN {emb_expr} IS NOT NULL"
-            f" AND len({emb_expr}) = {dim} THEN {word} END)")
+            f" AND len({emb_expr}) = {dim}"
+            f" AND len(list_filter({emb_expr}, x -> x IS NULL)) = 0"
+            f" THEN {word} END)")
 
 
 # banded multi-table LSH for near-dup blocking: T tables of B planes each;

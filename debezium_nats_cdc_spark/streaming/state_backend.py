@@ -244,11 +244,15 @@ class GenerationPointerBackend(LocalFSBackend):
             entries = os.listdir(cls._gen_root(table_dir))
         except FileNotFoundError:
             return []
+        # numeric sort: lexicographic order breaks past g999999 (the
+        # zero-padding only covers 6 digits) and newest-selection picks
+        # a stale generation
         return sorted(
-            d for d in entries
-            if d.startswith("g") and d[1:].isdigit()
-            and os.path.exists(os.path.join(cls._gen_root(table_dir), d,
-                                            "_SUCCESS"))
+            (d for d in entries
+             if d.startswith("g") and d[1:].isdigit()
+             and os.path.exists(os.path.join(cls._gen_root(table_dir), d,
+                                             "_SUCCESS"))),
+            key=lambda d: int(d[1:]),
         )
 
     def list_generations(self, table_dir: str) -> list[int]:
@@ -307,7 +311,10 @@ class GenerationPointerBackend(LocalFSBackend):
         except FileNotFoundError:
             return
         gens = self._complete_gens(table_dir)
-        displaced = sorted(d for d in entries if d.startswith("displaced"))
+        displaced = sorted(
+            (d for d in entries if d.startswith("displaced")),
+            key=lambda d: int(d[len("displaced"):]),
+        )
         if gens:  # prefer the newest COMPLETE generation (it is newer
             #       than any displaced dir by construction)
             os.symlink(os.path.abspath(os.path.join(gen_root, gens[-1])),

@@ -11,6 +11,9 @@ from __future__ import annotations
 
 import pytest
 
+from debezium_nats_cdc_spark.plans.explain import (
+    count_exchanges as _n_exchanges,
+)
 from debezium_nats_cdc_spark.io import load_table
 from debezium_nats_cdc_spark.plans.explain import formatted_plan
 from debezium_nats_cdc_spark.store import write_bucketed
@@ -31,9 +34,6 @@ def bucketed_tables(spark, tmp_path_factory):
     spark.sql("DROP TABLE IF EXISTS bktdb.events_b")
     spark.sql("DROP TABLE IF EXISTS bktdb.user_stats_b")
     spark.sql("DROP DATABASE IF EXISTS bktdb")
-
-
-from debezium_nats_cdc_spark.plans.explain import count_exchanges as _n_exchanges
 
 
 def test_bucketed_join_no_shuffle(spark, bucketed_tables):

@@ -76,8 +76,6 @@ def test_subject_prefix_filter_pushes_down(spark):
 def test_latest_state_single_shuffle(spark):
     """H1 materialization: exactly one exchange (hash on the key) —
     no global sort, no extra shuffle."""
-    import re
-
     df = catalog.entries()["window_latest_state_per_key"].fn(spark, SF)
     from debezium_nats_cdc_spark.plans.explain import formatted_plan
 
@@ -91,8 +89,6 @@ def test_asof_join_single_shuffle(spark):
     """The union-tag-scan as-of join must be ONE shuffle on user_id —
     no join node at all (the banded self-join it replaced exploded on
     hot keys)."""
-    import re
-
     df = catalog.entries()["join_asof_last_click"].fn(spark, SF)
     from debezium_nats_cdc_spark.plans.explain import formatted_plan
 

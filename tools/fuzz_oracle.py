@@ -225,8 +225,10 @@ def gen_tables(seed: int, out_dir: str) -> None:
         v = cents[c] + 0.1 * rng.randn(dim)
         embs.append([float(x) for x in v])
         labels.append(c)
-    embs += [[0.0] * dim, [], None]  # zero, empty, NULL vectors
-    labels += [0, 1, None]
+    null_lane = [float(x) for x in cents[0]]
+    null_lane[3] = None  # one NULL element: engines must null-propagate
+    embs += [[0.0] * dim, [], None, null_lane]
+    labels += [0, 1, None, 2]
     write("embeddings", {
         "vec_id": list(range(len(embs))),
         "embedding": embs,
