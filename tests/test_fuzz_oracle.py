@@ -23,3 +23,18 @@ def test_every_oracle_matches_on_seed0_fuzz_tables(spark):
     stale = [q for q in fuzz_oracle.KNOWN_FAILURES if q not in fails]
     assert not stale, (
         f"KNOWN_FAILURES entries no longer reproduce — prune them: {stale}")
+
+
+def test_every_oracle_matches_on_empty_fact_tables(spark):
+    """Fresh-deployment scenario: zero-row fact tables, populated dims.
+    Every query must execute (no stage-killing exception on an empty
+    relation) and agree with its oracle, modulo the documented
+    EMPTY_KNOWN_FAILURES (enforced fresh in both directions)."""
+    import fuzz_oracle
+
+    fails = fuzz_oracle.run_seed(spark, seed=0, empty_facts=True)
+    unknown = [q for q in fails
+               if q not in fuzz_oracle.EMPTY_KNOWN_FAILURES]
+    assert not unknown, f"empty-facts divergences: {unknown}"
+    stale = [q for q in fuzz_oracle.EMPTY_KNOWN_FAILURES if q not in fails]
+    assert not stale, f"EMPTY_KNOWN_FAILURES no longer reproduce: {stale}"

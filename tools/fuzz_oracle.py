@@ -50,6 +50,19 @@ KNOWN_FAILURES: dict[str, str] = {
     "mm_resize_plan": "oracle hex-parse raises on empty-text payload",
 }
 
+# Deferred divergences specific to the EMPTY-facts mode (fresh
+# deployment: zero-row fact tables, populated dims).
+EMPTY_KNOWN_FAILURES: dict[str, str] = {
+    # SQL-standard CUBE over an empty relation yields the grand-total
+    # grouping-set row (DuckDB does); Spark emits no rows.  Fix =
+    # HAVING COUNT(*) > 0 in the oracle (empty-input-only effect) — but
+    # it lives in operators/aggregates.py, whose displaced agg_* queries
+    # rule A would then pull into the (full) r6 window; scheduled for
+    # the r7 rotation alongside the mm oracle fixes.
+    "agg_cube_orders": "grand-total row on empty input (DuckDB) vs "
+                       "no rows (Spark)",
+}
+
 _WORDS = ("the spark batch stream row column key value join sort merge "
           "filter table scan hash agg window group order data small big "
           "fast slow query part customer line vector dup a").split()
@@ -66,10 +79,48 @@ def _words(rng, n):
     return " ".join(rng.choice(_WORDS) for _ in range(n))
 
 
-def gen_tables(seed: int, out_dir: str) -> None:
+def gen_tables(seed: int, out_dir: str, empty_facts: bool = False) -> None:
+    """empty_facts=True keeps the dims but truncates every fact table
+    to zero rows — the fresh-deployment / empty-partition scenario."""
     rng = np.random.RandomState(seed)
+    _empty = empty_facts
 
     def write(name, cols: dict, types: dict | None = None):
+        if _empty and name in ("documents", "embeddings", "events",
+                               "lineitem", "orders"):
+            cols = {c: [] for c in cols}
+            # give pyarrow concrete types for the now-empty columns
+            types = dict(types or {})
+            _FULL = {
+                "documents": {"doc_id": pa.int64(), "text": pa.string(),
+                              "lang": pa.string(), "source": pa.string(),
+                              "n_chars": pa.int64()},
+                "embeddings": {"vec_id": pa.int64(),
+                               "embedding": pa.list_(pa.float32()),
+                               "label": pa.int32()},
+                "events": {"event_id": pa.int64(),
+                           "ts": pa.timestamp("us"), "user_id": pa.int64(),
+                           "event_type": pa.string(), "value": pa.float64(),
+                           "props": pa.string()},
+                "lineitem": {"l_orderkey": pa.int64(),
+                             "l_partkey": pa.int64(),
+                             "l_suppkey": pa.int64(),
+                             "l_linenumber": pa.int32(),
+                             "l_quantity": pa.float64(),
+                             "l_extendedprice": pa.float64(),
+                             "l_discount": pa.float64(),
+                             "l_tax": pa.float64(),
+                             "l_returnflag": pa.string(),
+                             "l_linestatus": pa.string(),
+                             "l_shipdate": pa.timestamp("us")},
+                "orders": {"o_orderkey": pa.int64(),
+                           "o_custkey": pa.int64(),
+                           "o_orderstatus": pa.string(),
+                           "o_totalprice": pa.float64(),
+                           "o_orderdate": pa.timestamp("us"),
+                           "o_orderpriority": pa.string()},
+            }
+            types.update(_FULL[name])
         arrays, fields = [], []
         for cname, vals in cols.items():
             typ = (types or {}).get(cname)
@@ -236,7 +287,8 @@ def gen_tables(seed: int, out_dir: str) -> None:
     }, {"embedding": pa.list_(pa.float32()), "label": pa.int32()})
 
 
-def run_seed(spark, seed: int, only: list[str] | None = None) -> list[str]:
+def run_seed(spark, seed: int, only: list[str] | None = None,
+             empty_facts: bool = False) -> list[str]:
     """Generate tables for one seed, run Spark vs DuckDB, return the
     list of mismatching/erroring query names."""
     import duckdb
@@ -246,7 +298,7 @@ def run_seed(spark, seed: int, only: list[str] | None = None) -> list[str]:
 
     failures: list[str] = []
     with tempfile.TemporaryDirectory(prefix=f"fuzz{seed}_") as tmp:
-        gen_tables(seed, tmp)
+        gen_tables(seed, tmp, empty_facts=empty_facts)
         clear_pair_cache()  # never reuse another dir's cached pairs
         con = duckdb.connect()
         for t in TABLES:
@@ -289,6 +341,7 @@ def main() -> int:
         seeds = [int(x) for x in args[args.index("--seeds") + 1].split(",")]
     if "--queries" in args:
         only = args[args.index("--queries") + 1].split(",")
+    empty_facts = "--empty" in args
 
     from pyspark.sql import SparkSession
 
@@ -301,19 +354,20 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    known_map = EMPTY_KNOWN_FAILURES if empty_facts else KNOWN_FAILURES
     all_fail: dict[int, list[str]] = {}
     for seed in seeds:
-        fails = run_seed(spark, seed, only)
+        fails = run_seed(spark, seed, only, empty_facts=empty_facts)
         if fails:
             all_fail[seed] = fails
-    unknown = {s: [q for q in qs if q not in KNOWN_FAILURES]
+    unknown = {s: [q for q in qs if q not in known_map]
                for s, qs in all_fail.items()}
     unknown = {s: qs for s, qs in unknown.items() if qs}
     known = sorted({q for qs in all_fail.values() for q in qs
-                    if q in KNOWN_FAILURES})
+                    if q in known_map})
     if known:
         print(f"\nknown (deferred) failures reproduced: "
-              f"{ {q: KNOWN_FAILURES[q] for q in known} }")
+              f"{ {q: known_map[q] for q in known} }")
     if unknown:
         print(f"\nFUZZ FAILURES (not in KNOWN_FAILURES): {unknown}")
         return 1
