@@ -38,3 +38,23 @@ def test_every_oracle_matches_on_empty_fact_tables(spark):
     assert not unknown, f"empty-facts divergences: {unknown}"
     stale = [q for q in fuzz_oracle.EMPTY_KNOWN_FAILURES if q not in fails]
     assert not stale, f"EMPTY_KNOWN_FAILURES no longer reproduce: {stale}"
+
+
+def test_event_queries_match_on_nanos_encoded_timestamps(spark):
+    """events.ts as parquet TIMESTAMP(NANOS) — the r1-era driver-data
+    encoding that Spark's vectorized reader rejects outright.  This
+    exercises io.load_table's nanosAsLong bigint -> timestamp_micros
+    conversion (integer `div 1000`, matching DuckDB's ns cast) end to
+    end against the oracles; the path is dormant on current testdata
+    (all SFs ship microseconds) but must keep working."""
+    import fuzz_oracle
+
+    ev_queries = [
+        "window_latest_state_per_key", "cdc_retention_filter",
+        "stats_key_skew_report", "window_state_as_of",
+        "agg_daily_event_volume", "window_lag_timeline",
+        "cdc_tumbling_window", "join_event_correlation",
+    ]
+    fails = fuzz_oracle.run_seed(spark, seed=0, only=ev_queries,
+                                 ns_events=True)
+    assert not fails, f"ns-timestamp divergences: {fails}"

@@ -79,7 +79,12 @@ def _words(rng, n):
     return " ".join(rng.choice(_WORDS) for _ in range(n))
 
 
-def gen_tables(seed: int, out_dir: str, empty_facts: bool = False) -> None:
+def gen_tables(seed: int, out_dir: str, empty_facts: bool = False,
+               ns_events: bool = False) -> None:
+    # ns_events=True writes events.ts as parquet TIMESTAMP(NANOS) (the
+    # r1-era driver-testdata encoding): Spark's vectorized reader
+    # rejects it without the nanosAsLong conf, so this exercises
+    # io.load_table's bigint-ns -> timestamp_micros conversion path.
     """empty_facts=True keeps the dims but truncates every fact table
     to zero rows — the fresh-deployment / empty-partition scenario."""
     rng = np.random.RandomState(seed)
@@ -224,6 +229,8 @@ def gen_tables(seed: int, out_dir: str, empty_facts: bool = False) -> None:
     tss = [base_ts + int(rng.randint(0, 30 * 86400)) * _US for _ in users]
     tss[10:20] = [tss[10]] * 10  # exact timestamp ties across events
     props = ['{"k": 1}', '{"k": 2, "s": "x"}', "{}", None]
+    if ns_events:
+        tss = [t * 1000 for t in tss]  # whole-us values, ns encoding
     write("events", {
         "event_id": list(range(1, len(users) + 1)),
         "ts": tss,
@@ -233,7 +240,7 @@ def gen_tables(seed: int, out_dir: str, empty_facts: bool = False) -> None:
         "value": _opt(rng, [round(float(rng.uniform(0, 100)), 3)
                             for _ in users], p_null=0.08),
         "props": [props[rng.randint(0, len(props))] for _ in users],
-    }, {"ts": pa.timestamp("us")})
+    }, {"ts": pa.timestamp("ns" if ns_events else "us")})
 
     # --- documents: dup/near-dup structure + degenerate rows ------------
     docs = []
@@ -288,7 +295,8 @@ def gen_tables(seed: int, out_dir: str, empty_facts: bool = False) -> None:
 
 
 def run_seed(spark, seed: int, only: list[str] | None = None,
-             empty_facts: bool = False) -> list[str]:
+             empty_facts: bool = False,
+             ns_events: bool = False) -> list[str]:
     """Generate tables for one seed, run Spark vs DuckDB, return the
     list of mismatching/erroring query names."""
     import duckdb
@@ -298,7 +306,7 @@ def run_seed(spark, seed: int, only: list[str] | None = None,
 
     failures: list[str] = []
     with tempfile.TemporaryDirectory(prefix=f"fuzz{seed}_") as tmp:
-        gen_tables(seed, tmp, empty_facts=empty_facts)
+        gen_tables(seed, tmp, empty_facts=empty_facts, ns_events=ns_events)
         clear_pair_cache()  # never reuse another dir's cached pairs
         con = duckdb.connect()
         for t in TABLES:
