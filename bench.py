@@ -19,9 +19,16 @@ driver's JSON parse failed):
   - a full-name timings line + full stream stats line print just before
     the summary for human readers of the complete stdout.
 
-Abbreviation legend (applied to the family prefix only):
+Abbreviation legend (family prefix first, then every remaining
+underscore token truncated to its first 4 chars — r6's summary fell to
+the integer-seconds tier because full suffixes + 2-decimal values
+overflowed the tail, losing per-query resolution; VERDICT r6 #3):
   d_=dedup_  c_=cdc_  k_=corpus_  w_=window_  g_=agg_  j_=join_
-  s_=sim_  t_=text_   (mm_, emb_, pii_, scalar_ names are unchanged)
+  s_=sim_  t_=text_   (mm_, emb_, pii_, scalar_ prefixes unchanged)
+  e.g. dedup_exact_groups -> d_exac_grou ; window_latest_state_per_key
+  -> w_late_stat_per_key.  The mapping is deterministic from catalog
+  names (abbr_name below, collision-checked), so per-round artifacts
+  join on it without the legend line surviving the tail.
 
 Warm-run discipline (VERDICT r5 #3: a recorded time must not exceed its
 warm time by >1.5x):
@@ -63,22 +70,30 @@ ABBR = [
 REPEAT_THRESHOLD_SEC = 2.0
 
 
-def abbr_name(name: str) -> str:
+def abbr_name(name: str, tok_len: int = 4) -> str:
     for long, short in ABBR:
         if name.startswith(long):
-            return short + name[len(long):]
-    return name
+            name = short + name[len(long):]
+            break
+    toks = name.split("_")
+    return "_".join([toks[0]] + [t[:tok_len] for t in toks[1:]])
+
+
+def abbr_map(names) -> dict[str, str]:
+    """name -> short key; widens the token cut on (unlikely) collision
+    so two catalog queries can never share an artifact key."""
+    for tok_len in (4, 6, 8, 99):
+        m = {n: abbr_name(n, tok_len) for n in names}
+        if len(set(m.values())) == len(m):
+            return m
+    return {n: n for n in names}
 
 
 def fmt_sec(v: float) -> float:
-    """4-chars-or-fewer encoding: <10s -> 2 decimals, <100s -> 1, else int."""
-    if v < 0:
-        return -1.0
-    if v < 10:
-        return round(v, 2)
-    if v < 100:
-        return round(v, 1)
-    return round(v)
+    """2-decimal floor for every recorded timing: r6's integer-seconds
+    fallback made 60/81 queries record '0', killing per-query regression
+    tracking from the artifact alone (VERDICT r6 #3)."""
+    return -1.0 if v < 0 else round(v, 2)
 
 
 def build_summary(timings: dict[str, float], sf: str,
@@ -86,7 +101,8 @@ def build_summary(timings: dict[str, float], sf: str,
     """The final artifact line; guaranteed <= TAIL_BUDGET chars."""
     total = round(sum(v for v in timings.values() if v > 0), 2)
     n_failed = sum(1 for v in timings.values() if v < 0)
-    qmap = {abbr_name(n): fmt_sec(v)
+    short = abbr_map(timings.keys())
+    qmap = {short[n]: fmt_sec(v)
             for n, v in sorted(timings.items(), key=lambda kv: kv[1])}
     out: dict = {
         "metric": "catalog_total_sec",
@@ -113,9 +129,16 @@ def build_summary(timings: dict[str, float], sf: str,
         line = json.dumps(out, separators=(",", ":"))  # a truncated head
     # last resort (3-digit timings across a wide catalog): drop the
     # FASTEST queries — qmap is sorted ascending, and the slow tail is
-    # what the plan audit needs — and say how many were cut
+    # what the plan audit needs — and say how many were cut.  Skip the
+    # -1.0 failure markers when popping (they sort FIRST in the
+    # ascending map): a failed query must stay FLAGGED in the artifact,
+    # not be the first thing discarded (ADVICE r6)
     while len(line) > TAIL_BUDGET and out["queries"]:
-        out["queries"].pop(next(iter(out["queries"])))
+        droppable = next((k for k, v in out["queries"].items() if v >= 0),
+                         None)
+        if droppable is None:
+            break  # only failure markers left — keep them all
+        out["queries"].pop(droppable)
         out["n_omitted"] = out.get("n_omitted", 0) + 1
         line = json.dumps(out, separators=(",", ":"))
     return line

@@ -138,6 +138,11 @@ def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    -- empty-input-only guard (fuzz --empty find, r6): SQL-standard CUBE
+    -- over an empty relation yields the grand-total grouping-set row
+    -- (DuckDB does) while Spark emits no rows; on any non-empty input
+    -- every grouping set has COUNT(*) >= 1 so this HAVING is a no-op.
+    HAVING COUNT(*) > 0
     """,
     survey_ids=["D2"],
     doc="CUBE over order dimensions — exposed for free (SURVEY §2.D note).",

@@ -170,17 +170,31 @@ def ivf_add(spark: SparkSession, index_dir: str, vectors: DataFrame,
 
 def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
                k: int = 5, nprobe: int = 4,
-               id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", emb_col: str = "embedding",
+               probe_mode: str = "literal") -> DataFrame:
     """Top-k cosine neighbors per query, scanning only nprobe cells.
 
-    The probed cell set (n_queries x nprobe ids, bounded and small) is
-    collected and inlined as a LITERAL partition filter, so Catalyst
-    statically prunes the vectors scan to those directories — the plan
-    shows `PartitionFilters: [cell_id IN (...)]` and
-    tests/test_ann_index.py pins it.  With very large query batches,
-    probe instead by joining `probes` (dynamic partition pruning path);
-    the cutover is the point where the literal list stops being small.
+    Two pruning strategies, result-identical (tests pin equality):
+
+    - ``probe_mode="literal"`` (default): the probed cell set (at most
+      n_cells ids — a DISTINCT over query×nprobe collapses to the cell
+      universe) is collected and inlined as a LITERAL partition filter,
+      so Catalyst statically prunes the vectors scan to those
+      directories — the plan shows `PartitionFilters: [cell_id IN (..)]`
+      and tests/test_ann_index.py pins it.  Right for interactive /
+      small query batches: one tiny extra job up front, then the
+      narrowest possible scan.
+    - ``probe_mode="join"``: NO driver collect — the probe set stays
+      distributed and the vectors scan is pruned at RUNTIME by dynamic
+      partition pruning off the broadcast probe join (the plan's
+      PartitionFilters carries `dynamicpruningexpression(cell_id IN
+      dynamicpruning#..)`; pinned too).  Right for huge query batches
+      (ingest-time self-probe, offline eval sweeps), where the literal
+      path's extra pass over `queries` costs more than it saves.
     """
+    if probe_mode not in ("literal", "join"):
+        raise ValueError(f"probe_mode must be 'literal' or 'join', "
+                         f"got {probe_mode!r}")
     meta = _load_meta(index_dir)
     cents = _centroids(spark, index_dir)
     # dimension-mismatched / NULL queries would probe nprobe cells by
@@ -205,17 +219,27 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", "q_emb", "q_norm", "cell_id")
     )
-    probed_cells = sorted({r["cell_id"] for r in
-                           probes.select("cell_id").distinct().collect()})
     # the engine session disables partition-column type inference (a
     # STRING event_month contract elsewhere), so the partition column
-    # reads back as string: filter with string literals (these are what
-    # statically prune) and cast for the probe join
-    vectors = (
-        spark.read.parquet(os.path.join(index_dir, "vectors"))
-        .filter(F.col("cell_id").isin([str(c) for c in probed_cells]))
-        .withColumn("cell_id", F.col("cell_id").cast("int"))
-    )
+    # reads back as string on BOTH paths
+    raw_vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    if probe_mode == "literal":
+        probed_cells = sorted({r["cell_id"] for r in
+                               probes.select("cell_id").distinct().collect()})
+        # string literals are what statically prune; cast for the join
+        vectors = (
+            raw_vectors
+            .filter(F.col("cell_id").isin([str(c) for c in probed_cells]))
+            .withColumn("cell_id", F.col("cell_id").cast("int"))
+        )
+        joined = vectors.join(F.broadcast(probes), "cell_id")
+    else:
+        # join on the RAW string partition column (casting it would hide
+        # it from the pruning rule): DPP rewrites the scan's partition
+        # filter from the broadcast probe side at runtime, no collect
+        probes_s = probes.withColumn("cell_id",
+                                     F.col("cell_id").cast("string"))
+        joined = raw_vectors.join(F.broadcast(probes_s), "cell_id")
     cos = F.round(
         _pair_cos(F.col("q_emb"), F.col("embedding"),
                   F.col("q_norm"), F.col("_norm")), 6
@@ -223,7 +247,7 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
     w_topk = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
                                                F.asc("neighbor_id"))
     return (
-        vectors.join(F.broadcast(probes), "cell_id")
+        joined
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 cos.alias("cos_sim"))

@@ -86,6 +86,19 @@ BUCKET_CAP = 1000
 _H2_MASK = (1 << 40) - 1  # keep h1 + 15*h2m < 2^61: no overflow either engine
 
 
+def _h1_h2m_cols(shingle_col: str = "g"):
+    """The (h1, h2m) double-hash column expressions over one md5 of the
+    shingle — the SINGLE definition shared by minhash_signatures.build
+    and _hashed_postings, so the cached-postings path can never silently
+    diverge from the direct path (both feed the same oracles)."""
+    m = F.md5(shingle_col)
+    return (
+        F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(m, 17, 15), 16, 10).cast("bigint")
+        .bitwiseAND(F.lit(_H2_MASK)).alias("h2m"),
+    )
+
+
 # Last (Observation, fallback-metrics DataFrame) per capping operator,
 # so cap-degraded recall is measurable instead of silent: on a
 # boilerplate-heavy corpus the anchor fallback still finds every
@@ -327,13 +340,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     from ..speccache import per_context
 
     def build():
-        m = F.md5("g")
-        hash_cols = [
-            F.col(id_col),
-            F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("h1"),
-            F.conv(F.substring(m, 17, 15), 16, 10).cast("bigint")
-            .bitwiseAND(F.lit(_H2_MASK)).alias("h2m"),
-        ]
+        h1, h2m = _h1_h2m_cols("g")
+        hash_cols = [F.col(id_col), h1, h2m]
         agg_exprs = [
             F.min(F.col("h1") + F.lit(i) * F.col("h2m")).alias(f"h{i}")
             for i in range(N_HASHES)
@@ -615,16 +623,10 @@ def _hashed_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is not None and hit[0] == sig:
         return hit[1]
     d = load_table(spark, sf_dir, "documents")
-    m = F.md5("g")
     df = (
         doc_shingles(d)
         .select(F.col("doc_id"), F.explode_outer("gs").alias("g"))
-        .select(
-            "doc_id",
-            F.conv(F.substring(m, 1, 15), 16, 10).cast("bigint").alias("h1"),
-            F.conv(F.substring(m, 17, 15), 16, 10).cast("bigint")
-            .bitwiseAND(F.lit(_H2_MASK)).alias("h2m"),
-        )
+        .select("doc_id", *_h1_h2m_cols("g"))
         .localCheckpoint(eager=False)
     )
     _POSTINGS_CACHE[key] = (sig, df)

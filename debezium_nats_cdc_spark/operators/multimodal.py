@@ -98,8 +98,13 @@ _FEATURE_SCHEMA = T.StructType(
       FROM documents
     ),
     b AS (
+      -- TRY_CAST, not CAST: an EMPTY/NULL payload leaves the LEFT JOIN
+      -- unmatched, substr() yields NULL, and DuckDB's concat DROPS the
+      -- NULL leaving a bare '0x' that a plain CAST raises on (fuzz seed
+      -- find, r6).  TRY_CAST folds it to NULL -> SUM NULL -> COALESCE 0,
+      -- matching the engine's checksum=0 for empty payloads.
       SELECT p.doc_id, p.n_bytes,
-             COALESCE(SUM(CAST(concat('0x',
+             COALESCE(SUM(TRY_CAST(concat('0x',
                  substr(p.h, CAST(t.i*2+1 AS INT), 2)) AS BIGINT)), 0)
                AS checksum
       FROM p LEFT JOIN (SELECT unnest(range(0, 256)) AS i) t
@@ -218,10 +223,14 @@ _MAX_SIDE = 512
     "mm_resize_plan",
     oracle=f"""
     WITH dims AS (
+      -- TRY_CAST, not CAST: md5(NULL) is NULL, DuckDB's concat drops the
+      -- NULL substr leaving a bare '0x' that a plain CAST raises on
+      -- (fuzz seed find, r6).  TRY_CAST folds to NULL width/height,
+      -- matching the engine's conv(substring(NULL)) null-propagation.
       SELECT doc_id,
-             32 + CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 2048
+             32 + TRY_CAST(concat('0x', substr(md5(text), 1, 4)) AS BIGINT) % 2048
                AS width,
-             32 + CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 2048
+             32 + TRY_CAST(concat('0x', substr(md5(text), 5, 4)) AS BIGINT) % 2048
                AS height
       FROM documents
     )

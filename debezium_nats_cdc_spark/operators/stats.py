@@ -63,9 +63,12 @@ def stats_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("total_rows"),
         F.count("*").cast("bigint").alias("n_keys"),
     )
-    top = freq.orderBy(F.desc("n_events"), F.asc("user_id")).limit(_TOP_K)
+    # asc_nulls_last, not asc: Spark ASC puts NULLs FIRST while the
+    # oracle's plain ORDER BY user_id (DuckDB) puts them LAST — a NULL
+    # key tying at the top-K boundary would rank differently otherwise
+    top = freq.orderBy(F.desc("n_events"), F.asc_nulls_last("user_id")).limit(_TOP_K)
     # rank window runs over the <= _TOP_K surviving rows only
-    w = W.orderBy(F.desc("n_events"), F.asc("user_id"))
+    w = W.orderBy(F.desc("n_events"), F.asc_nulls_last("user_id"))
     share = F.col("n_events") * F.lit(1.0) / F.col("total_rows")
     skew = F.col("n_events") * F.lit(1.0) * F.col("n_keys") / F.col("total_rows")
     return (

@@ -86,6 +86,40 @@ def test_probe_scan_partition_prunes(spark, index_dir):
     assert pruned, f"vectors scan not partition-pruned\n{plan}"
 
 
+def test_join_probe_mode_equals_literal_mode(spark, index_dir):
+    """The no-collect join probe path (large-|Q| cutover) must return
+    exactly what the literal path returns, at exhaustive AND partial
+    nprobe."""
+    for nprobe in (NPROBE, N_CELLS):
+        lit = {(r.query_id, r.neighbor_id, r.rnk) for r in
+               ivf_search(spark, index_dir, _queries(spark), k=K,
+                          nprobe=nprobe, probe_mode="literal").collect()}
+        jn = {(r.query_id, r.neighbor_id, r.rnk) for r in
+              ivf_search(spark, index_dir, _queries(spark), k=K,
+                         nprobe=nprobe, probe_mode="join").collect()}
+        assert jn == lit and lit
+
+
+def test_join_probe_scan_prunes_dynamically(spark, index_dir):
+    """join mode must carry a runtime partition filter (DPP off the
+    broadcast probe side) on the vectors scan — the 'no driver collect'
+    path still reads ~nprobe/n_cells of the corpus, not all of it."""
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    df = ivf_search(spark, index_dir, _queries(spark), k=K,
+                    nprobe=NPROBE, probe_mode="join")
+    plan = formatted_plan(df)
+    pruned = [ln for ln in plan.splitlines()
+              if "PartitionFilters" in ln
+              and "dynamicpruningexpression" in ln and "cell_id#" in ln]
+    assert pruned, f"join-mode vectors scan not DPP-pruned\n{plan}"
+
+
+def test_probe_mode_validated(spark, index_dir):
+    with pytest.raises(ValueError, match="probe_mode"):
+        ivf_search(spark, index_dir, _queries(spark), probe_mode="bogus")
+
+
 def test_ivf_add_makes_new_vectors_searchable(spark, index_dir, tmp_path):
     base = load_table(spark, SF, "embeddings")
     # clone vector 3 under a fresh id: it must become its own top-1

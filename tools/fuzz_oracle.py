@@ -40,27 +40,18 @@ from check_strict import TABLES, canon  # noqa: E402  (shared canonicalizer)
 # The pytest gate fails on anything NOT in this list, and fails if an
 # entry stops reproducing (stale allowlist), so the debt stays visible.
 KNOWN_FAILURES: dict[str, str] = {
-    # Both oracles parse features out of the payload hex ('0x' || hex(..))
-    # with a bare CAST that raises on the EMPTY payload of an empty-text
-    # doc.  Fix = guard in operators/multimodal.py — but rule A would
-    # then require the 5 mm_* queries inside the (full) r6 verification
-    # window, so the fix is scheduled for r7's rotation.  Driver risk
-    # now: none (sf0.01 testdata has no empty text).
-    "mm_feature_extract": "oracle hex-parse raises on empty-text payload",
-    "mm_resize_plan": "oracle hex-parse raises on empty-text payload",
+    # (r7: empty.  The r6 deferrals — mm_feature_extract / mm_resize_plan
+    # oracle hex-parse crashing on empty/NULL payloads — are fixed with
+    # TRY_CAST guards in operators/multimodal.py, and the touched mm_*
+    # queries rotated into the r7 window per rule A.)
 }
 
 # Deferred divergences specific to the EMPTY-facts mode (fresh
 # deployment: zero-row fact tables, populated dims).
 EMPTY_KNOWN_FAILURES: dict[str, str] = {
-    # SQL-standard CUBE over an empty relation yields the grand-total
-    # grouping-set row (DuckDB does); Spark emits no rows.  Fix =
-    # HAVING COUNT(*) > 0 in the oracle (empty-input-only effect) — but
-    # it lives in operators/aggregates.py, whose displaced agg_* queries
-    # rule A would then pull into the (full) r6 window; scheduled for
-    # the r7 rotation alongside the mm oracle fixes.
-    "agg_cube_orders": "grand-total row on empty input (DuckDB) vs "
-                       "no rows (Spark)",
+    # (r7: empty.  agg_cube_orders' empty-input CUBE grand-total-row
+    # divergence is fixed with an empty-input-only HAVING COUNT(*) > 0
+    # in the oracle; the agg_* queries rotated into the r7 window.)
 }
 
 _WORDS = ("the spark batch stream row column key value join sort merge "
@@ -234,7 +225,10 @@ def gen_tables(seed: int, out_dir: str, empty_facts: bool = False,
     write("events", {
         "event_id": list(range(1, len(users) + 1)),
         "ts": tss,
-        "user_id": users,
+        # ~2% NULL user_ids: NULL grouping keys must rank/group/join
+        # identically across engines (the stats_key_skew_report
+        # NULLS-FIRST-vs-LAST tiebreak class, ADVICE r6)
+        "user_id": _opt(rng, users, p_null=0.02),
         "event_type": [rng.choice(["click", "view", "buy", "scroll"])
                        for _ in users],
         "value": _opt(rng, [round(float(rng.uniform(0, 100)), 3)
@@ -350,6 +344,7 @@ def main() -> int:
     if "--queries" in args:
         only = args[args.index("--queries") + 1].split(",")
     empty_facts = "--empty" in args
+    ns_events = "--ns" in args  # repro flag for ns-timestamp divergences
 
     from pyspark.sql import SparkSession
 
@@ -362,10 +357,19 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    if only:  # a misspelled name must not exit green vacuously
+        from debezium_nats_cdc_spark import catalog
+
+        unknown_names = [q for q in only if q not in catalog.entries()]
+        if unknown_names:
+            print(f"unknown --queries names (not in catalog): {unknown_names}")
+            return 2
+
     known_map = EMPTY_KNOWN_FAILURES if empty_facts else KNOWN_FAILURES
     all_fail: dict[int, list[str]] = {}
     for seed in seeds:
-        fails = run_seed(spark, seed, only, empty_facts=empty_facts)
+        fails = run_seed(spark, seed, only, empty_facts=empty_facts,
+                         ns_events=ns_events)
         if fails:
             all_fail[seed] = fails
     unknown = {s: [q for q in qs if q not in known_map]
