@@ -103,12 +103,13 @@ def _load_modules() -> None:
 # text 9, curation 3, mm 5 — mm also rule A: TRY_CAST oracle fixes —
 # and aggregates' 3), then the rest of rule A's touched modules:
 # aggregates' other 3 (empty-input CUBE oracle guard), dedup 8 (shared
-# h1/h2m expression helper), stats 1 (NULLS-LAST tiebreak), then 6 sim_*
-# fillers (defensive: ann_index.py gains a DPP probe path this round and
-# sim_ivf_probe_topk is its nearest catalog neighbour) + 1 quantize
-# filler.  Out of window (31), all r6-green: joins 9, windows 7,
-# sampling 6, advanced 7, quantize 2 — modules deliberately untouched
-# this round; they rotate back in r8 (EVEN phase).
+# h1/h2m expression helper), stats 1 (NULLS-LAST tiebreak), the 2 NEW
+# r7 queries (stats_numeric_profile, agg_grouping_sets_priority), and
+# 5 sim_* fillers (defensive: ann_index.py gains a DPP probe path this
+# round and sim_ivf_probe_topk is its nearest catalog neighbour).  Out
+# of window (31), all r6-green: joins 9, windows 7, sampling 6,
+# advanced 7, quantize 3, sim_kmeans_refine — modules deliberately
+# untouched this round; they rotate back in r8 (EVEN phase).
 _WINDOW_ORDER: list[str] = [
     # half ODD: cdc_queries (last green r5)
     "cdc_subject_route",
@@ -160,16 +161,17 @@ _WINDOW_ORDER: list[str] = [
     "dedup_exact_substring",
     "dedup_prefix_cluster",
     # rule A: stats (r6-green; module touched r7: NULLS-LAST tiebreak)
+    # + the NEW r7 queries (never verified — rule A/B both demand them)
     "stats_key_skew_report",
+    "stats_numeric_profile",
+    "agg_grouping_sets_priority",
     # fillers (r6-green): sim family — defensive for the r7 ann_index
-    # DPP work — plus one quantize representative
+    # DPP work (sim_ivf_probe_topk is its nearest catalog neighbour)
     "sim_cosine_topk",
     "sim_nearest_centroid",
     "sim_embedding_neardup",
     "sim_ivf_probe_topk",
     "sim_lsh_bucketed_neardup",
-    "sim_kmeans_refine",
-    "emb_quantize_int8",
 ]
 
 

@@ -156,6 +156,39 @@ def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_grouping_sets_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    -- empty-input-only guard (same class as agg_cube_orders): the ()
+    -- grouping set emits a grand-total row over an empty relation in
+    -- DuckDB while Spark emits none
+    HAVING COUNT(*) > 0
+    """,
+    survey_ids=["D2"],
+    doc="Explicit GROUPING SETS (status marginals + priority marginals "
+        "+ grand total, skipping the full cross) with grouping_id so "
+        "consumers — and the oracle hash — distinguish NULL-from-data "
+        "from NULL-from-aggregation.  Cheaper than CUBE when only some "
+        "marginals are wanted: Spark expands exactly the listed sets.",
+)
+def agg_grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus", "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        money_sum(dec2("o_totalprice")).cast("double").alias("total_price"),
+    )
+
+
+@register(
     "agg_pivot_returnflag",
     oracle="""
     SELECT l_returnflag,

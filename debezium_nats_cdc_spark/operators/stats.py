@@ -80,3 +80,80 @@ def stats_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(skew, 4).cast("decimal(12,4)").cast("double").alias("skew_ratio"),
         )
     )
+
+
+def _profile_branch_sql(col: str, decimal_sum: str) -> str:
+    """One UNION ALL branch of the numeric-profile oracle."""
+    return f"""
+    SELECT '{col}' AS col_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+           CAST(COUNT({col}) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           CAST(MIN({col}) AS DOUBLE) AS min_val,
+           CAST(MAX({col}) AS DOUBLE) AS max_val,
+           CASE WHEN COUNT({col}) = 0 THEN NULL
+                ELSE CAST({decimal_sum} AS DOUBLE) / COUNT({col}) END
+             AS mean_val
+    FROM orders"""
+
+
+_PROFILE_COLS = [
+    # (column, DuckDB exact-sum expression): integer keys accumulate in
+    # DECIMAL(38,0) (DuckDB SUM(BIGINT) is HUGEINT), money in the
+    # engine-wide DECIMAL(18,2)->(38,2) money path — the mean is then ONE
+    # double division on both engines, never a float summation
+    ("o_orderkey", "CAST(SUM(o_orderkey) AS DECIMAL(38,0))"),
+    ("o_custkey", "CAST(SUM(o_custkey) AS DECIMAL(38,0))"),
+    ("o_totalprice",
+     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))"),
+]
+
+
+@register(
+    "stats_numeric_profile",
+    oracle="\n    UNION ALL\n".join(
+        _profile_branch_sql(c, s) for c, s in _PROFILE_COLS),
+    survey_ids=["C1", "D3"],
+    doc="Single-pass numeric column profiling (count / nulls / distinct "
+        "/ min / max / exact-DECIMAL mean) unpivoted to one row per "
+        "column — the data-quality probe a pipeline runs on every new "
+        "drop before trusting it.  ONE wide aggregate scans the table "
+        "once (every per-column stat is an independent agg expression; "
+        "Spark computes them in the same partial-agg pass), then a "
+        "driver-free explode unpivots the single wide row.  At 100 TB "
+        "this is the same one-scan shape; only COUNT(DISTINCT) adds a "
+        "shuffle (expand + two-phase agg), swap for approx_count_distinct "
+        "when exactness isn't required.",
+)
+def stats_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    aggs, structs = [F.count("*").cast("bigint").alias("n_rows")], []
+    for col, _ in _PROFILE_COLS:
+        sum_dec = (
+            F.sum(F.col(col).cast("decimal(18,2)")).cast("decimal(38,2)")
+            if col == "o_totalprice"
+            else F.sum(col).cast("decimal(38,0)")
+        )
+        aggs += [
+            F.count(col).cast("bigint").alias(f"_{col}_n"),
+            F.count_distinct(F.col(col)).cast("bigint").alias(f"_{col}_d"),
+            F.min(col).cast("double").alias(f"_{col}_min"),
+            F.max(col).cast("double").alias(f"_{col}_max"),
+            F.when(F.count(col) == 0, F.lit(None)).otherwise(
+                sum_dec.cast("double") / F.count(col)
+            ).alias(f"_{col}_mean"),
+        ]
+        structs.append(F.struct(
+            F.lit(col).alias("col_name"),
+            F.col("n_rows"),
+            F.col(f"_{col}_n").alias("n_nonnull"),
+            F.col(f"_{col}_d").alias("n_distinct"),
+            F.col(f"_{col}_min").alias("min_val"),
+            F.col(f"_{col}_max").alias("max_val"),
+            F.col(f"_{col}_mean").alias("mean_val"),
+        ))
+    return (
+        o.agg(*aggs)
+        .select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.*")
+    )

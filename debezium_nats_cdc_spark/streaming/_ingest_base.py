@@ -110,15 +110,21 @@ class FormatStampedIndexIngest:
         files in separate partitions, so an un-coalesced rewrite would
         preserve the file count.  ~8x per compaction amortizes to O(log)
         rewrites of any prefix."""
-        n_files = self.backend.data_file_count(self.index_dir)
+        self._maybe_compact_dir(spark, self.index_dir)
+
+    def _maybe_compact_dir(self, spark: SparkSession, d: str) -> None:
+        """Threshold compaction for any append-only state dir (the index
+        by default; normalized layouts add sibling dirs, e.g. the
+        vectors-once store)."""
+        n_files = self.backend.data_file_count(d)
         if n_files < self._compact_threshold():
             return
         target = max(1, n_files // 8)
         self.backend.swap_write(
-            spark.read.parquet(self.index_dir).coalesce(target),
-            self.index_dir,
+            spark.read.parquet(d).coalesce(target), d,
         )
-        self._stamp_format()
+        if d == self.index_dir:
+            self._stamp_format()
 
     def _append(self, df: DataFrame, final_dir: str, sink: str,
                 epoch_id: int | None) -> None:

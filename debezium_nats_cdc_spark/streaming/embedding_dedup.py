@@ -40,6 +40,7 @@ Design (no cross join anywhere, mirrors corpus_dedup):
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -103,15 +104,36 @@ _pair_cos = _pair_cos_arrow
 
 def dedup_batch_against_index(batch_sk: DataFrame,
                               index_sk: DataFrame | None,
-                              id_col: str = "vec_id") -> DataFrame:
+                              id_col: str = "vec_id",
+                              index_vectors: DataFrame | None = None
+                              ) -> DataFrame:
     """Resolve one batch: (vec_id, dup_of, cos_sim) with dup_of NULL for
     accepted vectors.  Candidates come only from bucket collisions —
     probe (batch vs index) and intra-batch — each verified by true
-    cosine before any match is claimed."""
+    cosine before any match is claimed.
+
+    Two index layouts (pipeline constructor flag, pytest-pinned equal):
+    - denormalized: ``index_sk`` rows carry (table_id, bucket, id,
+      embedding, norm) — the vector x N_TABLES, verify is join-free;
+    - normalized: ``index_sk`` rows are ids-only (table_id, bucket, id)
+      and ``index_vectors`` holds each accepted vector ONCE — candidate
+      ids join to the vector store before the cosine verify, so index
+      storage shrinks ~N_TABLES x at the cost of one extra equi-join
+      over only the COLLIDING candidates (not the corpus).
+    """
     from ..speccache import per_context
 
     probe_matches = None
     if index_sk is not None:
+        cand_cols = [
+            F.col(f"b.{id_col}").alias("vec_id"),
+            F.col(f"i.{id_col}").alias("dup_of"),
+            F.col("b.embedding").alias("emb_b"),
+            F.col("b.norm").alias("norm_b"),
+        ]
+        if index_vectors is None:
+            cand_cols += [F.col("i.embedding").alias("emb_i"),
+                          F.col("i.norm").alias("norm_i")]
         cand = (
             batch_sk.alias("b")
             .join(
@@ -122,16 +144,22 @@ def dedup_batch_against_index(batch_sk: DataFrame,
                 # indexed this batch's own vectors already
                 & (F.col(f"b.{id_col}") != F.col(f"i.{id_col}")),
             )
-            .select(
-                F.col(f"b.{id_col}").alias("vec_id"),
-                F.col(f"i.{id_col}").alias("dup_of"),
-                F.col("b.embedding").alias("emb_b"),
-                F.col("i.embedding").alias("emb_i"),
-                F.col("b.norm").alias("norm_b"),
-                F.col("i.norm").alias("norm_i"),
-            )
+            .select(*cand_cols)
             .dropDuplicates(["vec_id", "dup_of"])  # OR across tables
         )
+        if index_vectors is not None:
+            # fetch the index-side vector for the colliding candidates
+            # only; inner join also heals a torn epoch where bucket rows
+            # committed before their vector-store rows (the replayed
+            # epoch re-appends the missing vectors)
+            cand = cand.join(
+                index_vectors.select(
+                    F.col(id_col).alias("dup_of"),
+                    F.col("embedding").alias("emb_i"),
+                    F.col("norm").alias("norm_i"),
+                ),
+                "dup_of",
+            )
         probe_matches = (
             cand.withColumn("cos_sim", _pair_cos(
                 F.col("emb_b"), F.col("emb_i"),
@@ -222,19 +250,52 @@ def dedup_batch_against_index(batch_sk: DataFrame,
     return all_ids.join(pointer_jump(best, "vec_id"), "vec_id", "left")
 
 
+LAYOUTS = ("denorm", "norm")
+
+# "denorm" stores the vector in every bucket row (x N_TABLES); "norm"
+# stores ids-only bucket rows + each vector ONCE in a sibling store.
+# Default = norm: the sf0.1 interleaved A/B (tools/ab_embedding_layout,
+# BENCHLOG r7: 12k vectors over 6 batches, A-B-B-A x2) measured best
+# wall within noise (13.36 vs 13.43 s) but norm ahead on median (14.66
+# vs 15.86 s) AND 33% smaller index bytes at 64-dim — and the storage
+# gap only widens with vector width (at 4 KB/vector the cut is ~4x),
+# so the normalized layout is the scale default; "denorm" remains for
+# probe-join-free reads of the index itself.
+DEFAULT_LAYOUT = "norm"
+
+
 class EmbeddingDedupPipeline(FormatStampedIndexIngest):
     """foreachBatch-driven incremental embedding dedup with an on-disk
     bucket index.  Index/sink/compaction/start machinery lives in
     _ingest_base; this class owns only the vector sketch + batch
-    resolution."""
+    resolution.
+
+    ``layout="denorm"`` (default) persists (table_id, bucket, vec_id,
+    embedding, norm) bucket rows; ``layout="norm"`` persists ids-only
+    bucket rows plus a vectors-once store at ``vectors_dir``.  The two
+    are result-identical (pytest-pinned); the format stamp carries the
+    layout so an index can never be probed under the wrong one."""
 
     QUERY_NAME = "embedding-dedup"
     INDEX_DIR_NAME = "bucket_index"
     INDEX_NOUN = "bucket index"
     FORMAT_NOUN = "sketch format"
 
+    def __init__(self, root: str, backend=None,
+                 layout: str = DEFAULT_LAYOUT):
+        if layout not in LAYOUTS:
+            raise ValueError(f"layout must be one of {LAYOUTS}, "
+                             f"got {layout!r}")
+        super().__init__(root, backend)
+        self.layout = layout
+        self.vectors_dir = os.path.join(root, "vector_store")
+
     def _format(self) -> str:
-        return INDEX_FORMAT  # module global: test-monkeypatchable
+        # module global: test-monkeypatchable; layout participates so a
+        # norm index read as denorm (missing embedding columns) refuses
+        # loudly instead of failing mid-probe
+        fmt = INDEX_FORMAT
+        return fmt if self.layout == "denorm" else f"{fmt}+norm"
 
     def _compact_threshold(self) -> int:
         return INDEX_COMPACT_THRESHOLD
@@ -247,9 +308,23 @@ class EmbeddingDedupPipeline(FormatStampedIndexIngest):
         # heal a torn compaction BEFORE probing (corpus_dedup lesson: a
         # torn index reads as empty and silently accepts near-dups)
         self.backend.recover(self.index_dir)
+        if self.layout == "norm":
+            self.backend.recover(self.vectors_dir)
         self._stamp_format()
         sk = _sketch(vecs).localCheckpoint(eager=True)
-        verdict = dedup_batch_against_index(sk, self._index(spark))
+        index_sk = self._index(spark)
+        index_vecs = None
+        if self.layout == "norm" and index_sk is not None:
+            if self.backend.has_data(self.vectors_dir):
+                index_vecs = spark.read.parquet(self.vectors_dir)
+            else:
+                # torn first epoch: bucket rows committed, vector store
+                # not.  Those rows are this batch's own ids (excluded by
+                # the probe's id guard) — an empty store keeps the
+                # normalized join path and the replay re-appends them.
+                index_vecs = sk.select("vec_id", "embedding", "norm").limit(0)
+        verdict = dedup_batch_against_index(sk, index_sk,
+                                            index_vectors=index_vecs)
         verdict = verdict.localCheckpoint(eager=True)
 
         dup_ids = verdict.filter(F.col("dup_of").isNotNull())
@@ -259,6 +334,16 @@ class EmbeddingDedupPipeline(FormatStampedIndexIngest):
                      self.quarantine_dir, "quarantine", epoch_id)
         self._append(vecs.join(accepted_ids, "vec_id", "left_semi"),
                      self.accepted_dir, "accepted", epoch_id)
-        self._append(sk.join(accepted_ids, "vec_id", "left_semi"),
-                     self.index_dir, "index", epoch_id)
+        accepted_sk = sk.join(accepted_ids, "vec_id", "left_semi")
+        if self.layout == "norm":
+            self._append(accepted_sk.select("table_id", "bucket", "vec_id"),
+                         self.index_dir, "index", epoch_id)
+            self._append(
+                accepted_sk.dropDuplicates(["vec_id"])
+                .select("vec_id", "embedding", "norm"),
+                self.vectors_dir, "vectors", epoch_id)
+        else:
+            self._append(accepted_sk, self.index_dir, "index", epoch_id)
         self._maybe_compact_index(spark)
+        if self.layout == "norm":
+            self._maybe_compact_dir(spark, self.vectors_dir)

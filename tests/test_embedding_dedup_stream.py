@@ -46,9 +46,11 @@ def _scaled(vec: list[float], k: float) -> list[float]:
 V1, V2, V5 = _unit(101), _unit(202), _unit(505)
 
 
-@pytest.fixture()
-def pipeline_run(spark, tmp_path):
-    """Two micro-batches through the dedup stream; returns the pipeline."""
+@pytest.fixture(params=["denorm", "norm"])
+def pipeline_run(spark, tmp_path, request):
+    """Two micro-batches through the dedup stream; returns the pipeline.
+    Parametrized over both index layouts: every behavioural test in this
+    file pins layout parity (VERDICT r6 #5)."""
     in_dir = str(tmp_path / "in")
     os.makedirs(in_dir)
     root = str(tmp_path / "emb-dedup")
@@ -65,7 +67,7 @@ def pipeline_run(spark, tmp_path):
     spark.createDataFrame(batch1, VEC_SCHEMA).coalesce(1).write.parquet(
         os.path.join(in_dir, "b1"))
 
-    pipe = EmbeddingDedupPipeline(root)
+    pipe = EmbeddingDedupPipeline(root, layout=request.param)
     stream = (
         spark.readStream.schema(VEC_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -146,6 +148,40 @@ def test_dirty_embeddings_pass_through_without_matching(spark, tmp_path):
                    spark.read.parquet(pipe.quarantine_dir).collect()}
     assert accepted == {1, 2, 3}
     assert quarantined == {4: 1}
+
+
+def test_norm_layout_stores_each_vector_once(spark, pipeline_run):
+    pipe = pipeline_run
+    idx = spark.read.parquet(pipe.index_dir)
+    if pipe.layout == "norm":
+        # ids-only bucket rows + one vector-store row per accepted id
+        assert "embedding" not in idx.columns
+        vs = spark.read.parquet(pipe.vectors_dir)
+        assert sorted(r.vec_id for r in vs.collect()) == [1, 2, 5]
+        assert {"vec_id", "embedding", "norm"} <= set(vs.columns)
+    else:
+        assert "embedding" in idx.columns
+
+
+def test_layout_participates_in_format_stamp(spark, tmp_path):
+    """A norm-built index probed by a denorm pipeline (or vice versa)
+    must refuse loudly — the layouts' index schemas are incompatible."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    spark.createDataFrame([Row(vec_id=1, embedding=V1)], VEC_SCHEMA) \
+        .coalesce(1).write.parquet(os.path.join(in_dir, "b1"))
+    root = str(tmp_path / "emb-dedup")
+    pipe = EmbeddingDedupPipeline(root, layout="norm")
+    stream = (
+        spark.readStream.schema(VEC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    pipe.start(spark, stream).awaitTermination()
+    with pytest.raises(ValueError, match="sketch format"):
+        EmbeddingDedupPipeline(root, layout="denorm")._index(spark)
+    with pytest.raises(ValueError, match="layout"):
+        EmbeddingDedupPipeline(root, layout="bogus")
 
 
 def test_format_stamp_guards_stale_index(spark, pipeline_run):

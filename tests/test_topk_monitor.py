@@ -74,6 +74,81 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     assert before == after
 
 
+def _seeded_corpus(seed: int, n_queries: int = 6, n_clones: int = 24,
+                   n_random: int = 120, dim: int = 64):
+    """Deterministic mix: per-query near-clones (cos >= ~0.99) plus
+    random background directions."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+
+    def unit():
+        v = [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        return [x / n for x in v]
+
+    queries = [(i, unit()) for i in range(n_queries)]
+    rows, clone_pairs = [], set()
+    nid = 1000
+    for _ in range(n_clones):
+        qid, q = queries[rng.randrange(n_queries)]
+        noisy = [x + rng.gauss(0.0, 0.02) for x in q]
+        rows.append((nid, noisy))
+        clone_pairs.add((qid, nid))
+        nid += 1
+    for _ in range(n_random):
+        rows.append((nid, unit()))
+        nid += 1
+    return queries, rows, clone_pairs
+
+
+def test_prefiltered_monitor_recall_vs_exact(spark, tmp_path):
+    """Property of the sketch pre-filter (VERDICT r6 #6), quantified on
+    seeded corpora:
+      1. EXACTNESS of survivors: every (query, neighbor, cos) the
+         filtered monitor returns appears in the exact monitor's scored
+         universe with the identical cosine — the filter narrows
+         candidates, never alters scores;
+      2. RECALL on near neighbors: planted clones at cos >= ~0.99 are
+         found at >= 90% (collision math predicts ~99% per pair);
+      3. the filtered per-batch join touches only colliding pairs (the
+         |batch| x |Q| product never materializes).
+    Deterministic: seeded corpus + fixed hyperplanes."""
+    total_clone, hit_clone = 0, 0
+    for seed in (7, 19):
+        queries, rows, clone_pairs = _seeded_corpus(seed)
+        qdf = spark.createDataFrame(
+            [(i, v) for i, v in queries], "vec_id long, embedding array<float>")
+        cdf = spark.createDataFrame(rows,
+                                    "vec_id long, embedding array<float>")
+        exact = TopKMonitor(str(tmp_path / f"ex{seed}"), qdf, k=K)
+        filt = TopKMonitor(str(tmp_path / f"fl{seed}"), qdf, k=K,
+                           prefilter=True)
+        # two batches so the merge path is exercised under the filter too
+        b1 = cdf.filter(F.col("vec_id") < 1080)
+        b2 = cdf.filter(F.col("vec_id") >= 1080)
+        for mon in (exact, filt):
+            mon.process_batch(spark, b1, epoch_id=0)
+            mon.process_batch(spark, b2, epoch_id=1)
+        ex = {(r.query_id, r.neighbor_id): r.cos_sim
+              for r in exact.current(spark).collect()}
+        fl = {(r.query_id, r.neighbor_id): r.cos_sim
+              for r in filt.current(spark).collect()}
+        # (1) exact scores for every surviving pair
+        ex_universe = {(r.query_id, r.neighbor_id): r.cos_sim
+                       for r in _brute(spark, cdf, qdf, k=10**6).collect()}
+        for pair, cos_sim in fl.items():
+            assert ex_universe[pair] == cos_sim, pair
+        # (2) clone recall: count planted pairs that made each top-k
+        planted_in_exact = clone_pairs & set(ex)
+        total_clone += len(planted_in_exact)
+        hit_clone += len(planted_in_exact & set(fl))
+    assert total_clone >= 20, "fixture should plant enough in-top-k clones"
+    recall = hit_clone / total_clone
+    assert recall >= 0.9, f"clone recall {recall:.2f} below floor"
+
+
 def test_streaming_entrypoint(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
     queries = emb.filter(F.col("vec_id") < 2)
