@@ -107,9 +107,11 @@ def _load_modules() -> None:
 # r7 queries (stats_numeric_profile, agg_grouping_sets_priority), and
 # 5 sim_* fillers (defensive: ann_index.py gains a DPP probe path this
 # round and sim_ivf_probe_topk is its nearest catalog neighbour).  Out
-# of window (31), all r6-green: joins 9, windows 7, sampling 6,
-# advanced 7, quantize 3, sim_kmeans_refine — modules deliberately
-# untouched this round; they rotate back in r8 (EVEN phase).
+# of window (34), all r6-green: joins 9, windows 7, sampling 6,
+# advanced 7, quantize 3, sim_kmeans_refine + sim_lsh_bucketed_neardup
+# — modules deliberately untouched this round (curation IS touched,
+# and all 4 of its queries are in-window); they rotate back in r8
+# (EVEN phase).
 _WINDOW_ORDER: list[str] = [
     # half ODD: cdc_queries (last green r5)
     "cdc_subject_route",
@@ -167,11 +169,11 @@ _WINDOW_ORDER: list[str] = [
     "agg_grouping_sets_priority",
     # fillers (r6-green): sim family — defensive for the r7 ann_index
     # DPP work (sim_ivf_probe_topk is its nearest catalog neighbour)
+    "corpus_mixture_plan",
     "sim_cosine_topk",
     "sim_nearest_centroid",
     "sim_embedding_neardup",
     "sim_ivf_probe_topk",
-    "sim_lsh_bucketed_neardup",
 ]
 
 

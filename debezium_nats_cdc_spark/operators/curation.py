@@ -333,3 +333,73 @@ def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace(blob, _PHONE_RE, "<PHONE>"))
         .alias("scrubbed_md5"),
     )
+
+
+# Target pretraining language mixture for the reweighting plan: the
+# DoReMi/LLaMA-style "sample source s at rate r_s to hit target shares
+# without upsampling anything" computation.  Literal here; on a real
+# build it arrives as a tiny config table.
+_TARGET_MIX = [("en", 0.5), ("fr", 0.3), ("de", 0.2)]
+
+_MIX_VALUES_SQL = ", ".join(f"('{lang}', {w})" for lang, w in _TARGET_MIX)
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH t(lang, target_share) AS (VALUES {_MIX_VALUES_SQL}),
+    c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    j AS (
+      SELECT t.lang, t.target_share, COALESCE(c.n_docs, 0) AS n_docs
+      FROM t LEFT JOIN c ON t.lang = c.lang
+    ),
+    k AS (
+      SELECT MIN(n_docs / target_share) AS cap FROM j WHERE n_docs > 0
+    )
+    SELECT lang, n_docs, target_share,
+           CASE WHEN n_docs = 0 THEN 0.0
+                ELSE CAST(CAST(ROUND(
+                    LEAST(1.0, target_share * cap / n_docs), 6)
+                  AS DECIMAL(10,6)) AS DOUBLE) END AS rate,
+           CASE WHEN n_docs = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(FLOOR(target_share * cap) AS BIGINT) END
+             AS expected_rows
+    FROM j CROSS JOIN k
+    """,
+    survey_ids=["K3", "D4"],
+    doc="Mixture-reweighting plan: per-language sampling rates that hit "
+        "a target training mixture with maximum data retention and NO "
+        "upsampling — cap = min_l(count_l / share_l) is the largest "
+        "corpus achievable at exact proportions; the binding language "
+        "samples at rate 1.0, everything else downsamples.  One bounded "
+        "groupBy + a broadcast scalar: the plan costs a count regardless "
+        "of corpus size, and its `rate` column feeds the deterministic "
+        "hash-coin samplers (sampling.py) unchanged.  FLOOR, not CAST, "
+        "for expected_rows: Spark's double->bigint cast truncates while "
+        "DuckDB's rounds — the one cross-engine trap in this query.",
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = spark.createDataFrame(_TARGET_MIX, "lang string, target_share double")
+    c = (d.filter(F.col("lang").isNotNull())
+         .groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs")))
+    j = (t.join(c, "lang", "left")
+         .select("lang", "target_share",
+                 F.coalesce("n_docs", F.lit(0).cast("bigint"))
+                 .alias("n_docs")))
+    cap = (j.filter(F.col("n_docs") > 0)
+           .agg(F.min(F.col("n_docs") / F.col("target_share")).alias("cap")))
+    rate = F.when(F.col("n_docs") == 0, F.lit(0.0)).otherwise(
+        F.round(F.least(F.lit(1.0),
+                        F.col("target_share") * F.col("cap") / F.col("n_docs")),
+                6).cast("decimal(10,6)").cast("double"))
+    expected = F.when(F.col("n_docs") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.floor(F.col("target_share") * F.col("cap")).cast("bigint"))
+    return (
+        j.crossJoin(F.broadcast(cap))
+        .select("lang", "n_docs", "target_share",
+                rate.alias("rate"), expected.alias("expected_rows"))
+    )

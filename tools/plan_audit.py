@@ -62,6 +62,9 @@ CARTESIAN_OK: dict[str, str] = {
                              "top-10 heavy-hitter slice",
     "window_state_as_of": "1-row as-of cutoff (max ts - 3d) broadcast "
                           "bound",
+    "corpus_mixture_plan": "1-row mixture cap (min n/share) crossJoined "
+                           "onto the |target langs|-row plan frame — "
+                           "both sides scalar-bounded",
 }
 
 # Queries whose range-partitioning exchange is a reviewed TERMINAL sort
