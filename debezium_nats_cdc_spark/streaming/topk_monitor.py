@@ -33,6 +33,12 @@ the filter with p ≈ 0.99, at 0.92 with p ≈ 0.80, while a random 64-dim
 direction (cos ≈ 0) collides with p ≈ 0.016 — so the filtered path is
 the right trade exactly when the standing answer tracks NEAR
 neighbors; for exhaustive low-similarity top-k keep the exact default.
+
+Measured cutover (tools/ab_topk_prefilter.py, BENCHLOG r7): below ~5M
+query x batch pairs per micro-batch the exact Arrow kernel wins (1M
+pairs: 5.3 s vs 6.0 s); above it the filter dominates (32.8M pairs:
+8-9.5 s vs 36-112 s, 4-12x) — the broadcast product, not the cosine,
+is what stops scaling.
 """
 
 from __future__ import annotations

@@ -334,3 +334,47 @@ def test_salted_join_equals_plain_join_property(spark, tmp_path):
                for r in joins.join_salted_skew(spark, str(base)).collect()}
         want = {p: (len(v), round(sum(v), 2)) for p, v in model.items()}
         assert got == want, f"case {case} ({dist}): {got} != {want}"
+
+
+def test_mixture_plan_rates_realize_the_target_mixture(spark):
+    """End-to-end composition (r7): feed corpus_mixture_plan's per-lang
+    rates through a deterministic hash coin (the sampling.py pattern)
+    and check the REALIZED sample: the binding language keeps rate 1.0
+    exactly, realized per-lang counts track expected_rows (hash-uniform
+    deviation only), and the realized mixture lands near the target."""
+    from pyspark.sql import functions as F
+
+    from debezium_nats_cdc_spark.io import load_table
+    from debezium_nats_cdc_spark.operators.curation import (
+        _TARGET_MIX,
+        corpus_mixture_plan,
+    )
+
+    SF = "/root/testdata/sf0.01"
+    plan = {r["lang"]: r for r in corpus_mixture_plan(spark, SF).collect()}
+    assert set(plan) == {lang for lang, _ in _TARGET_MIX}
+    # exactly one binding language at rate 1.0, everything else below
+    binding = [lang for lang, r in plan.items() if r["rate"] == 1.0]
+    assert len(binding) == 1
+    assert all(r["rate"] < 1.0 for lang, r in plan.items()
+               if lang != binding[0])
+
+    d = load_table(spark, SF, "documents")
+    # uniform hash coin in [0,1): first 8 md5 hex chars / 16^8 — the
+    # deterministic, rebuild-stable coin family sampling.py uses
+    coin = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                   16, 10).cast("double") / F.lit(float(16 ** 8)))
+    rates = F.create_map(*[x for lang, r in plan.items()
+                           for x in (F.lit(lang), F.lit(r["rate"]))])
+    sampled = (d.filter(F.col("lang").isin(list(plan)))
+               .filter(coin < rates[F.col("lang")]))
+    realized = {r["lang"]: r["n"] for r in
+                sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+
+    total = sum(realized.values())
+    for lang, r in plan.items():
+        got, want = realized.get(lang, 0), r["expected_rows"]
+        assert abs(got - want) <= max(5, 0.2 * want), (lang, got, want)
+        target_share = dict(_TARGET_MIX)[lang]
+        assert abs(got / total - target_share) <= 0.08, (
+            lang, got / total, target_share)
