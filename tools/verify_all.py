@@ -22,6 +22,11 @@ GATES: list[tuple[str, list[str]]] = [
      [sys.executable, "tools/check_strict.py", "/root/testdata/sf0.01"]),
     ("plan audit", [sys.executable, "tools/plan_audit.py"]),
     ("window rotation", [sys.executable, "tools/check_rotation.py"]),
+    # seed-0 differential fuzz (~90 s): the dirty-input gate is cheap
+    # enough for the fast sweep, and it is where the r6 oracle gaps
+    # were found — don't let --fast skip it
+    ("differential fuzz (seed 0)",
+     [sys.executable, "tools/fuzz_oracle.py", "--seed", "0"]),
 ]
 if not FAST:
     GATES = [
