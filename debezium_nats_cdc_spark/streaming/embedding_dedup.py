@@ -15,13 +15,12 @@ Design (no cross join anywhere, mirrors corpus_dedup):
   planes as the batch op but 8 bits/table: 256 buckets per table keeps
   per-bucket candidate counts bounded at ingest batch sizes; the batch
   op's 4-bit tables are tuned for one-shot self-joins at sf0.01).
-- The accumulated state is a BUCKET INDEX: (table_id, bucket, vec_id,
-  embedding, norm) rows for every accepted vector, an append-only
-  parquet log.  At 100 TB this is a bucketed table co-located with the
-  probe join; storing the vector per bucket row (x4) trades space for a
-  join-free verify — the normalized layout (vectors once + id-only
-  buckets) drops in by swapping the probe select for a join, exactly as
-  the batch op's ids-only blocking does.
+- The accumulated state is a BUCKET INDEX, an append-only parquet log.
+  Default layout ("norm", A/B-chosen r7): ids-only (table_id, bucket,
+  vec_id) rows plus a vectors-once sibling store joined only for the
+  COLLIDING candidates; "denorm" keeps the vector in every bucket row
+  (x4 space) for a join-free verify.  At 100 TB either is a bucketed
+  table co-located with the probe join.
 - Per micro-batch: probe = equi-join batch sketches vs index on
   (table_id, bucket), verify candidates with an Arrow pair-cosine, keep
   matches >= threshold (the index vector always wins — it arrived
@@ -270,9 +269,10 @@ class EmbeddingDedupPipeline(FormatStampedIndexIngest):
     _ingest_base; this class owns only the vector sketch + batch
     resolution.
 
-    ``layout="denorm"`` (default) persists (table_id, bucket, vec_id,
-    embedding, norm) bucket rows; ``layout="norm"`` persists ids-only
-    bucket rows plus a vectors-once store at ``vectors_dir``.  The two
+    ``layout="norm"`` (default, A/B-chosen — see DEFAULT_LAYOUT)
+    persists ids-only bucket rows plus a vectors-once store at
+    ``vectors_dir``; ``layout="denorm"`` persists (table_id, bucket,
+    vec_id, embedding, norm) bucket rows.  The two
     are result-identical (pytest-pinned); the format stamp carries the
     layout so an index can never be probed under the wrong one."""
 
