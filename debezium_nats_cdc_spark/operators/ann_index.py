@@ -256,3 +256,39 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
         .withColumn("rnk", F.col("rnk").cast("int"))
         .withColumn("cos_sim", F.col("cos_sim").cast("double"))
     )
+
+
+def ivf_cell_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-cell health report for a persisted IVF index: (cell_id,
+    n_vectors, share, balance_ratio) — the ``ivf_add`` drift
+    diagnostic.  ivf_add assigns new vectors to FROZEN centroids, so a
+    drifting ingest distribution concentrates into few cells and probe
+    cost creeps toward a full scan; ops watch ``balance_ratio`` (cell
+    share x n_cells: 1.0 = perfectly balanced, n_cells = everything in
+    one cell) and trigger an off-hot-path ``ivf_build`` rebuild past a
+    threshold (same compaction trade as the dedup band indexes).
+
+    Cost: one count per partition directory off parquet metadata — no
+    vector payload is read (column-pruned scan of the partition column
+    only).
+    """
+    meta = _load_meta(index_dir)
+    counts = (
+        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        .groupBy(F.col("cell_id").cast("int").alias("cell_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    )
+    tot = counts.agg(F.sum("n_vectors").cast("bigint").alias("_total"))
+    share = F.col("n_vectors") / F.col("_total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cell_id",
+            "n_vectors",
+            F.round(share, 6).cast("decimal(10,6)").cast("double")
+            .alias("share"),
+            F.round(share * meta["n_cells"], 4).cast("decimal(12,4)")
+            .cast("double").alias("balance_ratio"),
+        )
+        .orderBy(F.desc("n_vectors"), F.asc("cell_id"))
+    )

@@ -169,3 +169,45 @@ def test_format_guard_refuses_foreign_index(spark, index_dir):
     finally:
         _meta_path(index_dir).write_text(
             json.dumps({**meta, "format": INDEX_FORMAT}))
+
+
+def test_cell_stats_report_counts_and_balance(spark, index_dir):
+    from debezium_nats_cdc_spark.operators.ann_index import ivf_cell_stats
+
+    stats = ivf_cell_stats(spark, index_dir).collect()
+    vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    total = vectors.count()
+    assert sum(r.n_vectors for r in stats) == total
+    assert abs(sum(r.share for r in stats) - 1.0) < 1e-4
+    # balance_ratio = share * n_cells; the mean over PRESENT cells is
+    # >= 1.0 with equality iff every cell is present and equal
+    assert all(r.balance_ratio > 0 for r in stats)
+    assert max(r.balance_ratio for r in stats) >= 1.0
+    # sorted heaviest-first, id tiebreak
+    ns = [r.n_vectors for r in stats]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_cell_stats_flags_drifted_ingest(spark, tmp_path):
+    """ivf_add into frozen centroids with a drifted distribution must
+    surface as a hot cell in the report — the rebuild trigger."""
+    from pyspark.sql import Row
+
+    from debezium_nats_cdc_spark.operators.ann_index import ivf_cell_stats
+
+    base = load_table(spark, SF, "embeddings")
+    d = str(tmp_path / "drift")
+    ivf_build(spark, base, d, n_cells=4)
+    before = {r.cell_id: r.n_vectors for r in
+              ivf_cell_stats(spark, d).collect()}
+    # clone ONE vector 300x (one direction dominates the ingest)
+    v = base.filter(F.col("vec_id") == 5).first()
+    clones = spark.createDataFrame(
+        [Row(vec_id=800_000 + i, embedding=v.embedding)
+         for i in range(300)],
+        "vec_id long, embedding array<float>")
+    ivf_add(spark, d, clones)
+    after = ivf_cell_stats(spark, d)
+    top = after.first()
+    assert top.n_vectors >= max(before.values()) + 300
+    assert top.balance_ratio > 1.5
