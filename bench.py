@@ -141,6 +141,14 @@ def build_summary(timings: dict[str, float], sf: str,
         out["queries"].pop(droppable)
         out["n_omitted"] = out.get("n_omitted", 0) + 1
         line = json.dumps(out, separators=(",", ":"))
+    if len(line) > TAIL_BUDGET:
+        # reachable only when essentially the whole catalog failed (the
+        # break above kept every -1.0 marker and they alone overflow):
+        # a minimal artifact — totals + failure count, no per-query map
+        # — so the tail JSON never truncates mid-object (ADVICE r7)
+        out["queries"] = {}
+        out["n_omitted"] = len(qmap)
+        line = json.dumps(out, separators=(",", ":"))
     return line
 
 

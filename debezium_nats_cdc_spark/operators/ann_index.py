@@ -268,9 +268,10 @@ def ivf_cell_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     one cell) and trigger an off-hot-path ``ivf_build`` rebuild past a
     threshold (same compaction trade as the dedup band indexes).
 
-    Cost: one count per partition directory off parquet metadata — no
-    vector payload is read (column-pruned scan of the partition column
-    only).
+    Cost: a column-pruned scan of the partition column only — no vector
+    payload is read, but it IS a task-per-file groupBy/count, not a pure
+    metadata/footer listing (a row-count-off-footers variant would save
+    the task launch; not worth the bespoke reader for a diagnostic).
     """
     meta = _load_meta(index_dir)
     counts = (

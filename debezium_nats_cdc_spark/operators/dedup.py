@@ -311,6 +311,16 @@ def _candidate_pairs(rows: DataFrame, key_cols: list[str],
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if subgroup_rounds > 0:
+        # The sub-group rounds can re-emit a pair already produced by the
+        # anchor projection (anchor and member salted into the same
+        # sub-group) and the same recovered pair across rounds.  Dedup
+        # here so EVERY caller sees set semantics — extras are functions
+        # of the doc ids, so (doc_a, doc_b) suffices as the key.  Costs
+        # one shuffle, but only on the opt-in expansion path; rounds=0
+        # (all catalog queries) emits each pair at most once already and
+        # pays nothing.
+        out = out.dropDuplicates(["doc_a", "doc_b"])
     return out
 
 

@@ -59,6 +59,7 @@ class FormatStampedIndexIngest:
     FORMAT_NOUN: str = "sketch format"
 
     def __init__(self, root: str, backend: StateBackend | None = None):
+        self.root = root
         self.index_dir = os.path.join(root, self.INDEX_DIR_NAME)
         self.accepted_dir = os.path.join(root, "accepted")
         self.quarantine_dir = os.path.join(root, "quarantine")

@@ -150,7 +150,10 @@ def dedup_batch_against_index(batch_sk: DataFrame,
             # fetch the index-side vector for the colliding candidates
             # only; inner join also heals a torn epoch where bucket rows
             # committed before their vector-store rows (the replayed
-            # epoch re-appends the missing vectors)
+            # epoch re-appends the missing vectors).  Any OTHER missing
+            # vector (store loss/mutation) is silently dropped here —
+            # EmbeddingDedupPipeline.check_consistency / strict=True is
+            # the loud-failure path for that drift.
             cand = cand.join(
                 index_vectors.select(
                     F.col(id_col).alias("dup_of"),
@@ -282,13 +285,51 @@ class EmbeddingDedupPipeline(FormatStampedIndexIngest):
     FORMAT_NOUN = "sketch format"
 
     def __init__(self, root: str, backend=None,
-                 layout: str = DEFAULT_LAYOUT):
+                 layout: str = DEFAULT_LAYOUT, strict: bool = False):
         if layout not in LAYOUTS:
             raise ValueError(f"layout must be one of {LAYOUTS}, "
                              f"got {layout!r}")
         super().__init__(root, backend)
         self.layout = layout
+        self.strict = strict
         self.vectors_dir = os.path.join(root, "vector_store")
+
+    def check_consistency(self, spark: SparkSession) -> dict:
+        """Norm-layout drift probe: count distinct index vec_ids that
+        have NO row in the vector store.
+
+        The designed torn-epoch shapes heal through replay (the probe's
+        own-id guard plus re-appended vectors), but any OTHER store/index
+        inconsistency — partial data loss, external mutation — would
+        otherwise degrade silently: the probe's inner join to the vector
+        store drops the candidate and the pipeline accepts a
+        near-duplicate instead of failing.  This check makes that drift
+        loud.  Returns ``{"index_ids": n, "store_ids": n, "missing": n}``
+        (all zero for denorm/empty).  With ``strict=True`` the pipeline
+        runs it after every compaction and raises on missing > 0 —
+        a full ids-only scan of both stores, so it is a debug mode, not
+        the production default.
+        """
+        out = {"index_ids": 0, "store_ids": 0, "missing": 0}
+        if self.layout != "norm" or not self.backend.has_data(self.index_dir):
+            return out
+        idx_ids = (spark.read.parquet(self.index_dir)
+                   .select("vec_id").distinct())
+        if self.backend.has_data(self.vectors_dir):
+            store_ids = (spark.read.parquet(self.vectors_dir)
+                         .select("vec_id").distinct())
+        else:
+            store_ids = idx_ids.limit(0)
+        out["index_ids"] = idx_ids.count()
+        out["store_ids"] = store_ids.count()
+        out["missing"] = idx_ids.join(store_ids, "vec_id", "left_anti").count()
+        if self.strict and out["missing"] > 0:
+            raise RuntimeError(
+                f"embedding-dedup index/store drift: {out['missing']} of "
+                f"{out['index_ids']} indexed vec_ids missing from the "
+                f"vector store at {self.vectors_dir} — the probe would "
+                "silently accept near-duplicates of these vectors")
+        return out
 
     def _format(self) -> str:
         # module global: test-monkeypatchable; layout participates so a
@@ -347,3 +388,5 @@ class EmbeddingDedupPipeline(FormatStampedIndexIngest):
         self._maybe_compact_index(spark)
         if self.layout == "norm":
             self._maybe_compact_dir(spark, self.vectors_dir)
+            if self.strict:
+                self.check_consistency(spark)

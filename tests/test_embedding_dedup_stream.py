@@ -191,3 +191,31 @@ def test_format_stamp_guards_stale_index(spark, pipeline_run):
     Path(pipe.index_dir, "._format").write_text("hyperplane-OLD")
     with pytest.raises(ValueError, match="sketch"):
         pipe._index(spark)
+
+
+def test_consistency_check_surfaces_store_drift(spark, pipeline_run):
+    """ADVICE r7: in the norm layout a missing vector-store row makes
+    the probe's inner join silently drop the candidate (near-dups get
+    accepted).  check_consistency makes that drift loud; strict=True
+    raises on it."""
+    import shutil
+
+    pipe = pipeline_run
+    rep = pipe.check_consistency(spark)
+    if pipe.layout == "denorm":
+        assert rep == {"index_ids": 0, "store_ids": 0, "missing": 0}
+        return
+    # healthy pipeline: every indexed id has its vector stored
+    assert rep["index_ids"] == 3 and rep["missing"] == 0
+    assert rep["store_ids"] == 3
+
+    # simulate external store loss: drop the vector store entirely
+    shutil.rmtree(pipe.vectors_dir)
+    drifted = pipe.check_consistency(spark)
+    assert drifted["index_ids"] == 3
+    assert drifted["store_ids"] == 0
+    assert drifted["missing"] == 3
+
+    strict = EmbeddingDedupPipeline(pipe.root, layout="norm", strict=True)
+    with pytest.raises(RuntimeError, match="drift"):
+        strict.check_consistency(spark)
