@@ -1,0 +1,217 @@
+"""Multi-dimensional clustering layout (Z-order / Morton interleave).
+
+The reference clusters its event store on a single (table, ts) sort key
+(docs/design.md:185-197 — the audit-trail ordering; our `store.py`
+mirrors it).  At 100 TB a SINGLE sort key only helps queries that
+filter on its prefix; a lakehouse serving BOTH `WHERE o_custkey = ?`
+and `WHERE o_orderdate BETWEEN ...` needs a layout where file-level
+min/max statistics are tight on BOTH dimensions at once.  Z-ordering
+(bit-interleaving the dimensions into one sort key — the technique
+behind Delta/Iceberg `OPTIMIZE ZORDER BY`) is the standard answer:
+sorting by the interleaved key bounds every dimension's span within a
+file to range/2^(bits_per_dim_in_prefix), so a reader can skip most
+files from footer stats alone, for either predicate.
+
+Three pieces, mirroring how a real deployment consumes the technique:
+
+  * ``zorder_key`` / ``Z_SQL`` — the interleave expression itself,
+    built once in Python and parsed IDENTICALLY by Spark SQL and DuckDB
+    (both engines use two's-complement ``&`` and arithmetic shifts on
+    BIGINT — verified, including negative inputs), so the catalog query
+    is oracle-checked bit-for-bit.
+  * ``layout_zorder_stats`` (catalog) — the planning diagnostic: bucket
+    orders by the top Z bits and measure each bucket's per-dimension
+    span.  Narrow spans on BOTH dims = the clustering works; this is
+    the number a data engineer reads before paying for a rewrite.
+  * ``zorder_write`` + ``file_minmax_stats`` — the actual rewrite
+    (repartitionByRange on the z-key, sortWithinPartitions, write) and
+    the parquet-footer audit proving per-file spans shrank.  Footer
+    stats come from pyarrow metadata only — no row is read.
+
+Scale shape: computing the key is a pure projection (no shuffle); the
+stats query is one map-side-combined groupBy over <=65536 buckets; the
+rewrite is exactly one range shuffle — the same cost as any global
+sort, paid once at rest to make every subsequent scan prunable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register
+from ..io import load_table
+
+# 16 bits per dimension -> 32-bit interleaved key in a BIGINT.  Inputs
+# are masked to 16 bits FIRST so shifts only ever see 0..65535 (negative
+# keys wrap via two's complement identically in Spark and DuckDB).
+BITS_PER_DIM = 16
+_MASK = (1 << BITS_PER_DIM) - 1
+
+# top 16 interleaved bits = top 8 bits of EACH dimension -> at most
+# 65536 buckets (the agg stays bounded at any corpus size), each
+# spanning at most 1/256 of either dimension's 16-bit range
+BUCKET_SHIFT = 2 * BITS_PER_DIM - 16
+
+
+def z_sql(x: str, y: str) -> str:
+    """Morton-interleave SQL for two already-masked 16-bit expressions.
+
+    ``x`` occupies even bit positions, ``y`` odd.  Pure +/&/<</>> on
+    BIGINT — parses and evaluates identically in Spark SQL and DuckDB,
+    which is what lets the oracle check the interleave itself rather
+    than a reimplementation of it.
+    """
+    terms = []
+    for i in range(BITS_PER_DIM):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+# the two clustered dimensions for the catalog query: customer key and
+# order day-number (days since 1992-01-01, the TPC-H epoch)
+_X = f"(CAST(o_custkey AS BIGINT) & {_MASK})"
+_Y_SPARK = f"(CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) & {_MASK})"
+_Y_DUCK = ("(CAST(datediff('day', DATE '1992-01-01', "
+           f"CAST(o_orderdate AS DATE)) AS BIGINT) & {_MASK})")
+
+
+def zorder_key(x_col: str, y_col: str) -> F.Column:
+    """Interleaved sort key for two BIGINT columns (masked to 16 bits)."""
+    return F.expr(z_sql(f"(CAST({x_col} AS BIGINT) & {_MASK})",
+                        f"(CAST({y_col} AS BIGINT) & {_MASK})"))
+
+
+def _stats_sql(y_expr: str) -> str:
+    """Engine-shared body of layout_zorder_stats (y_expr differs only in
+    datediff spelling)."""
+    z = z_sql("x16", "y16")
+    return f"""
+    WITH dims AS (
+      SELECT {_X} AS x16, {y_expr} AS y16 FROM orders
+    ),
+    keyed AS (
+      SELECT x16, y16, {z} AS zval FROM dims
+    ),
+    bucketed AS (
+      SELECT (zval >> {BUCKET_SHIFT}) AS z_bucket, x16, y16 FROM keyed
+    )
+    SELECT z_bucket,
+           CAST(COUNT(*) AS BIGINT)   AS n_rows,
+           MIN(x16)                   AS cust_min,
+           MAX(x16)                   AS cust_max,
+           MAX(x16) - MIN(x16)        AS cust_span,
+           MIN(y16)                   AS day_min,
+           MAX(y16)                   AS day_max,
+           MAX(y16) - MIN(y16)        AS day_span
+    FROM bucketed
+    GROUP BY z_bucket
+    """
+
+
+@register(
+    "layout_zorder_stats",
+    oracle=_stats_sql(_Y_DUCK),
+    survey_ids=["E1"],
+    doc="Z-order clustering diagnostic: interleave (o_custkey, order "
+        "day-number) into a 32-bit Morton key, bucket by its top 16 "
+        "bits, and report each bucket's span on BOTH dimensions. "
+        "Tight spans (<= 256 of 65536 by construction) on both dims "
+        "prove one sort key can serve min/max file skipping for either "
+        "predicate — the multi-dim upgrade to the reference's single "
+        "(table, ts) cluster order (docs/design.md:185-197). The "
+        "interleave expression is literally the same SQL string in the "
+        "Spark plan and the DuckDB oracle, so correctness covers the "
+        "bit math itself. Scale shape: pure projection + one map-side-"
+        "combined groupBy; no join, no window, no "
+        "shuffle wider than the bucket count (<= 65536 groups at ANY scale).",
+)
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_stats_sql(_Y_SPARK))
+
+
+def zorder_write(df: DataFrame, x_col: str, y_col: str, path: str,
+                 n_files: int = 8) -> None:
+    """Rewrite ``df`` clustered by the Morton key of (x_col, y_col).
+
+    Dimensions are min-max scaled to the full 16-bit space FIRST (the
+    same normalization Delta's OPTIMIZE ZORDER applies via range ids):
+    raw interleaving of unequal ranges lets the wider dimension own all
+    the significant prefix bits and the narrow one degrades to a plain
+    sort.  The min/max pass is one cheap agg broadcast back onto the
+    rows.
+
+    Then one range shuffle (repartitionByRange balances files even when
+    the key distribution is skewed — hash partitioning would not
+    preserve z-contiguity) + an in-partition sort, then a plain parquet
+    write.  Each output file covers one contiguous z-range, which is
+    what bounds BOTH dimensions' footer min/max spans.
+    """
+    stats = df.agg(
+        F.min(x_col).cast("double").alias("_xlo"),
+        F.max(x_col).cast("double").alias("_xhi"),
+        F.min(y_col).cast("double").alias("_ylo"),
+        F.max(y_col).cast("double").alias("_yhi"),
+    )
+
+    def scale(col: str, lo: str, hi: str) -> F.Column:
+        rng = F.when(F.col(hi) > F.col(lo),
+                     F.col(hi) - F.col(lo)).otherwise(F.lit(1.0))
+        return ((F.col(col).cast("double") - F.col(lo))
+                * _MASK / rng).cast("bigint")
+
+    keyed = (
+        df.crossJoin(F.broadcast(stats))
+          .withColumn("_zx", scale(x_col, "_xlo", "_xhi"))
+          .withColumn("_zy", scale(y_col, "_ylo", "_yhi"))
+          .withColumn("_z", zorder_key("_zx", "_zy"))
+    )
+    (keyed.repartitionByRange(n_files, "_z")
+          .sortWithinPartitions("_z")
+          .drop("_z", "_zx", "_zy", "_xlo", "_xhi", "_ylo", "_yhi")
+          .write.mode("overwrite").parquet(path))
+
+
+def file_minmax_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max for ``cols`` from parquet FOOTERS only (pyarrow
+    metadata; zero data pages read) — the same statistics a lakehouse
+    reader consults to skip files.  Returns one dict per file:
+    ``{"file": ..., "<col>_min": ..., "<col>_max": ...}``.
+    """
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, name)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        rec: dict = {"file": name}
+        for c in cols:
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            rec[f"{c}_min"], rec[f"{c}_max"] = lo, hi
+        out.append(rec)
+    return out
+
+
+def skipped_fraction(stats: list[dict], col: str, lo, hi) -> float:
+    """Fraction of files a ``col BETWEEN lo AND hi`` scan skips on
+    footer stats alone (files with no overlap or no stats count as
+    skippable only when stats prove disjointness)."""
+    if not stats:
+        return 0.0
+    skipped = sum(
+        1 for s in stats
+        if s[f"{col}_min"] is not None
+        and (s[f"{col}_max"] < lo or s[f"{col}_min"] > hi)
+    )
+    return skipped / len(stats)

@@ -1,0 +1,114 @@
+"""Term ranking over the document corpus (TF-IDF).
+
+The reference's analytics story stops at per-event metrics; a training
+-data pipeline additionally needs per-document TERM salience — the
+input to keyword extraction, topic sampling, and quality heuristics
+("is this page about one thing or boilerplate about everything").
+TF-IDF with smoothed IDF (``ln((N+1)/(df+1)) + 1`` — the scikit-learn
+smoothing, never log-of-zero even when df == N) is the standard
+weight.
+
+Scale shape (the part that matters at 100 TB): the token explode is a
+pure map; term frequencies are ONE map-side-combined groupBy on
+(doc_id, term); document frequencies reuse that output (already unique
+per doc-term, so ``groupBy(term).count`` IS the df — no second pass
+over the corpus); the corpus size N is a 1-row broadcast; the final
+top-k is a per-document window over each doc's own terms only.  Two
+shuffles total on hashed keys, no global sort, no vocabulary collected
+to the driver.
+
+Determinism contract: ranking orders by the 6-decimal ROUNDED score
+(then term ASC) — the exact value the driver hash-compares anyway — so
+cross-engine ordering can only diverge where the reported value would
+already mismatch; sub-ulp ln() differences between the JVM and DuckDB
+cannot reorder ties that the rounding collapses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import register
+from ..io import load_table
+
+TOP_K = 3
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(lower(coalesce(text, '')), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+             CAST(ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.doc_freq + 1.0))
+                                 + 1.0), 6) AS DECIMAL(18,6)) AS s6
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tf, doc_freq, s6,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s6 DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(rnk AS INT) AS rnk, tf, doc_freq,
+           CAST(s6 AS DOUBLE) AS tfidf
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+    survey_ids=["K3"],
+    doc=f"Top-{TOP_K} TF-IDF terms per document (smoothed IDF "
+        "ln((N+1)/(df+1))+1): the keyword-extraction/topic-salience "
+        "primitive of a corpus pipeline. Two hashed shuffles — "
+        "(doc,term) counts, then term doc-frequencies REUSING that "
+        "aggregate — a 1-row broadcast for N, and a per-document "
+        "window over only that doc's terms. Ranking orders by the "
+        "6-decimal rounded score (the hash-compared value itself), "
+        "term-ASC tiebreak, so ordering is engine-stable by "
+        "construction.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.coalesce("text", F.lit(""))), " "))
+         .alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    # tf is unique per (doc, term): counting rows per term IS the doc
+    # frequency — df never rescans the corpus
+    df = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("doc_freq"))
+    n = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+          .crossJoin(F.broadcast(n))
+          .withColumn(
+              "s6",
+              F.round(
+                  F.col("tf") * (
+                      F.log((F.col("n_docs") + F.lit(1.0))
+                            / (F.col("doc_freq") + F.lit(1.0)))
+                      + F.lit(1.0)),
+                  6,
+              ).cast("decimal(18,6)"),
+          )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("s6"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+              .filter(F.col("rnk") <= TOP_K)
+              .select("doc_id", "term", "rnk", "tf", "doc_freq",
+                      F.col("s6").cast("double").alias("tfidf"))
+    )

@@ -157,3 +157,81 @@ def stats_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.array(*structs)).alias("p"))
         .select("p.*")
     )
+
+
+@register(
+    "stats_join_cardinality",
+    oracle=f"""
+    WITH lf AS (
+      SELECT user_id AS join_key, CAST(COUNT(*) AS BIGINT) AS left_rows
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    rf AS (
+      SELECT o_custkey AS join_key, CAST(COUNT(*) AS BIGINT) AS right_rows
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+    ),
+    keyed AS (
+      SELECT lf.join_key, lf.left_rows, rf.right_rows,
+             lf.left_rows * rf.right_rows AS pair_rows
+      FROM lf JOIN rf USING (join_key)
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(SUM(pair_rows), 0) AS BIGINT) AS total_pair_rows
+      FROM keyed
+    ),
+    ranked AS (
+      SELECT join_key, left_rows, right_rows, pair_rows,
+             ROW_NUMBER() OVER (ORDER BY pair_rows DESC, join_key ASC) AS rnk
+      FROM keyed
+    )
+    SELECT join_key, left_rows, right_rows, pair_rows,
+           CAST(rnk AS INT) AS rnk, total_pair_rows,
+           CAST(CAST(ROUND(pair_rows * 1.0 / NULLIF(total_pair_rows, 0), 6)
+                AS DECIMAL(10,6)) AS DOUBLE) AS share
+    FROM ranked CROSS JOIN tot
+    WHERE rnk <= {_TOP_K}
+    """,
+    survey_ids=["C1"],
+    doc=f"EXACT pre-join cardinality probe: the output row count of "
+        "events JOIN orders ON user_id = o_custkey is, key by key, "
+        "left_count * right_count - computed from the two per-key "
+        "count aggregates WITHOUT running the join. Reports the "
+        f"total and the top-{_TOP_K} contributing keys (the rows "
+        "that explode first). This is the planning step before any "
+        "expensive N:M join at 100 TB: total >> both inputs means "
+        "pre-aggregate or semi-filter first; one dominant key means "
+        "join_salted_skew. Scale shape: two map-side-combined key "
+        "counts (each FAR smaller than its table), one ids-only "
+        "equi-join between them, a 1-row broadcast total, and "
+        "TakeOrdered for the top slice - the probe costs a fraction "
+        "of the join it prices.",
+)
+def stats_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    lf = (e.filter(F.col("user_id").isNotNull())
+           .groupBy(F.col("user_id").alias("join_key"))
+           .agg(F.count("*").cast("bigint").alias("left_rows")))
+    rf = (o.filter(F.col("o_custkey").isNotNull())
+           .groupBy(F.col("o_custkey").alias("join_key"))
+           .agg(F.count("*").cast("bigint").alias("right_rows")))
+    keyed = (lf.join(rf, "join_key")
+               .withColumn("pair_rows",
+                           F.col("left_rows") * F.col("right_rows")))
+    tot = keyed.agg(
+        F.coalesce(F.sum("pair_rows"), F.lit(0)).cast("bigint")
+         .alias("total_pair_rows"))
+    top = keyed.orderBy(F.desc("pair_rows"), F.asc("join_key")).limit(_TOP_K)
+    w = W.orderBy(F.desc("pair_rows"), F.asc("join_key"))
+    share = F.col("pair_rows") * F.lit(1.0) / F.nullif(
+        F.col("total_pair_rows"), F.lit(0))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+           .crossJoin(F.broadcast(tot))
+           .select(
+               "join_key", "left_rows", "right_rows", "pair_rows", "rnk",
+               "total_pair_rows",
+               F.round(share, 6).cast("decimal(10,6)").cast("double")
+                .alias("share"),
+           )
+    )

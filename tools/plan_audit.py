@@ -65,6 +65,10 @@ CARTESIAN_OK: dict[str, str] = {
     "corpus_mixture_plan": "1-row mixture cap (min n/share) crossJoined "
                            "onto the |target langs|-row plan frame — "
                            "both sides scalar-bounded",
+    "stats_join_cardinality": "1-row total-pair-rows frame crossJoined "
+                              "onto the top-10 contributing-key slice",
+    "text_tfidf_topk": "1-row corpus-size (N) broadcast crossJoined "
+                       "into the tf x df score — scalar bound",
 }
 
 # Queries whose range-partitioning exchange is a reviewed TERMINAL sort
