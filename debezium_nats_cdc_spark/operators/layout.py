@@ -149,6 +149,14 @@ def zorder_write(df: DataFrame, x_col: str, y_col: str, path: str,
     preserve z-contiguity) + an in-partition sort, then a plain parquet
     write.  Each output file covers one contiguous z-range, which is
     what bounds BOTH dimensions' footer min/max spans.
+
+    NULL handling: a NULL in EITHER dimension scales to bucket 0
+    explicitly (coalesce below), so all NULL-keyed rows cluster
+    together at the low end of the z-range — deterministic, and footer
+    min/max on the non-NULL dimension still prunes them (parquet stats
+    ignore NULLs).  They do NOT earn stats-based skipping on their NULL
+    dimension; callers with NULL-heavy dims should partition NULLs out
+    first (`WHERE dim IS NULL` rows carry no clustering information).
     """
     stats = df.agg(
         F.min(x_col).cast("double").alias("_xlo"),
@@ -160,8 +168,11 @@ def zorder_write(df: DataFrame, x_col: str, y_col: str, path: str,
     def scale(col: str, lo: str, hi: str) -> F.Column:
         rng = F.when(F.col(hi) > F.col(lo),
                      F.col(hi) - F.col(lo)).otherwise(F.lit(1.0))
-        return ((F.col(col).cast("double") - F.col(lo))
-                * _MASK / rng).cast("bigint")
+        scaled = ((F.col(col).cast("double") - F.col(lo))
+                  * _MASK / rng).cast("bigint")
+        # NULL dim -> bucket 0 (see docstring: deterministic low-end
+        # clustering instead of a NULL z-key landing arbitrarily)
+        return F.coalesce(scaled, F.lit(0).cast("bigint"))
 
     keyed = (
         df.crossJoin(F.broadcast(stats))

@@ -30,8 +30,18 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import register
 from ..io import load_table
+from .text import _tokens
 
 TOP_K = 3
+
+# Tokenizer contract: TF-IDF shares text.py's `_tokens` (lowercase,
+# split on ONE literal space) so term statistics agree with every other
+# text operator's token definition.  The delimiter is deliberately a
+# regex-neutral literal: Spark's F.split treats the pattern as a REGEX
+# while the DuckDB oracle's string_split is LITERAL — they coincide for
+# " " but a future "\\s+"-style change would silently diverge in only
+# one engine.  Change the delimiter in BOTH `text._tokens` and every
+# oracle's string_split together, and only to regex-neutral literals.
 
 
 @register(
@@ -81,7 +91,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.coalesce("text", F.lit(""))), " "))
+        F.explode(_tokens(F.coalesce("text", F.lit(""))))
          .alias("term"),
     ).filter(F.col("term") != "")
     tf = tok.groupBy("doc_id", "term").agg(

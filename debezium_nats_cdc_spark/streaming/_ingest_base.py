@@ -101,7 +101,7 @@ class FormatStampedIndexIngest:
             marker.parent.mkdir(parents=True, exist_ok=True)
             marker.write_text(self._format())
 
-    def _maybe_compact_index(self, spark: SparkSession) -> None:
+    def _maybe_compact_index(self, spark: SparkSession) -> bool:
         """Coalesce the index log once its file count passes the
         threshold.  Safe under epoch replay: exactly-once is keyed on
         commit MARKERS in txn_dir (outside the index dir), so a replayed
@@ -111,21 +111,25 @@ class FormatStampedIndexIngest:
         files in separate partitions, so an un-coalesced rewrite would
         preserve the file count.  ~8x per compaction amortizes to O(log)
         rewrites of any prefix."""
-        self._maybe_compact_dir(spark, self.index_dir)
+        return self._maybe_compact_dir(spark, self.index_dir)
 
-    def _maybe_compact_dir(self, spark: SparkSession, d: str) -> None:
+    def _maybe_compact_dir(self, spark: SparkSession, d: str) -> bool:
         """Threshold compaction for any append-only state dir (the index
         by default; normalized layouts add sibling dirs, e.g. the
-        vectors-once store)."""
+        vectors-once store).  Returns True iff a compaction ran — callers
+        gate post-compaction audits (e.g. embedding_dedup strict
+        consistency) on it so the audit cost is paid only when the
+        directory was actually replaced."""
         n_files = self.backend.data_file_count(d)
         if n_files < self._compact_threshold():
-            return
+            return False
         target = max(1, n_files // 8)
         self.backend.swap_write(
             spark.read.parquet(d).coalesce(target), d,
         )
         if d == self.index_dir:
             self._stamp_format()
+        return True
 
     def _append(self, df: DataFrame, final_dir: str, sink: str,
                 epoch_id: int | None) -> None:

@@ -306,11 +306,18 @@ class EmbeddingDedupPipeline(FormatStampedIndexIngest):
         near-duplicate instead of failing.  This check makes that drift
         loud.  Returns ``{"index_ids": n, "store_ids": n, "missing": n}``
         (all zero for denorm/empty).  With ``strict=True`` the pipeline
-        runs it after every compaction and raises on missing > 0 —
-        a full ids-only scan of both stores, so it is a debug mode, not
-        the production default.
+        runs it after any micro-batch in which a compaction actually ran
+        (the directory-replacing operation the probe exists to audit)
+        and raises on missing > 0 — a full ids-only scan of both stores,
+        so it is a debug mode, not the production default.
         """
         out = {"index_ids": 0, "store_ids": 0, "missing": 0}
+        # heal torn compactions first: invoked standalone after a crashed
+        # swap_write this would otherwise read a half-swapped directory
+        # and misreport drift (process_batch does the same before probing)
+        self.backend.recover(self.index_dir)
+        if self.layout == "norm":
+            self.backend.recover(self.vectors_dir)
         if self.layout != "norm" or not self.backend.has_data(self.index_dir):
             return out
         idx_ids = (spark.read.parquet(self.index_dir)
@@ -385,8 +392,11 @@ class EmbeddingDedupPipeline(FormatStampedIndexIngest):
                 self.vectors_dir, "vectors", epoch_id)
         else:
             self._append(accepted_sk, self.index_dir, "index", epoch_id)
-        self._maybe_compact_index(spark)
+        compacted = self._maybe_compact_index(spark)
         if self.layout == "norm":
-            self._maybe_compact_dir(spark, self.vectors_dir)
-            if self.strict:
+            compacted |= self._maybe_compact_dir(spark, self.vectors_dir)
+            # strict mode pays the full ids-only scan only when a
+            # compaction actually replaced a directory this batch — the
+            # operation the drift probe exists to audit
+            if self.strict and compacted:
                 self.check_consistency(spark)
