@@ -82,6 +82,188 @@ def stats_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- join-strategy advisor thresholds (shared by the catalog query's
+# Spark plan + DuckDB oracle via the f-string SQL body, and by
+# advise_join()'s defaults) -------------------------------------------
+#
+# ADVISOR_BROADCAST_ROWS: broadcast the smaller side when it fits the
+# usual 10 MB autoBroadcastJoinThreshold envelope.  Rows, not bytes,
+# because the probe only counts rows; 25k rows x ~400 B/row ≈ 10 MB.
+# At 100 TB the caller overrides with (threshold_bytes / avg_row_bytes).
+# ADVISOR_SKEW_RATIO: hottest-key frequency / mean key frequency above
+# which a plain hash join stragglers on one reducer; 8.0 matches the
+# point where AQE's skewedPartitionFactor (default 5) would already
+# have split the partition — below it, salting costs more than the
+# straggler.
+ADVISOR_BROADCAST_ROWS = 25_000
+ADVISOR_SKEW_RATIO = 8.0
+
+
+_ADVISOR_SQL = f"""
+    WITH lf AS (
+      SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    rf AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+    ),
+    ls AS (
+      SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_n
+      FROM lf
+    ),
+    rs AS (
+      SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(COALESCE(MAX(n), 0) AS BIGINT) AS max_n
+      FROM rf
+    ),
+    skews AS (
+      SELECT ls.total AS left_rows, ls.n_keys AS left_keys,
+             ls.max_n AS left_max_key_rows,
+             CAST(ROUND(ls.max_n * 1.0 * ls.n_keys / NULLIF(ls.total, 0), 4)
+                  AS DECIMAL(12,4)) AS lskew,
+             rs.total AS right_rows, rs.n_keys AS right_keys,
+             rs.max_n AS right_max_key_rows,
+             CAST(ROUND(rs.max_n * 1.0 * rs.n_keys / NULLIF(rs.total, 0), 4)
+                  AS DECIMAL(12,4)) AS rskew
+      FROM ls CROSS JOIN rs
+    ),
+    pair AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS matched_keys,
+             CAST(COALESCE(SUM(lf.n * rf.n), 0) AS BIGINT) AS total_pair_rows
+      FROM lf JOIN rf USING (k)
+    )
+    SELECT left_rows, left_keys, left_max_key_rows,
+           CAST(lskew AS DOUBLE) AS left_skew_ratio,
+           right_rows, right_keys, right_max_key_rows,
+           CAST(rskew AS DOUBLE) AS right_skew_ratio,
+           matched_keys, total_pair_rows,
+           CASE
+             WHEN LEAST(left_rows, right_rows) <= {ADVISOR_BROADCAST_ROWS}
+               THEN 'broadcast'
+             WHEN GREATEST(COALESCE(lskew, CAST(0 AS DECIMAL(12,4))),
+                           COALESCE(rskew, CAST(0 AS DECIMAL(12,4))))
+                  >= {ADVISOR_SKEW_RATIO}
+               THEN 'salted'
+             ELSE 'shuffle'
+           END AS strategy,
+           CASE
+             WHEN LEAST(left_rows, right_rows) > {ADVISOR_BROADCAST_ROWS}
+               THEN NULL
+             WHEN left_rows <= right_rows THEN 'left'
+             ELSE 'right'
+           END AS build_side
+    FROM skews CROSS JOIN pair
+"""
+
+
+@register(
+    "stats_join_advisor",
+    oracle=_ADVISOR_SQL,
+    survey_ids=["C1"],
+    doc="Join-strategy advisor as a query: measures both sides of "
+        "events JOIN orders ON user_id = o_custkey (totals, key "
+        "counts, hottest-key frequency, skew ratio, exact output "
+        "cardinality) and emits the decision — broadcast below "
+        f"{ADVISOR_BROADCAST_ROWS} rows on the smaller side, salted "
+        f"above a {ADVISOR_SKEW_RATIO}x max/mean skew ratio, plain "
+        "shuffle otherwise — with every measured input in the row, so "
+        "the advice is auditable. The SQL body is shared VERBATIM with "
+        "the DuckDB oracle (the layout.py pattern), so the decision "
+        "logic itself is oracle-checked. Scale shape: two map-side-"
+        "combined key counts, one ids-only equi-join, three 1-row "
+        "scalar frames cross-joined (broadcast, bounded); the probe "
+        "costs a fraction of the join it prices. advise_join() is the "
+        "library form that additionally returns the hot-key list for "
+        "join_salted_skew-style partial salting.",
+)
+def stats_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_ADVISOR_SQL)
+
+
+def advise_join(left: DataFrame, right: DataFrame, left_key: str,
+                right_key: str | None = None, *,
+                broadcast_rows: int = ADVISOR_BROADCAST_ROWS,
+                skew_ratio: float = ADVISOR_SKEW_RATIO,
+                max_hot_keys: int = 16) -> dict:
+    """Measure both join sides and pick a strategy: the planning step
+    SURVEY §4 promises before any 100 TB join.
+
+    Consumes the same measurements as `stats_key_skew_report` and
+    `stats_join_cardinality` and closes the loop to a decision:
+
+      * ``broadcast`` — the smaller side is under ``broadcast_rows``
+        (skew is irrelevant: a broadcast join never shuffles the key);
+        ``build_side`` names it.
+      * ``salted(hot_keys)`` — some key's frequency exceeds
+        ``skew_ratio`` x the mean key frequency on either side; the
+        returned ``hot_keys`` (bounded at ``max_hot_keys``, hottest
+        first, from the skewed side) feed a join_salted_skew-style
+        partial salting, or AQE skew-join handles it at runtime.
+      * ``shuffle`` — plain hash join; no measured reason to do more.
+
+    Cost: one filter+aggregate per side (map-side combined key counts
+    reduced to a 1-row summary) plus, only when salting is advised, a
+    bounded ``limit(max_hot_keys)`` collect of the hot keys.  Nothing
+    unbounded reaches the driver.  At 100 TB run it on a sample or
+    reuse persisted skew-report output; the thresholds are the
+    documented module constants.
+
+    Returns ``{"strategy", "build_side", "hot_keys", "rationale"}``
+    where rationale carries every measured number the decision used.
+    """
+    right_key = right_key or left_key
+
+    def _freq(df: DataFrame, key: str) -> DataFrame:
+        return (df.filter(F.col(key).isNotNull())
+                  .groupBy(F.col(key).alias("_k"))
+                  .agg(F.count("*").cast("bigint").alias("_n")))
+
+    def _summary(freq: DataFrame) -> dict:
+        row = freq.agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("total"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.coalesce(F.max("_n"), F.lit(0)).cast("bigint").alias("max_n"),
+        ).first()
+        skew = (row.max_n * row.n_keys / row.total) if row.total else None
+        return {"total": row.total, "n_keys": row.n_keys,
+                "max_n": row.max_n, "skew_ratio": skew}
+
+    lfreq, rfreq = _freq(left, left_key), _freq(right, right_key)
+    lsum, rsum = _summary(lfreq), _summary(rfreq)
+    rationale = {"left": lsum, "right": rsum,
+                 "broadcast_rows": broadcast_rows,
+                 "skew_ratio_threshold": skew_ratio}
+
+    if min(lsum["total"], rsum["total"]) <= broadcast_rows:
+        side = "left" if lsum["total"] <= rsum["total"] else "right"
+        return {"strategy": "broadcast", "build_side": side,
+                "hot_keys": [], "rationale": rationale}
+
+    def _hot(freq: DataFrame, summary: dict) -> list:
+        mean = summary["total"] / summary["n_keys"]
+        return [r._k for r in (
+            freq.filter(F.col("_n") >= F.lit(skew_ratio * mean))
+                .orderBy(F.desc("_n"), F.asc("_k"))
+                .limit(max_hot_keys).collect())]
+
+    skews = [s["skew_ratio"] or 0.0 for s in (lsum, rsum)]
+    if max(skews) >= skew_ratio:
+        hot = sorted(set(
+            (_hot(lfreq, lsum) if skews[0] >= skew_ratio else [])
+            + (_hot(rfreq, rsum) if skews[1] >= skew_ratio else [])))
+        return {"strategy": "salted", "build_side": None,
+                "hot_keys": hot, "rationale": rationale}
+
+    return {"strategy": "shuffle", "build_side": None,
+            "hot_keys": [], "rationale": rationale}
+
+
 def _profile_branch_sql(col: str, decimal_sum: str) -> str:
     """One UNION ALL branch of the numeric-profile oracle."""
     return f"""

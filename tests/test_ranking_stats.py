@@ -1,0 +1,157 @@
+"""Hand-computed fixtures for the r8 operators (VERDICT r8 item 6) and
+the r9 join-strategy advisor.
+
+* text_tfidf_topk — 3-doc fixture with known scores, including the
+  df==N smoothing edge (idf collapses to exactly 1.0) and NULL/empty
+  documents that count in N but emit no terms.
+* stats_join_cardinality — a skewed fixture whose exact predicted join
+  row-count is asserted against an ACTUALLY-EXECUTED join.
+* advise_join — picks salted on the hot-key fixture, broadcast under
+  the size threshold, plain shuffle otherwise.
+
+The catalog queries' value parity vs DuckDB is covered by the driver
+oracle + strict sweep; these pin the semantics to numbers computed by
+hand, independent of any engine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from debezium_nats_cdc_spark.operators.ranking import text_tfidf_topk
+from debezium_nats_cdc_spark.operators.stats import (
+    advise_join,
+    stats_join_cardinality,
+)
+
+
+def _write_docs(spark, tmp_path, rows):
+    (spark.createDataFrame(rows, "doc_id bigint, text string")
+          .write.mode("overwrite")
+          .parquet(f"{tmp_path}/documents.parquet"))
+    return str(tmp_path)
+
+
+def test_tfidf_hand_computed_with_df_equals_n_edge(spark, tmp_path):
+    # N=3; 'apple' appears in ALL docs -> df==N -> smoothed idf is
+    # EXACTLY ln((3+1)/(3+1)) + 1 = 1.0 (the edge the smoothing exists
+    # for: unsmoothed ln(N/df) would zero the term out entirely).
+    sf = _write_docs(spark, tmp_path, [
+        (1, "apple banana apple"),
+        (2, "apple cherry"),
+        (3, "apple date date date date"),
+    ])
+    got = {(r.doc_id, r.term): r
+           for r in text_tfidf_topk(spark, sf).collect()}
+
+    ln2 = round(1.0 + math.log(2.0), 6)          # 1.693147
+    expect = {
+        (1, "apple"):  (1, 2, 3, 2.0),           # tf=2 * idf=1.0
+        (1, "banana"): (2, 1, 1, ln2),
+        (2, "cherry"): (1, 1, 1, ln2),
+        (2, "apple"):  (2, 1, 3, 1.0),
+        (3, "date"):   (1, 4, 1, round(4 * (1.0 + math.log(2.0)), 6)),
+        (3, "apple"):  (2, 1, 3, 1.0),
+    }
+    assert set(got) == set(expect)
+    for k, (rnk, tf, doc_freq, score) in expect.items():
+        r = got[k]
+        assert (r.rnk, r.tf, r.doc_freq) == (rnk, tf, doc_freq), k
+        assert r.tfidf == score, (k, r.tfidf, score)
+
+
+def test_tfidf_null_and_empty_docs_count_in_n_only(spark, tmp_path):
+    # NULL/empty text contribute no terms but DO count in N (they are
+    # corpus documents); idf shifts from ln(4/df+1) to ln(6/df+1).
+    sf = _write_docs(spark, tmp_path, [
+        (1, "apple banana apple"),
+        (2, "apple cherry"),
+        (3, "apple date date date date"),
+        (4, None),
+        (5, ""),
+    ])
+    rows = text_tfidf_topk(spark, sf).collect()
+    assert {r.doc_id for r in rows} == {1, 2, 3}
+    apple1 = next(r for r in rows if r.doc_id == 1 and r.term == "apple")
+    # df(apple)=3, N=5: score = 2 * (ln(6/4) + 1)
+    assert apple1.tfidf == round(2 * (math.log(1.5) + 1.0), 6)
+    assert apple1.doc_freq == 3
+
+
+def _write_join_tables(spark, tmp_path, left_ids, right_ids):
+    (spark.createDataFrame([(i,) for i in left_ids], "user_id bigint")
+          .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet"))
+    (spark.createDataFrame([(i,) for i in right_ids], "o_custkey bigint")
+          .write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet"))
+    return str(tmp_path)
+
+
+def test_join_cardinality_matches_executed_join(spark, tmp_path):
+    # skewed: key 1 dominates (5x4=20 of 23 pairs); keys 3 (left-only),
+    # 4 (right-only) and NULLs must contribute nothing
+    sf = _write_join_tables(
+        spark,
+        tmp_path,
+        left_ids=[1] * 5 + [2] * 3 + [3] + [None] * 2,
+        right_ids=[1] * 4 + [2] + [4] * 7 + [None],
+    )
+    got = stats_join_cardinality(spark, sf).orderBy("rnk").collect()
+
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    executed = e.join(o, e.user_id == o.o_custkey).count()
+    assert executed == 23  # 5*4 + 3*1, hand-computed
+
+    assert [(r.join_key, r.left_rows, r.right_rows, r.pair_rows, r.rnk)
+            for r in got] == [(1, 5, 4, 20, 1), (2, 3, 1, 3, 2)]
+    assert all(r.total_pair_rows == executed for r in got)
+    assert got[0].share == round(20 / 23, 6)
+    assert got[1].share == round(3 / 23, 6)
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "k bigint")
+
+
+def test_advise_join_broadcast_under_threshold(spark):
+    left = _df(spark, list(range(10)))
+    right = _df(spark, list(range(100)) * 2)
+    out = advise_join(left, right, "k", broadcast_rows=20)
+    assert out["strategy"] == "broadcast"
+    assert out["build_side"] == "left"
+    assert out["hot_keys"] == []
+    assert out["rationale"]["left"]["total"] == 10
+    assert out["rationale"]["right"]["total"] == 200
+
+
+def test_advise_join_salted_on_hot_key(spark):
+    # left: key 7 owns 61 of 80 rows (60 planted + 1 from the uniform
+    # tail) over 20 keys -> skew = 61*20/80 = 15.25 >= 8; right uniform
+    left = _df(spark, [7] * 60 + list(range(1, 21)))
+    right = _df(spark, list(range(1, 31)) * 2)
+    out = advise_join(left, right, "k", broadcast_rows=5)
+    assert out["strategy"] == "salted"
+    assert out["hot_keys"] == [7]
+    assert out["rationale"]["left"]["skew_ratio"] == 61 * 20 / 80
+    assert out["rationale"]["right"]["skew_ratio"] == 1.0
+
+
+def test_advise_join_shuffle_otherwise(spark):
+    left = _df(spark, list(range(50)) * 2)
+    right = _df(spark, list(range(40)) * 3)
+    out = advise_join(left, right, "k", broadcast_rows=5)
+    assert out["strategy"] == "shuffle"
+    assert out["build_side"] is None
+    assert out["hot_keys"] == []
+
+
+def test_advise_join_distinct_key_names_and_empty_side(spark):
+    left = spark.createDataFrame([(i,) for i in range(30)], "lk bigint")
+    right = (spark.createDataFrame([(1,)], "rk bigint")
+                  .filter(F.col("rk") < 0))  # empty
+    out = advise_join(left, right, "lk", "rk", broadcast_rows=5)
+    # an empty side always broadcasts (total 0 <= any threshold)
+    assert out["strategy"] == "broadcast"
+    assert out["build_side"] == "right"

@@ -69,6 +69,9 @@ CARTESIAN_OK: dict[str, str] = {
                               "onto the top-10 contributing-key slice",
     "text_tfidf_topk": "1-row corpus-size (N) broadcast crossJoined "
                        "into the tf x df score — scalar bound",
+    "stats_join_advisor": "three 1-row scalar frames (per-side "
+                          "summaries + pair total) crossJoined into "
+                          "the single decision row — all scalar bound",
 }
 
 # Queries whose range-partitioning exchange is a reviewed TERMINAL sort
