@@ -55,19 +55,36 @@ _MASK = (1 << BITS_PER_DIM) - 1
 BUCKET_SHIFT = 2 * BITS_PER_DIM - 16
 
 
-def z_sql(x: str, y: str) -> str:
-    """Morton-interleave SQL for two already-masked 16-bit expressions.
+def zbits_for(k: int) -> int:
+    """Bits per dimension for a k-dim interleave: 16 while it fits, else
+    whatever keeps the full key inside a non-negative BIGINT (k*bits <=
+    62).  k=2 -> 16 (the original layout), k=3 -> 16 (48-bit key),
+    k=4 -> 15."""
+    if k < 2:
+        raise ValueError(f"z-order needs >= 2 dimensions, got {k}")
+    return min(BITS_PER_DIM, 62 // k)
 
-    ``x`` occupies even bit positions, ``y`` odd.  Pure +/&/<</>> on
+
+def z_sql_multi(exprs: list[str], bits: int) -> str:
+    """Morton-interleave SQL for k already-masked ``bits``-wide
+    expressions.  Dimension j occupies bit positions k*i + j — for k=2
+    this is exactly the historical even/odd layout.  Pure +/&/<</>> on
     BIGINT — parses and evaluates identically in Spark SQL and DuckDB,
     which is what lets the oracle check the interleave itself rather
     than a reimplementation of it.
     """
+    k = len(exprs)
     terms = []
-    for i in range(BITS_PER_DIM):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    for i in range(bits):
+        for j, e in enumerate(exprs):
+            terms.append(f"((({e} >> {i}) & 1) << {k * i + j})")
     return "(" + " + ".join(terms) + ")"
+
+
+def z_sql(x: str, y: str) -> str:
+    """2-dim Morton interleave (x even bits, y odd) — the oracle-shared
+    form used by ``layout_zorder_stats``."""
+    return z_sql_multi([x, y], BITS_PER_DIM)
 
 
 # the two clustered dimensions for the catalog query: customer key and
@@ -78,10 +95,13 @@ _Y_DUCK = ("(CAST(datediff('day', DATE '1992-01-01', "
            f"CAST(o_orderdate AS DATE)) AS BIGINT) & {_MASK})")
 
 
-def zorder_key(x_col: str, y_col: str) -> F.Column:
-    """Interleaved sort key for two BIGINT columns (masked to 16 bits)."""
-    return F.expr(z_sql(f"(CAST({x_col} AS BIGINT) & {_MASK})",
-                        f"(CAST({y_col} AS BIGINT) & {_MASK})"))
+def zorder_key(*cols: str) -> F.Column:
+    """Interleaved sort key for k BIGINT columns (each masked to
+    ``zbits_for(k)`` bits; 16 for the 2- and 3-dim cases)."""
+    bits = zbits_for(len(cols))
+    mask = (1 << bits) - 1
+    return F.expr(z_sql_multi(
+        [f"(CAST({c} AS BIGINT) & {mask})" for c in cols], bits))
 
 
 def _stats_sql(y_expr: str) -> str:
@@ -133,9 +153,11 @@ def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_stats_sql(_Y_SPARK))
 
 
-def zorder_write(df: DataFrame, x_col: str, y_col: str, path: str,
-                 n_files: int = 8) -> None:
-    """Rewrite ``df`` clustered by the Morton key of (x_col, y_col).
+def zorder_write(df: DataFrame, dims: list[str], path: str,
+                 n_files: int = 8, drop: list[str] | None = None) -> None:
+    """Rewrite ``df`` clustered by the Morton key of ``dims`` (k >= 2
+    numeric/timestamp columns; ``drop`` lists caller-side helper columns
+    — e.g. string dim encodings — to strip before the write).
 
     Dimensions are min-max scaled to the full 16-bit space FIRST (the
     same normalization Delta's OPTIMIZE ZORDER applies via range ids):
@@ -150,39 +172,57 @@ def zorder_write(df: DataFrame, x_col: str, y_col: str, path: str,
     write.  Each output file covers one contiguous z-range, which is
     what bounds BOTH dimensions' footer min/max spans.
 
-    NULL handling: a NULL in EITHER dimension scales to bucket 0
+    NULL handling: a NULL in ANY dimension scales to bucket 0
     explicitly (coalesce below), so all NULL-keyed rows cluster
     together at the low end of the z-range — deterministic, and footer
-    min/max on the non-NULL dimension still prunes them (parquet stats
+    min/max on the non-NULL dimensions still prune them (parquet stats
     ignore NULLs).  They do NOT earn stats-based skipping on their NULL
     dimension; callers with NULL-heavy dims should partition NULLs out
     first (`WHERE dim IS NULL` rows carry no clustering information).
+
+    String dims are rejected loudly: CAST(string AS DOUBLE) is NULL, so
+    every row would silently land in bucket 0 and the rewrite would be
+    a no-op shuffle.  Encode them order-preservingly first (see
+    ``store.optimize_zorder``'s bounded dictionary encode) and pass the
+    encoded column here (listing the original via ``drop`` if it should
+    not persist twice).
     """
-    stats = df.agg(
-        F.min(x_col).cast("double").alias("_xlo"),
-        F.max(x_col).cast("double").alias("_xhi"),
-        F.min(y_col).cast("double").alias("_ylo"),
-        F.max(y_col).cast("double").alias("_yhi"),
-    )
+    for c in dims:
+        if dict(df.dtypes).get(c) == "string":
+            raise TypeError(
+                f"zorder_write dim {c!r} is a string column: encode it "
+                "order-preservingly first (store.optimize_zorder does "
+                "this for bounded vocabularies)")
+    bits = zbits_for(len(dims))
+    mask = (1 << bits) - 1
+    stats = df.agg(*[
+        a for i, c in enumerate(dims)
+        for a in (F.min(c).cast("double").alias(f"_lo{i}"),
+                  F.max(c).cast("double").alias(f"_hi{i}"))
+    ])
 
     def scale(col: str, lo: str, hi: str) -> F.Column:
         rng = F.when(F.col(hi) > F.col(lo),
                      F.col(hi) - F.col(lo)).otherwise(F.lit(1.0))
         scaled = ((F.col(col).cast("double") - F.col(lo))
-                  * _MASK / rng).cast("bigint")
+                  * mask / rng).cast("bigint")
         # NULL dim -> bucket 0 (see docstring: deterministic low-end
         # clustering instead of a NULL z-key landing arbitrarily)
         return F.coalesce(scaled, F.lit(0).cast("bigint"))
 
-    keyed = (
-        df.crossJoin(F.broadcast(stats))
-          .withColumn("_zx", scale(x_col, "_xlo", "_xhi"))
-          .withColumn("_zy", scale(y_col, "_ylo", "_yhi"))
-          .withColumn("_z", zorder_key("_zx", "_zy"))
-    )
+    keyed = df.crossJoin(F.broadcast(stats))
+    zcols = []
+    for i, c in enumerate(dims):
+        keyed = keyed.withColumn(f"_zd{i}", scale(c, f"_lo{i}", f"_hi{i}"))
+        zcols.append(f"_zd{i}")
+    keyed = keyed.withColumn("_z", zorder_key(*zcols))
+    helper = (["_z"] + zcols
+              + [f"_lo{i}" for i in range(len(dims))]
+              + [f"_hi{i}" for i in range(len(dims))]
+              + list(drop or []))
     (keyed.repartitionByRange(n_files, "_z")
           .sortWithinPartitions("_z")
-          .drop("_z", "_zx", "_zy", "_xlo", "_xhi", "_ylo", "_yhi")
+          .drop(*helper)
           .write.mode("overwrite").parquet(path))
 
 

@@ -23,6 +23,11 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # TIMESTAMP_MICROS (not the INT96 legacy default): INT96 carries NO
+    # parquet min/max statistics, which silently disables the footer-
+    # based file skipping the clustered store layout exists for
+    # (store.optimize_zorder / sortWithinPartitions row-group pruning)
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # event store writes: zstd ≙ reference's s2/ClickHouse compression
     # (config/nats/stream.json:15) at much better ratios than snappy.
     "spark.sql.parquet.compression.codec": "zstd",

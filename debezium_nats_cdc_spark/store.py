@@ -17,6 +17,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .operators.layout import zorder_write
+
 
 def to_store_rows(events: DataFrame) -> DataFrame:
     """Domain envelope -> hr_events storage schema (FIXTURES §2.3).
@@ -82,6 +84,89 @@ def compact_store(spark: SparkSession, path: str, files_per_partition: int = 1) 
     final = Path(path)
     shutil.rmtree(final)
     Path(tmp).rename(final)
+
+
+def _zdim_encode(df: DataFrame, col: str, max_codes: int) -> tuple[DataFrame, str]:
+    """Order-preserving numeric encoding of one z-order dimension.
+
+    Numeric/timestamp columns pass through (zorder_write min-max scales
+    them).  String columns get a dense dictionary code: the distinct
+    values are collected SORTED (bounded at ``max_codes`` — event-type /
+    aggregate-type vocabularies are enumerable by construction, and a
+    month of aggregate ids is bounded by the active-entity population;
+    anything larger should be pre-encoded numerically by the caller) and
+    broadcast-joined back as a rank.  Rank order == lexicographic order,
+    so parquet footer min/max on the ORIGINAL string column prunes
+    consistently with the clustering.
+    """
+    if dict(df.dtypes)[col] != "string":
+        return df, col
+    spark = df.sparkSession
+    vals = [r[0] for r in (df.select(col).distinct()
+                           .orderBy(col).limit(max_codes + 1).collect())
+            if r[0] is not None]
+    if len(vals) > max_codes:
+        raise ValueError(
+            f"optimize_zorder: string dim {col!r} has > {max_codes} "
+            "distinct values in this partition — pre-encode it "
+            "numerically or drop it from the clustering dims")
+    enc = f"_zenc_{col}"
+    codes = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], f"`{col}` string, `{enc}` bigint")
+    return df.join(F.broadcast(codes), col, "left"), enc
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    dims: list[str] = ("event_type", "event_timestamp", "aggregate_id"),
+    *,
+    keep_open_months: int = 1,
+    files_per_month: int = 8,
+    max_codes: int = 100_000,
+) -> list[str]:
+    """OPTIMIZE-style Z-order compaction of closed event-store month
+    partitions (the multi-dim upgrade to `compact_store`'s single
+    clustered key).
+
+    The reference's analytics workload (docs/system-design.md:130-134)
+    filters by event type AND by time window AND by aggregate; the
+    MergeTree ORDER BY (docs/design.md:183) serves only its key prefix.
+    This job rewrites each CLOSED month partition (the newest
+    ``keep_open_months`` still receive appends and are skipped) with
+    `operators.layout.zorder_write` on ``dims``, so parquet footer
+    min/max becomes tight on EVERY dim at once and a reader skips most
+    files for any of the three predicates — verified by
+    `file_minmax_stats` / `skipped_fraction` in tests/test_store_zorder.
+
+    Cost shape: per month, one bounded dictionary collect per string
+    dim plus exactly ONE range shuffle (the zorder_write contract) —
+    the same price as `compact_store`'s re-sort, paid off the hot path
+    like a MergeTree background merge.  The directory swap is
+    rm+rename (same non-atomic maintenance-window contract as
+    `compact_store`; run it when no reader races the partition).
+
+    Returns the list of months rewritten.
+    """
+    root = Path(path)
+    months = sorted(
+        p.name.split("=", 1)[1] for p in root.glob("event_month=*") if p.is_dir()
+    )
+    closed = months[: len(months) - keep_open_months] if keep_open_months else months
+    for m in closed:
+        part = root / f"event_month={m}"
+        df = spark.read.parquet(str(part))
+        enc_df, zdims, drop = df, [], []
+        for c in dims:
+            enc_df, enc_col = _zdim_encode(enc_df, c, max_codes)
+            zdims.append(enc_col)
+            if enc_col != c:
+                drop.append(enc_col)
+        tmp = str(part) + ".zorder"
+        zorder_write(enc_df, zdims, tmp, n_files=files_per_month, drop=drop)
+        shutil.rmtree(part)
+        Path(tmp).rename(part)
+    return list(closed)
 
 
 def read_events(spark: SparkSession, path: str) -> DataFrame:

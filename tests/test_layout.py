@@ -40,6 +40,38 @@ def test_zorder_key_matches_python_reference(spark):
         assert got[(x, y)] == _morton_ref(x, y), (x, y)
 
 
+def test_zorder_key_three_dims_matches_python_reference(spark):
+    from debezium_nats_cdc_spark.operators.layout import zbits_for
+
+    bits = zbits_for(3)
+    assert bits * 3 <= 62  # fits a non-negative BIGINT
+
+    def ref(x, y, z):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (3 * i)
+            out |= ((y >> i) & 1) << (3 * i + 1)
+            out |= ((z >> i) & 1) << (3 * i + 2)
+        return out
+
+    rows = [(0, 0, 0), (1, 2, 4), (65535, 65535, 65535),
+            (12345, 54321, 4242), (65535, 0, 1)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint, z bigint")
+    got = {(r.x, r.y, r.z): r.zv for r in
+           df.withColumn("zv", zorder_key("x", "y", "z")).collect()}
+    mask = (1 << bits) - 1
+    for x, y, z in rows:
+        assert got[(x, y, z)] == ref(x & mask, y & mask, z & mask), (x, y, z)
+
+
+def test_zorder_write_rejects_string_dims(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a")], "x bigint, s string")
+    with pytest.raises(TypeError, match="string column"):
+        zorder_write(df, ["x", "s"], "/tmp/never-written")
+
+
 def test_zorder_key_masks_negatives_and_overflow(spark):
     # negative and >16-bit inputs must wrap exactly like `& 65535`
     df = spark.createDataFrame([(-1, 70000)], "x bigint, y bigint")
@@ -71,7 +103,7 @@ def test_zorder_write_tightens_both_dims(spark, tmp_path):
     # naive layout: the incoming (unsorted) partitioning, same file count
     # (16 files = a 4-bit z prefix = both dims bounded to 1/4 range)
     o.repartition(16).write.mode("overwrite").parquet(naive)
-    zorder_write(o, "o_custkey", "day16", zpath, n_files=16)
+    zorder_write(o, ["o_custkey", "day16"], zpath, n_files=16)
 
     def avg_span(path):
         st = file_minmax_stats(path, ["o_custkey", "day16"])
@@ -103,7 +135,7 @@ def test_footer_skipping_beats_naive(spark, tmp_path):
 
     naive, zpath = str(tmp_path / "naive"), str(tmp_path / "zorder")
     o.repartition(16).write.mode("overwrite").parquet(naive)
-    zorder_write(o, "o_custkey", "day16", zpath, n_files=16)
+    zorder_write(o, ["o_custkey", "day16"], zpath, n_files=16)
 
     # a narrow customer-range probe (5% of the key range)
     width = max(1, (hi - lo) // 20)
