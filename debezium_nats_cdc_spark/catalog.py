@@ -101,83 +101,79 @@ def _load_modules() -> None:
 # on-phase half).  Result: every query is driver-green in round N or
 # N−1, by construction.
 #
-# Round-8 plan (EVEN phase): the 34 r6-green stale queries lead
-# (sampling 6, windows 7, joins 9, quantize 3, sim_kmeans_refine +
-# sim_lsh_bucketed_neardup, advanced 7), then rule A's touched/new
-# modules: dedup 8 (subgroup pair dedup + CC loop work), stats 3
-# (NEW stats_join_cardinality), the 2 NEW r8 queries from new modules
-# (text_tfidf_topk in ranking.py, layout_zorder_stats in layout.py),
-# and sim_ivf_probe_topk (ann_index.py touched — docstring, but rule A
-# keys off the file diff).  That fills 48; the 2 fillers are
-# mm_feature_extract and agg_cube_orders (r7-green — continuity on the
-# r7 oracle fixes).  Out of window (37), all r7-green: cdc_queries 11,
-# text 9 (text.py deliberately untouched — the NEW tf-idf op lives in
-# ranking.py precisely so rule A does not drag 10 text slots in),
-# curation 4 (incl. corpus_mixture_plan), mm 4, aggregates 6 (incl.
-# agg_grouping_sets_priority), sim 3; they rotate back in r9 (ODD
-# phase).
+# Round-9 plan (ODD phase): the 37 r7-green out-of-window queries lead
+# (cdc_queries 11, text 9, curation 3 + corpus_mixture_plan, mm 4,
+# aggregates 6, sim 3 — exactly the r8 out-of-window set).  Then rule
+# A's touched modules this round: stats.py 4 (shared-tokenizer-adjacent
+# advisor work — 3 r8-green + the NEW stats_join_advisor, never
+# verified), ranking.py 1 (tokenizer unified with text._tokens),
+# layout.py 1 (k-dim interleave refactor + NULL-dim coalesce).  That
+# fills 43; the 7 fillers are r8-green EVEN-half continuity picks —
+# the two heaviest dedup plans, the salted join, plus one
+# representative each from windows/sampling/ann/mm so every family
+# stays exercised.  Out of window (38): the rest of the EVEN half, all
+# r8-green; they rotate back in r10 (EVEN phase).
 _WINDOW_ORDER: list[str] = [
-    # half EVEN: sampling (last green r6)
-    "corpus_train_split",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "corpus_lang_mix",
-    "corpus_quality_weighted_sample",
-    "corpus_global_shuffle",
-    # half EVEN: windows (last green r6)
-    "window_latest_state_per_key",
-    "window_topk_per_group",
-    "window_running_total",
-    "window_lag_timeline",
-    "window_field_diff_audit",
-    "window_ntile_curriculum",
-    "window_state_as_of",
-    # half EVEN: joins (last green r6)
-    "join_broadcast_enrich",
-    "join_hierarchy_chain",
-    "join_self_pairs",
-    "join_semi_exists",
-    "join_anti_orphans",
-    "join_range_interval",
-    "join_event_correlation",
-    "join_top_orders",
-    "join_salted_skew",
-    # half EVEN: quantize (last green r6)
-    "emb_quantize_int8",
-    "emb_norm_stats",
-    "emb_dim_stats",
-    # half EVEN: similarity remainder (last green r6)
-    "sim_lsh_bucketed_neardup",
-    "sim_kmeans_refine",
-    # half EVEN: advanced (last green r6)
-    "join_asof_last_click",
-    "cdc_sessionization",
-    "text_length_percentiles",
-    "cdc_tenure_per_user",
-    "scalar_functions_showcase",
-    "agg_approx_distinct",
-    "mm_doc_embedding_join",
-    # rule A: dedup (module touched r8: subgroup pair-set dedup + CC work)
-    "dedup_exact_groups",
-    "dedup_exact_keep_first",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_cluster_assign",
-    "dedup_exact_substring",
-    "dedup_prefix_cluster",
-    # rule A: stats (module touched r8: NEW join-cardinality probe)
+    # half ODD: cdc_queries (last green r7)
+    "cdc_envelope_build",
+    "cdc_subject_route",
+    "cdc_json_extract",
+    "cdc_masking_pii",
+    "cdc_validate_split",
+    "cdc_dedup_exact",
+    "cdc_retention_filter",
+    "cdc_tumbling_window",
+    "cdc_union_heterogeneous",
+    "cdc_set_intersect",
+    "cdc_set_except",
+    # half ODD: text (last green r7)
+    "text_token_stats",
+    "text_quality_score",
+    "text_language_id",
+    "text_lang_distribution",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "text_token_frequencies",
+    "text_repetition_filter",
+    "text_unigram_logprob",
+    # half ODD: curation (last green r7)
+    "corpus_curation",
+    "corpus_decontaminate",
+    "pii_scrub_customers",
+    "corpus_mixture_plan",
+    # half ODD: multimodal (last green r7)
+    "mm_binary_metadata",
+    "mm_frame_sample",
+    "mm_resize_plan",
+    "mm_audio_chunk_plan",
+    # half ODD: aggregates (last green r7)
+    "agg_pricing_summary",
+    "agg_daily_event_volume",
+    "agg_metrics_by_type",
+    "agg_rollup_region_nation",
+    "agg_pivot_returnflag",
+    "agg_grouping_sets_priority",
+    # half ODD: similarity (last green r7)
+    "sim_cosine_topk",
+    "sim_nearest_centroid",
+    "sim_embedding_neardup",
+    # rule A: stats.py touched (NEW advisor; 3 r8-green siblings)
     "stats_key_skew_report",
     "stats_numeric_profile",
     "stats_join_cardinality",
-    # rule A: the NEW r8 modules (never verified)
+    "stats_join_advisor",
+    # rule A: ranking.py touched (tokenizer shared with text._tokens)
     "text_tfidf_topk",
+    # rule A: layout.py touched (k-dim interleave + NULL-dim coalesce)
     "layout_zorder_stats",
-    # rule A defensive: ann_index.py docstring change
+    # fillers (r8-green): EVEN-half continuity, one per family
+    "dedup_cluster_assign",
+    "dedup_minhash_lsh",
+    "join_salted_skew",
+    "window_latest_state_per_key",
+    "corpus_global_shuffle",
     "sim_ivf_probe_topk",
-    # fillers (r7-green): continuity on the r7 oracle fixes
     "mm_feature_extract",
-    "agg_cube_orders",
 ]
 
 
