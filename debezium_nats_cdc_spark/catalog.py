@@ -74,6 +74,7 @@ def _load_modules() -> None:
         text,
         ranking,
         layout,
+        linalg,
     )
 
 
@@ -104,14 +105,14 @@ def _load_modules() -> None:
 # Round-9 plan (ODD phase): the 37 r7-green out-of-window queries lead
 # (cdc_queries 11, text 9, curation 3 + corpus_mixture_plan, mm 4,
 # aggregates 6, sim 3 — exactly the r8 out-of-window set).  Then rule
-# A's touched modules this round: stats.py 4 (shared-tokenizer-adjacent
-# advisor work — 3 r8-green + the NEW stats_join_advisor, never
-# verified), ranking.py 1 (tokenizer unified with text._tokens),
-# layout.py 1 (k-dim interleave refactor + NULL-dim coalesce).  That
-# fills 43; the 7 fillers are r8-green EVEN-half continuity picks —
-# the two heaviest dedup plans, the salted join, plus one
-# representative each from windows/sampling/ann/mm so every family
-# stays exercised.  Out of window (38): the rest of the EVEN half, all
+# A's touched modules this round: stats.py 4 (3 r8-green + the NEW
+# stats_join_advisor, never verified), ranking.py 2 (tokenizer unified
+# with text._tokens + the NEW text_bm25_topk, never verified),
+# layout.py 1 (k-dim interleave refactor + NULL-dim coalesce), NEW
+# linalg.py 1 (emb_covariance, never verified).  That fills 45; the 5
+# fillers are r8-green EVEN-half continuity picks — the two heaviest
+# dedup plans, the salted join, and one representative each from
+# ann/mm.  Out of window (40): the rest of the EVEN half, all
 # r8-green; they rotate back in r10 (EVEN phase).
 _WINDOW_ORDER: list[str] = [
     # half ODD: cdc_queries (last green r7)
@@ -162,16 +163,18 @@ _WINDOW_ORDER: list[str] = [
     "stats_numeric_profile",
     "stats_join_cardinality",
     "stats_join_advisor",
-    # rule A: ranking.py touched (tokenizer shared with text._tokens)
+    # rule A: ranking.py touched (tokenizer shared with text._tokens;
+    # NEW BM25, never verified)
     "text_tfidf_topk",
+    "text_bm25_topk",
     # rule A: layout.py touched (k-dim interleave + NULL-dim coalesce)
     "layout_zorder_stats",
+    # rule A: NEW linalg.py module (never verified)
+    "emb_covariance",
     # fillers (r8-green): EVEN-half continuity, one per family
     "dedup_cluster_assign",
     "dedup_minhash_lsh",
     "join_salted_skew",
-    "window_latest_state_per_key",
-    "corpus_global_shuffle",
     "sim_ivf_probe_topk",
     "mm_feature_extract",
 ]

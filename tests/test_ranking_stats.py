@@ -155,3 +155,97 @@ def test_advise_join_distinct_key_names_and_empty_side(spark):
     # an empty side always broadcasts (total 0 <= any threshold)
     assert out["strategy"] == "broadcast"
     assert out["build_side"] == "right"
+
+
+def test_bm25_matches_independent_reimplementation(spark, tmp_path):
+    import math
+
+    from debezium_nats_cdc_spark.operators.ranking import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        text_bm25_topk,
+    )
+
+    docs = [
+        (1, "hash join hash"),
+        (2, "vector"),
+        (3, "other words here"),      # no query term -> not retrieved
+        (4, "join join join vector hash padding padding padding"),
+        (5, None),
+    ]
+    sf = _write_docs(spark, tmp_path, docs)
+    got = {r.doc_id: r for r in text_bm25_topk(spark, sf).collect()}
+
+    # independent reimplementation (plain python floats)
+    toks = {d: (t or "").lower().split(" ") for d, t in docs}
+    toks = {d: [t for t in ts if t] for d, ts in toks.items()}
+    n = len(docs)
+    avgdl = sum(len(ts) for ts in toks.values()) / n
+    df = {q: sum(1 for ts in toks.values() if q in ts) for q in BM25_QUERY}
+    expect = {}
+    for d, ts in toks.items():
+        s = 0.0
+        matched = 0
+        for q in BM25_QUERY:
+            tf = ts.count(q)
+            if not tf:
+                continue
+            matched += 1
+            idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            s += round(idf * tf * (BM25_K1 + 1.0)
+                       / (tf + BM25_K1 * (1.0 - BM25_B
+                                          + BM25_B * len(ts) / avgdl)), 8)
+        if matched:
+            expect[d] = (matched, round(s, 6))
+
+    assert set(got) == set(expect)
+    for d, (matched, score) in expect.items():
+        assert got[d].n_terms_matched == matched, d
+        assert abs(got[d].bm25 - score) < 1e-9, (d, got[d].bm25, score)
+    # rank order: score desc, doc_id asc
+    ranked = sorted(got.values(), key=lambda r: r.rnk)
+    assert [r.doc_id for r in ranked] == [
+        d for d, _ in sorted(expect.items(), key=lambda kv: (-kv[1][1], kv[0]))]
+
+
+def test_emb_covariance_matches_numpy(spark, tmp_path):
+    import numpy as np
+
+    from debezium_nats_cdc_spark.operators.linalg import emb_covariance
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 8).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    (spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+          .write.mode("overwrite")
+          .parquet(f"{tmp_path}/embeddings.parquet"))
+
+    got = {(r.dim_i, r.dim_j): (r.n_pairs, r.cov)
+           for r in emb_covariance(spark, str(tmp_path)).collect()}
+    assert len(got) == 8 * 9 // 2
+
+    ref = np.cov(np.round(vecs.astype(np.float64), 6), rowvar=False, ddof=1)
+    for i in range(8):
+        for j in range(i, 8):
+            n_pairs, cov = got[(i, j)]
+            assert n_pairs == 50
+            assert abs(cov - ref[i, j]) < 1e-6, (i, j, cov, ref[i, j])
+
+
+def test_emb_covariance_ragged_and_null_vectors(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.linalg import emb_covariance
+
+    rows = [(1, [1.0, 2.0, 3.0]), (2, [2.0, 4.0, 6.0]),
+            (3, [3.0, 6.0]),        # ragged: no dim 2
+            (4, None)]              # NULL vector ignored entirely
+    (spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+          .write.mode("overwrite")
+          .parquet(f"{tmp_path}/embeddings.parquet"))
+    got = {(r.dim_i, r.dim_j): (r.n_pairs, r.cov)
+           for r in emb_covariance(spark, str(tmp_path)).collect()}
+    # dims 0,1 pair over 3 vectors; anything touching dim 2 over 2
+    assert got[(0, 0)][0] == 3 and got[(0, 2)][0] == 2
+    assert got[(0, 0)][1] == 1.0      # var([1,2,3]) ddof=1
+    assert got[(0, 1)][1] == 2.0      # cov([1,2,3],[2,4,6])
+    assert got[(2, 2)][1] == 4.5      # var([3,6])

@@ -72,6 +72,9 @@ CARTESIAN_OK: dict[str, str] = {
     "stats_join_advisor": "three 1-row scalar frames (per-side "
                           "summaries + pair total) crossJoined into "
                           "the single decision row — all scalar bound",
+    "text_bm25_topk": "1-row corpus stats (N, avgdl) broadcast "
+                      "crossJoined into the per-term score — scalar "
+                      "bound",
 }
 
 # Queries whose range-partitioning exchange is a reviewed TERMINAL sort
