@@ -33,11 +33,13 @@ from ..io import load_table
       SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
     ),
     e AS (
-      SELECT vec_id,
-             CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
-             CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6)
-                  AS DECIMAL(14,6)) AS x
-      FROM v
+      SELECT vec_id, pos, x FROM (
+        SELECT vec_id,
+               CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+               CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6)
+                    AS DECIMAL(14,6)) AS x
+        FROM v
+      ) WHERE x IS NOT NULL
     ),
     pairs AS (
       SELECT a.pos AS dim_i, b.pos AS dim_j,
@@ -64,8 +66,10 @@ from ..io import load_table
         "EXACT (order-independent) DECIMAL accumulation; only the final "
         "(Sxy - Sx*Sy/n)/(n-1) runs in double, on identical inputs in "
         "both engines, rounded to the 8dp hash-compared value. Ragged/"
-        "short vectors contribute only the dim pairs they have (per-"
-        "cell n_pairs; cells with n<=1 dropped). Scale shape: the "
+        "short vectors contribute only the dim pairs they have, and "
+        "NULL elements drop before pairing so each cell's n_pairs "
+        "counts exactly the rows its sums saw (per-cell n_pairs; "
+        "cells with n<=1 dropped). Scale shape: the "
         "explode is a pure map; the self-join shuffles 2*n*d rows "
         "hashed on vec_id (each key holds exactly its own d rows — no "
         "skew by construction); the aggregate is map-side partial with "
@@ -84,7 +88,11 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("int").alias("pos"),
         F.round(F.col("_raw").cast("double"), 6)
          .cast("decimal(14,6)").alias("x"),
-    )
+    ).filter(F.col("x").isNotNull())
+    # ^ NULL elements dropped BEFORE pairing: a pair row with a NULL
+    # element would inflate n_pairs (COUNT(*)) while contributing
+    # nothing to the sums, biasing cov's denominator — each cell must
+    # see exactly the rows its sums see
     a = e.select(F.col("vec_id"), F.col("pos").alias("dim_i"),
                  F.col("x").alias("xa"))
     b = e.select(F.col("vec_id"), F.col("pos").alias("dim_j"),

@@ -202,9 +202,10 @@ def advise_join(left: DataFrame, right: DataFrame, left_key: str,
         ``build_side`` names it.
       * ``salted(hot_keys)`` — some key's frequency exceeds
         ``skew_ratio`` x the mean key frequency on either side; the
-        returned ``hot_keys`` (bounded at ``max_hot_keys``, hottest
-        first, from the skewed side) feed a join_salted_skew-style
-        partial salting, or AQE skew-join handles it at runtime.
+        returned ``hot_keys`` (merged across both skewed sides by max
+        frequency, hottest first, bounded at ``max_hot_keys``) feed a
+        join_salted_skew-style partial salting, or AQE skew-join
+        handles it at runtime.
       * ``shuffle`` — plain hash join; no measured reason to do more.
 
     Cost: one filter+aggregate per side (map-side combined key counts
@@ -245,18 +246,27 @@ def advise_join(left: DataFrame, right: DataFrame, left_key: str,
         return {"strategy": "broadcast", "build_side": side,
                 "hot_keys": [], "rationale": rationale}
 
-    def _hot(freq: DataFrame, summary: dict) -> list:
+    def _hot(freq: DataFrame, summary: dict) -> list[tuple]:
         mean = summary["total"] / summary["n_keys"]
-        return [r._k for r in (
+        return [(r._k, r._n) for r in (
             freq.filter(F.col("_n") >= F.lit(skew_ratio * mean))
                 .orderBy(F.desc("_n"), F.asc("_k"))
                 .limit(max_hot_keys).collect())]
 
     skews = [s["skew_ratio"] or 0.0 for s in (lsum, rsum)]
     if max(skews) >= skew_ratio:
-        hot = sorted(set(
-            (_hot(lfreq, lsum) if skews[0] >= skew_ratio else [])
-            + (_hot(rfreq, rsum) if skews[1] >= skew_ratio else [])))
+        # merge both sides' candidates by MAX frequency, then keep the
+        # documented contract: hottest first, bounded at max_hot_keys —
+        # a caller salting hot_keys[:k] must get the heaviest keys, not
+        # the lexicographically smallest
+        best: dict = {}
+        for k, n in ((_hot(lfreq, lsum) if skews[0] >= skew_ratio else [])
+                     + (_hot(rfreq, rsum) if skews[1] >= skew_ratio else [])):
+            if n > best.get(k, -1):
+                best[k] = n
+        hot = [k for k, _ in sorted(best.items(),
+                                    key=lambda kv: (-kv[1], kv[0]))
+               ][:max_hot_keys]
         return {"strategy": "salted", "build_side": None,
                 "hot_keys": hot, "rationale": rationale}
 

@@ -102,9 +102,13 @@ def _zdim_encode(df: DataFrame, col: str, max_codes: int) -> tuple[DataFrame, st
     if dict(df.dtypes)[col] != "string":
         return df, col
     spark = df.sparkSession
-    vals = [r[0] for r in (df.select(col).distinct()
-                           .orderBy(col).limit(max_codes + 1).collect())
-            if r[0] is not None]
+    # NULLs filtered BEFORE the limit: Spark ASC sorts NULLS FIRST, so a
+    # NULL would consume one slot of limit(max_codes+1) and let an
+    # over-limit vocabulary slip past the guard below (its largest
+    # values would then silently get NULL codes -> z-bucket 0)
+    vals = [r[0] for r in (df.select(col).filter(F.col(col).isNotNull())
+                           .distinct()
+                           .orderBy(col).limit(max_codes + 1).collect())]
     if len(vals) > max_codes:
         raise ValueError(
             f"optimize_zorder: string dim {col!r} has > {max_codes} "
@@ -152,7 +156,10 @@ def optimize_zorder(
     months = sorted(
         p.name.split("=", 1)[1] for p in root.glob("event_month=*") if p.is_dir()
     )
-    closed = months[: len(months) - keep_open_months] if keep_open_months else months
+    # max(0, ...): keep_open_months > len(months) must skip EVERYTHING
+    # (a negative slice bound would instead rewrite a still-open month
+    # and race its appends)
+    closed = months[: max(0, len(months) - keep_open_months)]
     for m in closed:
         part = root / f"event_month={m}"
         df = spark.read.parquet(str(part))
@@ -162,7 +169,13 @@ def optimize_zorder(
             zdims.append(enc_col)
             if enc_col != c:
                 drop.append(enc_col)
-        tmp = str(part) + ".zorder"
+        # staging lives OUTSIDE the store root (compact_store's
+        # convention): a tmp dir named event_month=<m>.zorder inside it
+        # would match both Spark partition discovery and this
+        # function's own glob after a crash, permanently duplicating
+        # the month
+        tmp = f"{str(root)}.zorder-{m}"
+        shutil.rmtree(tmp, ignore_errors=True)  # leftover from a crash
         zorder_write(enc_df, zdims, tmp, n_files=files_per_month, drop=drop)
         shutil.rmtree(part)
         Path(tmp).rename(part)

@@ -138,7 +138,7 @@ class TfidfMonitor:
         batch_docs = docs.select(self.id_col).count()
 
         # drift vs the corpus BEFORE this batch is folded in
-        self._write_drift(spark, batch, n_docs)
+        self._write_drift(spark, batch)
 
         merged = (
             self.terms(spark).unionByName(batch)
@@ -159,8 +159,7 @@ class TfidfMonitor:
             merged.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
             self.state_dir)
 
-    def _write_drift(self, spark: SparkSession, batch: DataFrame,
-                     corpus_docs: int) -> None:
+    def _write_drift(self, spark: SparkSession, batch: DataFrame) -> None:
         corpus = self.terms(spark)
         corpus_tokens = (corpus.agg(F.coalesce(F.sum("tf"), F.lit(0))
                                     .alias("_t")).first()._t)
@@ -196,8 +195,32 @@ class TfidfMonitor:
         self.backend.swap_write(
             report.coalesce(1).localCheckpoint(eager=True), self.drift_dir)
 
+    def reset_epoch_guard(self, spark: SparkSession) -> None:
+        """Clear ``last_epoch`` (set to -1, state otherwise unchanged)
+        so a stream restarted from a FRESH checkpoint — whose epoch ids
+        restart at 0 — can keep folding into the accumulated state.
+        Called automatically by ``start`` on a fresh checkpoint; the
+        replay guard then only protects within the new checkpoint's
+        epoch sequence."""
+        state = self._state(spark)
+        if state.isEmpty():
+            return
+        self.backend.swap_write(
+            state.withColumn(
+                "last_epoch",
+                F.when(F.col("term").isNull(), F.lit(-1).cast("bigint"))
+                 .otherwise(F.col("last_epoch"))),
+            self.state_dir)
+
     def start(self, spark: SparkSession, stream: DataFrame,
               available_now: bool = True):
+        # fresh checkpoint => epoch ids restart at 0.  Without this
+        # reset the replay guard (epoch_id <= last_epoch) would
+        # silently DROP every batch until the new epoch sequence passes
+        # the old high-water mark — the _ingest_base half-reset
+        # contract, applied to aggregate state instead of txn markers.
+        if not self.backend.checkpoint_established(self.checkpoint_dir):
+            self.reset_epoch_guard(spark)
         writer = (
             stream.writeStream.queryName("tfidf-monitor")
             .option("checkpointLocation", self.checkpoint_dir)

@@ -249,3 +249,35 @@ def test_emb_covariance_ragged_and_null_vectors(spark, tmp_path):
     assert got[(0, 0)][1] == 1.0      # var([1,2,3]) ddof=1
     assert got[(0, 1)][1] == 2.0      # cov([1,2,3],[2,4,6])
     assert got[(2, 2)][1] == 4.5      # var([3,6])
+
+
+def test_advise_join_hot_keys_hottest_first_and_bounded(spark):
+    # two hot keys with different weights on the left, one on the right
+    # that is ALSO key 9 (merged by max) -> order must be by frequency
+    # desc, and the cap applies AFTER the merge
+    left = _df(spark, [9] * 40 + [3] * 80 + list(range(100, 120)))
+    right = _df(spark, [9] * 90 + list(range(100, 130)))
+    out = advise_join(left, right, "k", broadcast_rows=5, max_hot_keys=2)
+    assert out["strategy"] == "salted"
+    # 9 -> max(40, 90) = 90 beats 3 -> 80
+    assert out["hot_keys"] == [9, 3]
+
+    capped = advise_join(left, right, "k", broadcast_rows=5, max_hot_keys=1)
+    assert capped["hot_keys"] == [9]
+
+
+def test_emb_covariance_null_elements_do_not_inflate_n(spark, tmp_path):
+    from debezium_nats_cdc_spark.operators.linalg import emb_covariance
+
+    rows = [(1, [1.0, 2.0]), (2, [2.0, 4.0]), (3, [3.0, 6.0]),
+            (4, [4.0, None])]  # NULL lane: must not count in (0,1)/(1,1)
+    (spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+          .write.mode("overwrite")
+          .parquet(f"{tmp_path}/embeddings.parquet"))
+    got = {(r.dim_i, r.dim_j): (r.n_pairs, r.cov)
+           for r in emb_covariance(spark, str(tmp_path)).collect()}
+    assert got[(0, 0)][0] == 4            # dim 0 fully observed
+    assert got[(0, 1)][0] == 3            # NULL lane excluded
+    assert got[(1, 1)][0] == 3
+    assert got[(0, 1)][1] == 2.0          # cov([1,2,3],[2,4,6]) ddof=1
+    assert got[(1, 1)][1] == 4.0          # var([2,4,6]) ddof=1

@@ -124,3 +124,53 @@ def test_optimize_zorder_string_cardinality_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="distinct values"):
         store.optimize_zorder(spark, path, dims=["event_id", "event_type"],
                               keep_open_months=1, max_codes=10)
+
+
+def test_optimize_zorder_skips_everything_when_open_exceeds_months(
+        spark, tmp_path):
+    path = str(tmp_path / "hr_events")
+    store.append_events(_envelopes(spark, 200, _JAN, 86400), path)
+    before = _parquet_files(f"{path}/event_month=202601")
+    done = store.optimize_zorder(spark, path,
+                                 dims=["event_type", "event_timestamp"],
+                                 keep_open_months=3)
+    assert done == []
+    assert _parquet_files(f"{path}/event_month=202601") == before
+
+
+def test_optimize_zorder_staging_never_inside_store_root(spark, tmp_path,
+                                                         monkeypatch):
+    """A crash mid-rewrite must not leave a dir that Spark partition
+    discovery or the month glob would mistake for a real month."""
+    import debezium_nats_cdc_spark.store as store_mod
+
+    path = str(tmp_path / "hr_events")
+    store.append_events(_envelopes(spark, 300, _JAN, 86400), path)
+    store.append_events(_envelopes(spark, 50, _FEB, 86400), path)
+
+    seen = []
+    real = store_mod.zorder_write
+
+    def spy(df, dims, p, **kw):
+        seen.append(p)
+        real(df, dims, p, **kw)
+        raise RuntimeError("crash after staging write")
+
+    monkeypatch.setattr(store_mod, "zorder_write", spy)
+    try:
+        store.optimize_zorder(spark, path,
+                              dims=["event_type", "event_timestamp"],
+                              keep_open_months=1)
+    except RuntimeError:
+        pass
+    assert seen and all(not s.startswith(path + "/") for s in seen)
+    # the store itself still reads exactly the original rows
+    assert spark.read.parquet(path).count() == 350
+    # and a re-run heals: the leftover staging dir is cleared, months
+    # glob still sees only the real months
+    monkeypatch.setattr(store_mod, "zorder_write", real)
+    done = store.optimize_zorder(spark, path,
+                                 dims=["event_type", "event_timestamp"],
+                                 keep_open_months=1)
+    assert done == ["202601"]
+    assert spark.read.parquet(path).count() == 350

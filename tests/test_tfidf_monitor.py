@@ -111,3 +111,30 @@ def test_streaming_entrypoint(spark, tmp_path):
     mon.start(spark, stream).awaitTermination()
     got = {r.term: (r.tf, r.df) for r in mon.terms(spark).collect()}
     assert got == _recompute(spark, B1 + B3)
+
+
+def test_fresh_checkpoint_restart_keeps_folding(spark, tmp_path):
+    """A checkpoint reset restarts epoch ids at 0; the replay guard must
+    not silently drop the new data (VERDICT-r9 review finding)."""
+    root = str(tmp_path / "mon")
+    mon = TfidfMonitor(root)
+    mon.process_batch(spark, _docs(spark, B1), epoch_id=40)
+    mon.process_batch(spark, _docs(spark, B2), epoch_id=41)
+    assert mon.meta(spark)[1] == 41
+
+    # restart with a FRESH checkpoint: stream re-delivers from epoch 0
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    _docs(spark, B3).coalesce(1).write.parquet(os.path.join(in_dir, "b1"))
+    mon2 = TfidfMonitor(root)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(os.path.join(in_dir, "*"))
+    )
+    mon2.start(spark, stream).awaitTermination()
+
+    got = {r.term: (r.tf, r.df) for r in mon2.terms(spark).collect()}
+    assert got == _recompute(spark, B1 + B2 + B3)
+    n_docs, last_epoch = mon2.meta(spark)
+    assert n_docs == len(B1 + B2 + B3)
+    assert last_epoch == 0  # the new checkpoint's epoch sequence
