@@ -186,6 +186,50 @@ def read_events(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_events_pruned(
+    spark: SparkSession,
+    path: str,
+    event_types: list[str] | None = None,
+    ts_range: tuple | None = None,
+    aggregate_ids: list[str] | None = None,
+) -> DataFrame:
+    """Predicate-first reader for the analytics workload the layout
+    serves (docs/system-design.md:130-134: filter by type AND time AND
+    aggregate).
+
+    The point is WHERE the predicates land, not what they compute:
+
+      * ``ts_range`` additionally derives the ``event_month`` bounds,
+        so directory-level partition pruning drops whole months before
+        any file is opened (yyyyMM strings compare in time order);
+      * type/time/aggregate predicates reach the parquet scan as
+        PushedFilters (pinned by tests/test_store_zorder.py), where the
+        row-group/footer min-max statistics that `optimize_zorder`
+        tightened skip most files of the surviving months without
+        reading a data page.
+
+    Plain column filters would eventually push too; this helper exists
+    so the month-derivation isn't re-derived (or forgotten) at every
+    call site, and as the documented read-side contract of the
+    clustered layout.
+    """
+    df = spark.read.parquet(path)
+    if ts_range is not None:
+        lo, hi = ts_range
+        df = df.filter(
+            F.col("event_month").between(
+                F.date_format(F.lit(lo).cast("timestamp"), "yyyyMM"),
+                F.date_format(F.lit(hi).cast("timestamp"), "yyyyMM"))
+            & F.col("event_timestamp").between(
+                F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp"))
+        )
+    if event_types:
+        df = df.filter(F.col("event_type").isin(list(event_types)))
+    if aggregate_ids:
+        df = df.filter(F.col("aggregate_id").isin(list(aggregate_ids)))
+    return df
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int = 64,
                    sort_cols: list[str] | None = None) -> None:

@@ -174,3 +174,42 @@ def test_optimize_zorder_staging_never_inside_store_root(spark, tmp_path,
                                  keep_open_months=1)
     assert done == ["202601"]
     assert spark.read.parquet(path).count() == 350
+
+
+def test_read_events_pruned_pushes_all_three_predicates(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from debezium_nats_cdc_spark.plans.explain import formatted_plan
+
+    path = str(tmp_path / "hr_events")
+    store.append_events(_envelopes(spark, 2000, _JAN, 28 * 86400), path)
+    store.append_events(_envelopes(spark, 2000, _FEB, 28 * 86400), path)
+    store.optimize_zorder(
+        spark, path,
+        dims=["event_type", "event_timestamp", "aggregate_id"],
+        keep_open_months=0, files_per_month=8)
+
+    lo = datetime(2026, 1, 5, tzinfo=timezone.utc)
+    hi = datetime(2026, 1, 12, tzinfo=timezone.utc)
+    df = store.read_events_pruned(
+        spark, path,
+        event_types=["EmployeeHired"],
+        ts_range=(lo.isoformat(), hi.isoformat()),
+        aggregate_ids=None)
+
+    plan = formatted_plan(df)
+    # month partition pruning + pushed scan filters on both columns
+    assert "PushedFilters" in plan
+    for frag in ("event_type", "event_timestamp"):
+        assert frag in plan.split("PushedFilters")[1].split("]")[0], frag
+    # February pruned at the DIRECTORY level: partition filters mention
+    # event_month, and the result matches a manual filter
+    assert "event_month" in plan
+
+    manual = (spark.read.parquet(path)
+              .filter((F.col("event_type") == "EmployeeHired")
+                      & F.col("event_timestamp").between(
+                          F.lit(lo.isoformat()).cast("timestamp"),
+                          F.lit(hi.isoformat()).cast("timestamp"))))
+    assert df.count() == manual.count() > 0
+    assert df.select(F.max("event_month")).first()[0] == "202601"
