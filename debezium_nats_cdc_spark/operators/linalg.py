@@ -70,36 +70,57 @@ from ..io import load_table
         "NULL elements drop before pairing so each cell's n_pairs "
         "counts exactly the rows its sums saw (per-cell n_pairs; "
         "cells with n<=1 dropped). Scale shape: the "
-        "explode is a pure map; the self-join shuffles 2*n*d rows "
-        "hashed on vec_id (each key holds exactly its own d rows — no "
-        "skew by construction); the aggregate is map-side partial with "
-        "at most d*(d+1)/2 groups at ANY corpus size, so the final "
-        "shuffle carries d^2 cells per partition, not data.",
+        "pair generation is a PURE PROJECTION (nested F.transform over "
+        "the array builds the upper-triangle element pairs per row — no "
+        "explode-then-self-join, so NO data shuffle at all); the "
+        "aggregate is map-side partial with at most d*(d+1)/2 groups at "
+        "ANY corpus size, so the only shuffle carries d^2 cells per "
+        "partition, not data.",
 )
 def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     v = (load_table(spark, sf_dir, "embeddings")
          .filter(F.col("embedding").isNotNull())
-         .select("vec_id", "embedding"))
-    e = v.select(
-        "vec_id",
-        F.posexplode("embedding").alias("pos", "_raw"),
-    ).select(
-        "vec_id",
-        F.col("pos").cast("int").alias("pos"),
-        F.round(F.col("_raw").cast("double"), 6)
-         .cast("decimal(14,6)").alias("x"),
-    ).filter(F.col("x").isNotNull())
-    # ^ NULL elements dropped BEFORE pairing: a pair row with a NULL
-    # element would inflate n_pairs (COUNT(*)) while contributing
-    # nothing to the sums, biasing cov's denominator — each cell must
-    # see exactly the rows its sums see
-    a = e.select(F.col("vec_id"), F.col("pos").alias("dim_i"),
-                 F.col("x").alias("xa"))
-    b = e.select(F.col("vec_id"), F.col("pos").alias("dim_j"),
-                 F.col("x").alias("xb"))
+         .select("embedding")
+         # The pair projection below does d^2 work per row; a corpus that
+         # arrives in few splits (locally: ONE parquet file) would run it
+         # in few tasks.  Round-robin the raw vectors (n rows, the
+         # cheapest possible exchange — d values/row, not the d^2 pairs)
+         # so the heavy projection parallelizes; on a real cluster with
+         # many input splits this is still wanted for even task sizing.
+         .repartition(sess_parts))
+    # Canonicalize every element to the engine-wide 6dp DECIMAL once.
+    xs = F.transform(
+        "embedding",
+        lambda c: F.round(c.cast("double"), 6).cast("decimal(14,6)"),
+    )
+    # Upper-triangle pairs per row, built JVM-side as a projection:
+    # d^2 structs filtered to the j>=i half with both elements non-NULL.
+    # NULL elements drop BEFORE pairing: a pair row with a NULL element
+    # would inflate n_pairs (COUNT(*)) while contributing nothing to
+    # the sums, biasing cov's denominator — each cell must see exactly
+    # the rows its sums see.  Ragged vectors contribute only the dim
+    # pairs they have (the nested transform ranges over the actual
+    # array length row by row).
+    pair_arr = F.filter(
+        F.flatten(F.transform(
+            xs,
+            lambda xa, i: F.transform(
+                xs,
+                lambda xb, j: F.struct(
+                    i.cast("int").alias("dim_i"),
+                    j.cast("int").alias("dim_j"),
+                    xa.alias("xa"),
+                    xb.alias("xb"),
+                ),
+            ),
+        )),
+        lambda p: (p["dim_j"] >= p["dim_i"])
+                  & p["xa"].isNotNull() & p["xb"].isNotNull(),
+    )
     pairs = (
-        a.join(b, ["vec_id"])
-         .filter(F.col("dim_j") >= F.col("dim_i"))
+        v.select(F.explode(pair_arr).alias("p"))
+         .select("p.dim_i", "p.dim_j", "p.xa", "p.xb")
          .groupBy("dim_i", "dim_j")
          .agg(
              F.count("*").cast("bigint").alias("n_pairs"),
