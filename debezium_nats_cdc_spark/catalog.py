@@ -75,6 +75,7 @@ def _load_modules() -> None:
         ranking,
         layout,
         linalg,
+        funnel,
     )
 
 
@@ -171,12 +172,15 @@ _WINDOW_ORDER: list[str] = [
     "layout_zorder_stats",
     # rule A: NEW linalg.py module (never verified)
     "emb_covariance",
-    # fillers (r8-green): EVEN-half continuity, one per family
+    # rule A: NEW funnel.py module (never verified) — displaces two
+    # fillers (sim_ivf_probe_topk, mm_feature_extract were r8-green;
+    # they rotate back with the EVEN half in r10)
+    "events_funnel_conversion",
+    "events_cohort_retention",
+    # fillers (r8-green): EVEN-half continuity
     "dedup_cluster_assign",
     "dedup_minhash_lsh",
     "join_salted_skew",
-    "sim_ivf_probe_topk",
-    "mm_feature_extract",
 ]
 
 
