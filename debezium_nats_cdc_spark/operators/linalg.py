@@ -78,17 +78,27 @@ from ..io import load_table
         "partition, not data.",
 )
 def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     v = (load_table(spark, sf_dir, "embeddings")
          .filter(F.col("embedding").isNotNull())
-         .select("embedding")
-         # The pair projection below does d^2 work per row; a corpus that
-         # arrives in few splits (locally: ONE parquet file) would run it
-         # in few tasks.  Round-robin the raw vectors (n rows, the
-         # cheapest possible exchange — d values/row, not the d^2 pairs)
-         # so the heavy projection parallelizes; on a real cluster with
-         # many input splits this is still wanted for even task sizing.
-         .repartition(sess_parts))
+         .select("embedding"))
+    return covariance_cells(spark, v).select(
+        "dim_i", "dim_j", "n_pairs", "cov")
+
+
+def covariance_cells(spark: SparkSession, vectors: DataFrame) -> DataFrame:
+    """Exact upper-triangle covariance cells of an ``embedding`` array
+    column — the shared kernel behind the ``emb_covariance`` catalog
+    query and :func:`pca_fit`.  Output: one row per (dim_i, dim_j)
+    with ``n_pairs``, ``cov``, and the DECIMAL-exact moment sums
+    ``sx``/``sy``/``sxy`` the PCA mean vector is recovered from."""
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # The pair projection below does d^2 work per row; a corpus that
+    # arrives in few splits (locally: ONE parquet file) would run it
+    # in few tasks.  Round-robin the raw vectors (n rows, the
+    # cheapest possible exchange — d values/row, not the d^2 pairs)
+    # so the heavy projection parallelizes; on a real cluster with
+    # many input splits this is still wanted for even task sizing.
+    v = vectors.repartition(sess_parts)
     # Canonicalize every element to the engine-wide 6dp DECIMAL once.
     xs = F.transform(
         "embedding",
@@ -139,4 +149,126 @@ def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "dim_i", "dim_j", "n_pairs",
         F.round(cov, 8).cast("decimal(18,8)").cast("double").alias("cov"),
+        "sx", "sy", "sxy",
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA: fit from the distributed covariance, project with broadcast components
+# ---------------------------------------------------------------------------
+
+class PcaModel:
+    """Fitted PCA basis (plain data holder, picklable).
+
+    ``mean``       — per-dim sample mean, length d
+    ``components`` — k rows of d loadings (orthonormal, sign-canonical:
+                     each component's largest-|.|  loading is positive,
+                     the sklearn convention, so refits are deterministic)
+    ``explained_variance``        — top-k eigenvalues (sample, /(n-1))
+    ``explained_variance_ratio``  — eigenvalue / total variance
+    """
+
+    def __init__(self, mean, components, explained_variance,
+                 explained_variance_ratio):
+        self.mean = mean
+        self.components = components
+        self.explained_variance = explained_variance
+        self.explained_variance_ratio = explained_variance_ratio
+
+    @property
+    def k(self) -> int:
+        return len(self.components)
+
+    @property
+    def d(self) -> int:
+        return len(self.mean)
+
+
+def pca_fit(spark: SparkSession, vectors: DataFrame, k: int) -> PcaModel:
+    """Fit a k-component PCA of an ``embedding`` array column.
+
+    Scale shape (the reason this is NOT mllib's RowMatrix SVD): the
+    corpus-sized work is exactly one :func:`covariance_cells` pass —
+    bounded-shuffle by construction (d^2 aggregate cells).  What the
+    driver collects is the d(d+1)/2-cell TRIANGLE (d=64 -> 2080 rows),
+    bounded by the EMBEDDING WIDTH, never by the corpus — the same
+    bounded-collect pattern as ann_index's literal probe.  The dense
+    eigensolve then runs on a d x d symmetric matrix in numpy
+    (microseconds; distributing it would be pure overhead).  Rows with
+    NULL/ragged lanes were already excluded per-cell by the kernel;
+    PCA additionally requires a single consistent d, taken from the
+    maximal dim index seen.
+
+    Requires every surviving cell to share one n (rectangular corpus
+    after the kernel's NULL-lane drop); raises on ragged n because a
+    covariance matrix stitched from different row-sets need not be
+    positive semi-definite and the eigensolve would silently produce
+    garbage.
+    """
+    import numpy as np
+
+    cells = covariance_cells(spark, vectors).collect()
+    if not cells:
+        raise ValueError("pca_fit: no covariance cells (empty corpus?)")
+    ns = {r["n_pairs"] for r in cells}
+    if len(ns) > 1:
+        raise ValueError(
+            f"pca_fit: ragged per-cell n {sorted(ns)[:5]}... — vectors "
+            "with NULL lanes or mixed lengths; clean the corpus first "
+            "(e.g. filter F.size(embedding) == d and NULL-free lanes)")
+    n = ns.pop()
+    d = max(r["dim_j"] for r in cells) + 1
+    if k > d:
+        raise ValueError(f"pca_fit: k={k} > d={d}")
+
+    cov = np.zeros((d, d))
+    mean = np.zeros(d)
+    for r in cells:
+        i, j = r["dim_i"], r["dim_j"]
+        cov[i, j] = cov[j, i] = r["cov"]
+        if i == j:
+            mean[i] = float(r["sx"]) / n
+
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                    # k x d
+    # sign canonicalization: largest-|.| loading positive per component
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1.0
+    ev = evals[order]
+    total = float(evals.sum())
+    ratio = ev / total if total > 0 else np.zeros_like(ev)
+    return PcaModel(
+        mean=[float(x) for x in mean],
+        components=[[float(x) for x in c] for c in comps],
+        explained_variance=[float(x) for x in ev],
+        explained_variance_ratio=[float(x) for x in ratio],
+    )
+
+
+def pca_project(df: DataFrame, model: PcaModel,
+                out_col: str = "proj",
+                vec_col: str = "embedding") -> DataFrame:
+    """Project ``vec_col`` onto the fitted basis: proj_j = (x - mu) . w_j.
+
+    Map-only: the mean and the k component rows are LITERAL arrays
+    baked into the plan (the broadcast-small-dims discipline — k*d
+    doubles, bytes), each projection a JVM-side zip_with/aggregate fold
+    over the row's own array.  No shuffle, no UDF, no driver loop —
+    the plan is scan -> project at any corpus size.
+    """
+    mu = F.array(*[F.lit(float(m)) for m in model.mean])
+    centered = F.zip_with(F.col(vec_col).cast("array<double>"), mu,
+                          lambda x, m: x - m)
+    projs = []
+    for j, w in enumerate(model.components):
+        wj = F.array(*[F.lit(float(x)) for x in w])
+        projs.append(
+            F.aggregate(
+                F.zip_with(centered, wj, lambda c, ww: c * ww),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias(f"_p{j}")
+        )
+    return df.withColumn(out_col, F.array(*projs))
