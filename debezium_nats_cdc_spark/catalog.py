@@ -76,6 +76,7 @@ def _load_modules() -> None:
         layout,
         linalg,
         funnel,
+        analytics,
     )
 
 
@@ -110,10 +111,10 @@ def _load_modules() -> None:
 # stats_join_advisor, never verified), ranking.py 2 (tokenizer unified
 # with text._tokens + the NEW text_bm25_topk, never verified),
 # layout.py 1 (k-dim interleave refactor + NULL-dim coalesce), NEW
-# linalg.py 1 (emb_covariance, never verified).  That fills 45; the 5
-# fillers are r8-green EVEN-half continuity picks — the two heaviest
-# dedup plans, the salted join, and one representative each from
-# ann/mm.  Out of window (40): the rest of the EVEN half, all
+# linalg.py 1 (emb_covariance, never verified), NEW funnel.py 2, NEW
+# analytics.py 2 + curation.py's NEW pii_erasure_cascade (all never
+# verified).  That fills exactly 50 — every filler slot went to a
+# rule-A newcomer.  Out of window (45): the rest of the EVEN half, all
 # r8-green; they rotate back in r10 (EVEN phase).
 _WINDOW_ORDER: list[str] = [
     # half ODD: cdc_queries (last green r7)
@@ -177,10 +178,13 @@ _WINDOW_ORDER: list[str] = [
     # they rotate back with the EVEN half in r10)
     "events_funnel_conversion",
     "events_cohort_retention",
-    # fillers (r8-green): EVEN-half continuity
-    "dedup_cluster_assign",
-    "dedup_minhash_lsh",
-    "join_salted_skew",
+    # rule A: NEW analytics.py module + curation.py addition (never
+    # verified) — displace the three r8-green fillers
+    # (dedup_cluster_assign, dedup_minhash_lsh, join_salted_skew; they
+    # rotate back with the EVEN half in r10)
+    "agg_regional_revenue",
+    "events_anomaly_zscore",
+    "pii_erasure_cascade",
 ]
 
 

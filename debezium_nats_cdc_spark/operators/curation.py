@@ -403,3 +403,72 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "target_share",
                 rate.alias("rate"), expected.alias("expected_rows"))
     )
+
+
+@register(
+    "pii_erasure_cascade",
+    oracle="""
+    WITH flagged AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    ),
+    fo AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM flagged)
+    ),
+    fl AS (
+      SELECT l_orderkey FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM fo)
+    )
+    SELECT CAST(1 AS INT) AS depth, 'customer' AS table_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged) AS n_rows
+    UNION ALL
+    SELECT CAST(2 AS INT), 'orders',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fo)
+    UNION ALL
+    SELECT CAST(3 AS INT), 'lineitem',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM fl)
+    """,
+    survey_ids=["B7", "C3", "F7"],
+    doc="Right-to-erasure cascade audit: given a deterministic erasure-"
+        "request set (customers with negative account balance standing "
+        "in for a GDPR deletion queue), count the rows each downstream "
+        "table would lose when the deletion cascades customer -> orders "
+        "-> lineitem. The compliance twin of the CDC path's PII masking "
+        "(B7) and retention drop (F7): masking hides fields in flight, "
+        "retention ages out whole partitions, erasure must follow FK "
+        "edges subject-by-subject — the audit BEFORE the delete is the "
+        "step a 100 TB store runs first, because the cascade's blast "
+        "radius decides whether to delete in place or rewrite "
+        "partitions. Scale shape: each hop is a LEFT SEMI join keyed on "
+        "the FK (custkey then orderkey) — key sets shuffle, bodies "
+        "never; the three counts are 1-row aggregates unioned (funnel "
+        "pattern). NULL keys drop out identically in both engines "
+        "(semi join vs IN-subquery: a NULL probe key matches nothing).",
+)
+def pii_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flagged = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+    )
+    fo = (
+        load_table(spark, sf_dir, "orders")
+        .join(flagged, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey")
+    )
+    fl = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(fo, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey")
+    )
+    def one(depth: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("n_rows")).select(
+            F.lit(depth).cast("int").alias("depth"),
+            F.lit(name).alias("table_name"),
+            "n_rows",
+        )
+    return (
+        one(1, "customer", flagged)
+        .unionByName(one(2, "orders", fo))
+        .unionByName(one(3, "lineitem", fl))
+    )
