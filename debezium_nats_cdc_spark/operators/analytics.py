@@ -199,6 +199,17 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_events"))
     )
+    return zscore_daily(d)
+
+
+def zscore_daily(d: DataFrame) -> DataFrame:
+    """Score a (event_type, event_day, n_events) daily-count frame with
+    the trailing-window z — the shared kernel behind the catalog query
+    above and the streaming monitor (streaming/anomaly_monitor.py),
+    which maintains the daily counts incrementally and re-scores this
+    bounded frame (≤ types×days rows) per batch.  Keeping ONE scoring
+    definition is what makes monitor-vs-batch parity testable
+    rather than asserted."""
     pw = (
         W.partitionBy("event_type")
         .orderBy("event_day")
