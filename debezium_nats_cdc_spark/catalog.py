@@ -104,87 +104,81 @@ def _load_modules() -> None:
 # on-phase half).  Result: every query is driver-green in round N or
 # N−1, by construction.
 #
-# Round-9 plan (ODD phase): the 37 r7-green out-of-window queries lead
-# (cdc_queries 11, text 9, curation 3 + corpus_mixture_plan, mm 4,
-# aggregates 6, sim 3 — exactly the r8 out-of-window set).  Then rule
-# A's touched modules this round: stats.py 4 (3 r8-green + the NEW
-# stats_join_advisor, never verified), ranking.py 2 (tokenizer unified
-# with text._tokens + the NEW text_bm25_topk, never verified),
-# layout.py 1 (k-dim interleave refactor + NULL-dim coalesce), NEW
-# linalg.py 1 (emb_covariance, never verified), NEW funnel.py 2, NEW
-# analytics.py 2 + curation.py's NEW pii_erasure_cascade (all never
-# verified).  That fills exactly 50 — every filler slot went to a
-# rule-A newcomer.  Out of window (45): the rest of the EVEN half, all
-# r8-green; they rotate back in r10 (EVEN phase).
+# Round-10 plan (EVEN phase): the 45 r8-green out-of-window queries
+# lead — exactly the r9 out-of-window set (dedup 8, sampling 6, joins
+# 10 incl. asof, windows 7, emb/quantize 3, sim 3, advanced/cdc-derived
+# 4, mm 2, agg 2).  Then rule A's touched modules this round:
+# linalg.py 2 (r9-green emb_covariance + the NEW emb_pca_project_check,
+# never verified — VERDICT r9 #5), funnel.py 2 (r9-green; touched to
+# extract the funnel_summary kernel the NEW streaming FunnelMonitor
+# shares — VERDICT r9 #6).  joins.py is also touched this round
+# (execute_advised_join, VERDICT r9 #9) — its 10 queries are already in
+# the EVEN half above.  That fills 49; the one filler slot goes to the
+# off-phase half (cdc_set_except).  Out of window (46): the rest of the
+# ODD half, all r9-green; they rotate back in r11 (ODD phase).
 _WINDOW_ORDER: list[str] = [
-    # half ODD: cdc_queries (last green r7)
-    "cdc_envelope_build",
-    "cdc_subject_route",
-    "cdc_json_extract",
-    "cdc_masking_pii",
-    "cdc_validate_split",
-    "cdc_dedup_exact",
-    "cdc_retention_filter",
-    "cdc_tumbling_window",
-    "cdc_union_heterogeneous",
-    "cdc_set_intersect",
-    "cdc_set_except",
-    # half ODD: text (last green r7)
-    "text_token_stats",
-    "text_quality_score",
-    "text_language_id",
-    "text_lang_distribution",
-    "text_fingerprint",
-    "text_bpe_token_count",
-    "text_token_frequencies",
-    "text_repetition_filter",
-    "text_unigram_logprob",
-    # half ODD: curation (last green r7)
-    "corpus_curation",
-    "corpus_decontaminate",
-    "pii_scrub_customers",
-    "corpus_mixture_plan",
-    # half ODD: multimodal (last green r7)
-    "mm_binary_metadata",
-    "mm_frame_sample",
-    "mm_resize_plan",
-    "mm_audio_chunk_plan",
-    # half ODD: aggregates (last green r7)
-    "agg_pricing_summary",
-    "agg_daily_event_volume",
-    "agg_metrics_by_type",
-    "agg_rollup_region_nation",
-    "agg_pivot_returnflag",
-    "agg_grouping_sets_priority",
-    # half ODD: similarity (last green r7)
-    "sim_cosine_topk",
-    "sim_nearest_centroid",
-    "sim_embedding_neardup",
-    # rule A: stats.py touched (NEW advisor; 3 r8-green siblings)
-    "stats_key_skew_report",
-    "stats_numeric_profile",
-    "stats_join_cardinality",
-    "stats_join_advisor",
-    # rule A: ranking.py touched (tokenizer shared with text._tokens;
-    # NEW BM25, never verified)
-    "text_tfidf_topk",
-    "text_bm25_topk",
-    # rule A: layout.py touched (k-dim interleave + NULL-dim coalesce)
-    "layout_zorder_stats",
-    # rule A: NEW linalg.py module (never verified)
+    # half EVEN: dedup (last green r8)
+    "dedup_exact_groups",
+    "dedup_exact_keep_first",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_cluster_assign",
+    "dedup_exact_substring",
+    "dedup_prefix_cluster",
+    # half EVEN: sampling (last green r8)
+    "corpus_train_split",
+    "corpus_stratified_sample",
+    "corpus_pack_sequences",
+    "corpus_lang_mix",
+    "corpus_quality_weighted_sample",
+    "corpus_global_shuffle",
+    # half EVEN: joins (last green r8; rule A too — joins.py touched)
+    "join_broadcast_enrich",
+    "join_hierarchy_chain",
+    "join_self_pairs",
+    "join_semi_exists",
+    "join_anti_orphans",
+    "join_range_interval",
+    "join_event_correlation",
+    "join_top_orders",
+    "join_salted_skew",
+    "join_asof_last_click",
+    # half EVEN: windows (last green r8)
+    "window_latest_state_per_key",
+    "window_topk_per_group",
+    "window_running_total",
+    "window_lag_timeline",
+    "window_field_diff_audit",
+    "window_ntile_curriculum",
+    "window_state_as_of",
+    # half EVEN: quantize/emb (last green r8)
+    "emb_quantize_int8",
+    "emb_norm_stats",
+    "emb_dim_stats",
+    # half EVEN: similarity deep cuts (last green r8)
+    "sim_ivf_probe_topk",
+    "sim_lsh_bucketed_neardup",
+    "sim_kmeans_refine",
+    # half EVEN: advanced/cdc-derived + agg + mm stragglers (last green r8)
+    "cdc_sessionization",
+    "cdc_tenure_per_user",
+    "scalar_functions_showcase",
+    "text_length_percentiles",
+    "agg_cube_orders",
+    "agg_approx_distinct",
+    "mm_feature_extract",
+    "mm_doc_embedding_join",
+    # rule A: linalg.py touched (NEW emb_pca_project_check, never
+    # verified — the pca_project kernel under the driver oracle)
     "emb_covariance",
-    # rule A: NEW funnel.py module (never verified) — displaces two
-    # fillers (sim_ivf_probe_topk, mm_feature_extract were r8-green;
-    # they rotate back with the EVEN half in r10)
+    "emb_pca_project_check",
+    # rule A: funnel.py touched (funnel_summary kernel extracted for
+    # the streaming FunnelMonitor)
     "events_funnel_conversion",
     "events_cohort_retention",
-    # rule A: NEW analytics.py module + curation.py addition (never
-    # verified) — displace the three r8-green fillers
-    # (dedup_cluster_assign, dedup_minhash_lsh, join_salted_skew; they
-    # rotate back with the EVEN half in r10)
-    "agg_regional_revenue",
-    "events_anomaly_zscore",
-    "pii_erasure_cascade",
+    # filler from the off-phase (ODD) half
+    "cdc_set_except",
 ]
 
 

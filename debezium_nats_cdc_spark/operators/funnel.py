@@ -63,8 +63,15 @@ def _stage_row(stage_df: DataFrame, stage: int, name: str) -> DataFrame:
         # The cast interprets NTZ in the session tz — UTC in this
         # engine (session.py pins it; UTC has no DST), so the DELTA of
         # two identically-cast values equals the naive microsecond diff
-        # the oracle's date_diff('microsecond', ...) computes.
-        us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+        # the oracle's date_diff('microsecond', ...) computes.  A caller
+        # whose time column is ALREADY long microseconds (the streaming
+        # funnel monitor's state) passes through unchanged.
+        def us(c: str):
+            col = F.col(c)
+            if dict(stage_df.dtypes).get(c) == "bigint":
+                return col
+            return F.unix_micros(col.cast("timestamp"))
+
         delay = (
             F.round(
                 F.sum(us("t_cur") - us("t_prev"))
@@ -81,6 +88,50 @@ def _stage_row(stage_df: DataFrame, stage: int, name: str) -> DataFrame:
         "n_users",
         "avg_secs_from_prev",
     )
+
+
+def funnel_summary(base: DataFrame,
+                   stages: list[str] | None = None) -> DataFrame:
+    """The shared strict-order funnel kernel: per stage, how many users
+    reached it and the average seconds from the previous stage.
+
+    ``base`` carries (``user_id``, ``event_type``, ``ts``) with NULLs
+    already dropped; ``ts`` may be a timestamp OR long microseconds —
+    min/strictly-greater ordering is identical either way, so the batch
+    catalog query (timestamps straight off the event store) and the
+    streaming funnel monitor (micros-valued incremental state) score
+    with the SAME code, the test-pinned-parity pattern of
+    analytics.zscore_daily / streaming.anomaly_monitor.
+
+    Scale shape: stage 1 is a per-user MIN aggregate; each later stage
+    joins the next event slice back on ``user_id`` — the SAME key every
+    time, so all stages share one co-partitioning and nothing wider
+    than per-user stage times ever shuffles.
+    """
+    stages = stages or _FUNNEL_STAGES
+    rows = []
+    prev: DataFrame | None = None
+    for i, name in enumerate(stages, start=1):
+        slice_i = base.filter(F.col("event_type") == name)
+        if prev is None:
+            cur = slice_i.groupBy("user_id").agg(F.min("ts").alias("t_cur"))
+        else:
+            cur = (
+                slice_i
+                .join(prev.select("user_id",
+                                  F.col("t_cur").alias("t_gate")),
+                      "user_id")
+                .filter(F.col("ts") > F.col("t_gate"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t_cur"),
+                     F.min("t_gate").alias("t_prev"))
+            )
+        rows.append(_stage_row(cur, i, name))
+        prev = cur
+    out = rows[0]
+    for s in rows[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 @register(
@@ -147,29 +198,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
         .select("user_id", "event_type", "ts")
     )
-    stages = []
-    prev: DataFrame | None = None
-    for i, name in enumerate(_FUNNEL_STAGES, start=1):
-        slice_i = base.filter(F.col("event_type") == name)
-        if prev is None:
-            cur = slice_i.groupBy("user_id").agg(F.min("ts").alias("t_cur"))
-        else:
-            cur = (
-                slice_i
-                .join(prev.select("user_id",
-                                  F.col("t_cur").alias("t_gate")),
-                      "user_id")
-                .filter(F.col("ts") > F.col("t_gate"))
-                .groupBy("user_id")
-                .agg(F.min("ts").alias("t_cur"),
-                     F.min("t_gate").alias("t_prev"))
-            )
-        stages.append(_stage_row(cur, i, name))
-        prev = cur
-    out = stages[0]
-    for s in stages[1:]:
-        out = out.unionByName(s)
-    return out
+    return funnel_summary(base)
 
 
 @register(

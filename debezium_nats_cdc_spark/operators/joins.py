@@ -334,3 +334,83 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("total_price", F.col("total_price").cast("double"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Advisor -> executor wiring (VERDICT r9 #9): one entry point from
+# measurement to executed plan.
+# ---------------------------------------------------------------------------
+
+def execute_advised_join(left: DataFrame, right: DataFrame, left_key: str,
+                         right_key: str | None = None, *,
+                         advice: dict | None = None,
+                         salt_factor: int = _SALT_FACTOR) -> DataFrame:
+    """Execute an inner equi-join the way :func:`stats.advise_join`
+    advises — the missing half of the diagnostics->decision loop: the
+    advisor measures and decides, this applies the decision.
+
+    Strategies (result is identical to the plain join under all three —
+    pytest test_advised_join proves each branch):
+
+      * ``broadcast`` — the advised build side gets an explicit
+        ``F.broadcast`` hint; zero shuffle for the join.
+      * ``salted`` — the advisor's bounded ``hot_keys`` list is baked
+        into the plan as an ``isin`` literal (it is <= max_hot_keys
+        values — no broadcast join needed to tag rows).  Left (probe)
+        rows on hot keys spread over ``salt_factor`` reducers via a
+        deterministic whole-row hash; right (build) rows on hot keys
+        replicate ``salt_factor`` ways; cold keys pay nothing.  Same
+        construction as join_salted_skew, generalized to any key pair.
+      * ``shuffle`` — plain hash join, because the measurements showed
+        no reason to do more.
+
+    Inner-join only: salting replicates build rows, which is only
+    transparent when unmatched rows cannot survive into the result.
+    Pass ``advice`` to reuse a prior measurement (e.g. a persisted skew
+    report) instead of re-scanning both sides.
+    """
+    right_key = right_key or left_key
+    if advice is None:
+        from .stats import advise_join
+
+        advice = advise_join(left, right, left_key, right_key)
+    strategy = advice.get("strategy", "shuffle")
+
+    if strategy == "broadcast":
+        if advice.get("build_side") == "left":
+            return F.broadcast(left).join(
+                right, left[left_key] == right[right_key], "inner")
+        return left.join(F.broadcast(right),
+                         left[left_key] == right[right_key], "inner")
+
+    hot = advice.get("hot_keys") or []
+    if strategy == "salted" and hot:
+        l2 = left.withColumn(
+            "_eaj_salt",
+            F.when(
+                F.col(left_key).isin(hot),
+                # whole-row hash, NULL-safe via pmod: any row lands in
+                # [0, factor) deterministically, so re-runs are stable
+                F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                       F.lit(salt_factor)).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        r2 = right.withColumn(
+            "_eaj_salt",
+            F.explode(
+                F.when(F.col(right_key).isin(hot),
+                       F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+                .otherwise(F.array(F.lit(0)))
+            ),
+        )
+        joined = l2.join(
+            r2,
+            (l2[left_key] == r2[right_key])
+            & (l2["_eaj_salt"] == r2["_eaj_salt"]),
+            "inner",
+        )
+        # restore the plain join's exact column set/order
+        return joined.select(*[l2[c] for c in left.columns],
+                             *[r2[c] for c in right.columns])
+
+    return left.join(right, left[left_key] == right[right_key], "inner")

@@ -154,6 +154,95 @@ def covariance_cells(spark: SparkSession, vectors: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Catalog query: the pca_project kernel under the driver oracle
+# ---------------------------------------------------------------------------
+# A data-fit basis can't be recomputed by a SQL oracle (no eigensolve in
+# SQL), so the catalog query projects onto a DETERMINISTIC literal
+# 2-component basis: same rational formulas generate the Spark literals
+# and the SQL literals.  What this puts under the driver's three-way
+# compare is the PROJECTION KERNEL itself — pca_project's zip_with/
+# aggregate fold — which is exactly the code path a fitted model runs;
+# pca_fit's eigensolve stays pytest-verified against numpy (test_pca).
+#
+# Cross-engine exactness here needs no DECIMAL trick: Spark's
+# F.aggregate(.., lit(0.0), acc+v) is a LEFT FOLD and IEEE 0.0+t0 == t0,
+# so its sum equals DuckDB's list_reduce left fold term-for-term,
+# bit-identically (verified: identical 64-bit results vs a Python left
+# fold).  The single double->DECIMAL(14,6) conversion at the end is then
+# a conversion of identical doubles on both sides.
+
+_PCA_D = 64  # embeddings.embedding width in the driver testdata
+_PCA_MEAN = [(((j * 7) % 13) - 6) / 100.0 for j in range(_PCA_D)]
+_PCA_COMPS = [
+    [(((j * 37 + 11) % 97) - 48) / 100.0 for j in range(_PCA_D)],
+    [(((j * 53 + 29) % 101) - 50) / 100.0 for j in range(_PCA_D)],
+]
+
+
+def _sql_arr(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+def _sql_proj(comp: list[float], alias: str) -> str:
+    return (
+        "CAST(list_reduce(list_transform("
+        f"list_zip(embedding, {_sql_arr(_PCA_MEAN)}, {_sql_arr(comp)}), "
+        "s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) "
+        "* CAST(s[3] AS DOUBLE)), (a, b) -> a + b) "
+        f"AS DECIMAL(14,6)) AS {alias}"
+    )
+
+
+@register(
+    "emb_pca_project_check",
+    oracle=f"""
+    SELECT vec_id,
+           {_sql_proj(_PCA_COMPS[0], "proj_0")},
+           {_sql_proj(_PCA_COMPS[1], "proj_1")}
+    FROM embeddings
+    WHERE embedding IS NOT NULL AND len(embedding) = {_PCA_D}
+      AND len(list_filter(embedding,
+            x -> x IS NULL OR isnan(x) OR abs(x) >= 1e30)) = 0
+    """,
+    survey_ids=["K2"],
+    doc="pca_project's zip_with/aggregate projection kernel under the "
+        "driver oracle (VERDICT r9 #5): every embedding projected onto a "
+        "deterministic literal 2-component basis, per-vector projections "
+        "canonicalized to the engine-wide DECIMAL(14,6). The Spark fold "
+        "and the DuckDB list_reduce fold are both left folds over the "
+        "same doubles, so the compared values are bit-identical before "
+        "the decimal cast. Rows with NULL/NaN/inf lanes or a width other "
+        "than the basis' d are excluded identically on both sides. "
+        "Scale shape: identical to pca_project — map-only scan->project, "
+        "literal k*d component arrays baked into the plan, no shuffle, "
+        "no UDF, no collect.",
+)
+def emb_pca_project_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    model = PcaModel(
+        mean=_PCA_MEAN,
+        components=_PCA_COMPS,
+        explained_variance=[1.0, 1.0],       # placeholder: literal basis,
+        explained_variance_ratio=[0.5, 0.5],  # not a data fit
+    )
+    bad_lane = lambda x: (  # noqa: E731 — shared lane predicate
+        x.isNull() | F.isnan(x.cast("double"))
+        | (F.abs(x.cast("double")) >= F.lit(1e30))
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull()
+                & (F.size("embedding") == _PCA_D)
+                & ~F.exists("embedding", bad_lane))
+    )
+    proj = pca_project(e, model)
+    return proj.select(
+        "vec_id",
+        F.element_at("proj", 1).cast("decimal(14,6)").alias("proj_0"),
+        F.element_at("proj", 2).cast("decimal(14,6)").alias("proj_1"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PCA: fit from the distributed covariance, project with broadcast components
 # ---------------------------------------------------------------------------
 

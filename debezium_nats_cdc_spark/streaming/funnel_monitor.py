@@ -1,0 +1,211 @@
+"""Streaming funnel monitor (SURVEY §2.D2 — the live twin of the batch
+``events_funnel_conversion``; VERDICT r9 #6).
+
+The reference's "materialized views for real-time aggregations"
+(`docs/system-design.md:130-134`) is exactly this shape: a behavioral
+aggregate kept current as events land, instead of recomputed from the
+full history per question.  The batch operator scores one static event
+table; this monitor folds each micro-batch into per-user funnel state
+and re-scores it with the exact same kernel
+(``operators.funnel.funnel_summary``), so the conversion counts are
+correct within one micro-batch of any event landing — including events
+that arrive OUT OF ORDER across batches.
+
+Why the state is what it is — the exactness argument:
+
+A strict-order funnel is NOT a mergeable aggregate: a late ``view`` at
+t can unlock a ``click`` that an earlier batch discarded (the click was
+<= the then-known first view).  Keeping only the per-user stage
+timestamps would therefore drift from the batch recompute.  The minimal
+EXACT state is a dominance-pruned projection of (user_id, event_type,
+ts), one distinct row per surviving event:
+
+  * stage 1 (``view``): only MIN(ts) per user is kept — a first-stage
+    gate can only move DOWN as new views arrive, and the min of
+    (kept-min, new events) is the true min because everything dropped
+    was >= the kept min;
+  * stage k > 1 (``click``/``purchase``): rows with ts <= the CURRENT
+    stage-k gate t_k are kept.  Future gates only decrease
+    (t_{k-1}' <= t_{k-1} qualifies a superset, so t_k' <= t_k), so a
+    dropped row (ts > t_k >= t_k') can never become a stage minimum,
+    and every future minimum (<= t_k' <= t_k) is still in the kept set.
+    Users with no qualifying gate yet keep all rows of that stage —
+    any future upstream event may unlock them.
+
+With in-order-ish arrival the surviving state is ~#stages rows per
+user; adversarially (timestamps arriving descending) it degrades
+gracefully toward the full distinct projection, which is the
+information-theoretic floor for an exact out-of-order funnel with no
+lateness bound.  A production deployment adds the bound: a watermark
+finalizes users whose whole funnel horizon has passed, after which
+their rows collapse to the three gate timestamps.
+
+State is ONE swap-written parquet table: event rows (ts as exact long
+microseconds) plus a single ``event_type IS NULL`` meta row carrying
+``last_epoch`` — the same atomic state+meta layout as the TF-IDF and
+volume-anomaly monitors, for the same exactly-once reason: a replayed
+micro-batch compares against ``last_epoch`` and no-ops (the distinct
+merge is additionally idempotent, so even an ad-hoc double-fold cannot
+corrupt counts), and there is no window where the rows reflect an epoch
+the meta does not.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.funnel import _FUNNEL_STAGES, funnel_summary
+from .state_backend import LocalFSBackend, StateBackend
+
+_STATE_SCHEMA = ("user_id bigint, event_type string, ts_us bigint, "
+                 "last_epoch bigint")
+
+
+class FunnelMonitor:
+    """foreachBatch-driven incremental funnel state scored by the shared
+    batch kernel.  ``ts_col`` is the event-time column, ``user_col`` the
+    funnel subject, ``type_col`` the stage discriminator; rows with NULL
+    user or NULL event-time are dropped — both exactly as the batch
+    operator's base filter."""
+
+    def __init__(self, root: str, backend: StateBackend | None = None,
+                 ts_col: str = "ts", user_col: str = "user_id",
+                 type_col: str = "event_type",
+                 stages: list[str] | None = None):
+        self.backend = backend or LocalFSBackend()
+        self.state_dir = os.path.join(root, "funnel_state")
+        self.checkpoint_dir = os.path.join(root, "_checkpoints")
+        self.ts_col = ts_col
+        self.user_col = user_col
+        self.type_col = type_col
+        self.stages = stages or _FUNNEL_STAGES
+
+    # -- reads ---------------------------------------------------------
+    def _state(self, spark: SparkSession) -> DataFrame:
+        self.backend.recover(self.state_dir)
+        if not self.backend.has_data(self.state_dir):
+            return spark.createDataFrame([], _STATE_SCHEMA)
+        return spark.read.parquet(self.state_dir)
+
+    def state_rows(self, spark: SparkSession) -> DataFrame:
+        """The surviving (user_id, event_type, ts_us) projection."""
+        return (self._state(spark).filter(F.col("event_type").isNotNull())
+                .select("user_id", "event_type", "ts_us"))
+
+    def last_epoch(self, spark: SparkSession) -> int:
+        row = (self._state(spark).filter(F.col("event_type").isNull())
+               .select("last_epoch").first())
+        return row.last_epoch if row else -1
+
+    def scored(self, spark: SparkSession) -> DataFrame:
+        """The funnel summary of everything ingested so far — the
+        columns and values of ``events_funnel_conversion`` run over the
+        full ingested history (state pruning is exactness-preserving,
+        see module docstring)."""
+        return funnel_summary(
+            self.state_rows(spark).select(
+                "user_id", "event_type", F.col("ts_us").alias("ts")),
+            stages=self.stages)
+
+    # -- writes --------------------------------------------------------
+    def _batch_rows(self, events: DataFrame) -> DataFrame:
+        return (
+            events
+            .filter(F.col(self.user_col).isNotNull()
+                    & F.col(self.ts_col).isNotNull()
+                    & F.col(self.type_col).isin(self.stages))
+            .select(
+                F.col(self.user_col).cast("bigint").alias("user_id"),
+                F.col(self.type_col).alias("event_type"),
+                F.unix_micros(F.col(self.ts_col).cast("timestamp"))
+                 .alias("ts_us"),
+            )
+        )
+
+    def _prune(self, rows: DataFrame) -> DataFrame:
+        """Dominance-prune the merged projection (exactness argument in
+        the module docstring).  One shuffle family keyed on user_id: the
+        gate frames are per-user MIN aggregates chained exactly like the
+        scoring kernel's stages, then a broadcast-free left join back."""
+        gates: DataFrame | None = None
+        prev_gate: DataFrame | None = None
+        for i, name in enumerate(self.stages, start=1):
+            slice_i = rows.filter(F.col("event_type") == name)
+            if prev_gate is None:
+                cur = (slice_i.groupBy("user_id")
+                       .agg(F.min("ts_us").alias(f"_g{i}")))
+            else:
+                cur = (
+                    slice_i
+                    .join(prev_gate.select(
+                        "user_id", F.col(f"_g{i - 1}").alias("_gate")),
+                        "user_id")
+                    .filter(F.col("ts_us") > F.col("_gate"))
+                    .groupBy("user_id")
+                    .agg(F.min("ts_us").alias(f"_g{i}"))
+                )
+            gates = cur if gates is None else gates.join(cur, "user_id",
+                                                         "left")
+            prev_gate = cur
+        pruned = rows.join(gates, "user_id", "left")
+        keep = F.lit(False)
+        for i, name in enumerate(self.stages, start=1):
+            g = F.col(f"_g{i}")
+            keep = keep | (
+                (F.col("event_type") == name)
+                & (g.isNull() | (F.col("ts_us") <= g))
+            )
+        return pruned.filter(keep).select("user_id", "event_type", "ts_us")
+
+    def process_batch(self, spark: SparkSession, events: DataFrame,
+                      epoch_id: int | None = None) -> None:
+        events = events.localCheckpoint(eager=True)
+        if events.isEmpty():
+            return
+        last = self.last_epoch(spark)
+        if epoch_id is not None and epoch_id <= last:
+            return  # replayed micro-batch: already folded into state
+        merged = (
+            self.state_rows(spark)
+            .unionByName(self._batch_rows(events))
+            .distinct()
+        )
+        kept = self._prune(merged).select(
+            "user_id", "event_type", "ts_us",
+            F.lit(None).cast("bigint").alias("last_epoch"))
+        meta = spark.createDataFrame(
+            [(None, None, None, last if epoch_id is None else epoch_id)],
+            _STATE_SCHEMA)
+        self.backend.swap_write(
+            kept.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
+            self.state_dir)
+
+    def reset_epoch_guard(self, spark: SparkSession) -> None:
+        """Clear ``last_epoch`` so a stream restarted from a FRESH
+        checkpoint (epoch ids restart at 0) keeps folding into the
+        accumulated state — the _ingest_base half-reset contract."""
+        state = self._state(spark)
+        if state.isEmpty():
+            return
+        self.backend.swap_write(
+            state.withColumn(
+                "last_epoch",
+                F.when(F.col("event_type").isNull(),
+                       F.lit(-1).cast("bigint"))
+                 .otherwise(F.col("last_epoch"))),
+            self.state_dir)
+
+    def start(self, spark: SparkSession, stream: DataFrame,
+              available_now: bool = True):
+        if not self.backend.checkpoint_established(self.checkpoint_dir):
+            self.reset_epoch_guard(spark)
+        writer = (
+            stream.writeStream.queryName("funnel-monitor")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .foreachBatch(lambda b, e: self.process_batch(spark, b, e))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

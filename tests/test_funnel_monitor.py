@@ -1,0 +1,150 @@
+"""FunnelMonitor: incremental dominance-pruned state scored by the
+shared funnel kernel == batch recompute over everything ingested,
+including the adversarial case — a LATE upstream event (an early view
+arriving last) that must unlock a click an earlier batch could not
+count; replay idempotence; pruning actually shrinks the state;
+fresh-checkpoint epoch reset.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from debezium_nats_cdc_spark.operators.funnel import events_funnel_conversion
+from debezium_nats_cdc_spark.streaming.funnel_monitor import FunnelMonitor
+
+_EVENTS_SCHEMA = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+                  "event_type string, value double, props string")
+
+
+def _events(spark, rows):
+    data = [(i, ts, uid, et, None, None)
+            for i, (uid, et, ts) in enumerate(rows)]
+    return spark.createDataFrame(data, _EVENTS_SCHEMA)
+
+
+def _t(minute, second=0):
+    return datetime(2024, 1, 1, 12, minute, second)
+
+
+# user 1: clean in-order funnel split across batches
+# user 2: the ADVERSARIAL case — click@2 and purchase@4 arrive first,
+#         the view@1 that unlocks them arrives LAST; a naive
+#         stage-timestamp state discards the click in B1 and never
+#         converts the user, the exact pruned state must.
+# user 3: out-of-order WITHIN the funnel: purchase precedes its click
+#         in arrival AND a second, earlier view arrives late, moving
+#         the stage-1 gate down (t1 5 -> 3) without changing t2
+#         (click@7 > both) — gate recomputation must stay exact.
+# user 4: never converts (click before any view), plus NULL user/ts
+#         noise rows.
+B1 = [
+    (1, "view", _t(0)), (1, "click", _t(2)),
+    (2, "click", _t(2)), (2, "purchase", _t(4)),
+    (3, "purchase", _t(9)),
+    (4, "click", _t(1)),
+    (None, "view", _t(0)), (1, "view", None),
+]
+B2 = [
+    (1, "purchase", _t(5)), (1, "click", _t(8)),  # later click: not the min
+    (3, "view", _t(5)), (3, "click", _t(7)),
+    (4, "view", _t(3)),
+]
+B3 = [
+    (2, "view", _t(1)),          # the late unlock
+    (3, "view", _t(3)),          # late earlier view: gate moves down
+    (2, "purchase", _t(3)),      # before the click gate t2=2? no: 3 > 2 — NEW min purchase
+]
+
+
+def _batch_ground_truth(spark, tmp_path, all_rows):
+    (_events(spark, all_rows).write.mode("overwrite")
+     .parquet(f"{tmp_path}/events.parquet"))
+    return events_funnel_conversion(spark, str(tmp_path))
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_incremental_equals_batch_recompute(spark, tmp_path):
+    mon = FunnelMonitor(str(tmp_path / "mon"))
+    for i, b in enumerate([B1, B2, B3]):
+        mon.process_batch(spark, _events(spark, b), epoch_id=i)
+    expect = _batch_ground_truth(spark, tmp_path / "truth", B1 + B2 + B3)
+    assert _rows(mon.scored(spark)) == _rows(expect)
+    # the late view DID unlock user 2: stage 3 counts users 1, 2, 3
+    scored = {r.stage: r for r in mon.scored(spark).collect()}
+    assert scored[1].n_users == 4          # users 1..4 all viewed
+    assert scored[3].n_users == 3          # users 1, 2, 3 converted
+
+
+def test_every_prefix_matches_batch(spark, tmp_path):
+    """After EVERY micro-batch the scored state equals the batch kernel
+    over exactly the events ingested so far (not just at the end)."""
+    mon = FunnelMonitor(str(tmp_path / "mon"))
+    seen: list = []
+    for i, b in enumerate([B1, B2, B3]):
+        mon.process_batch(spark, _events(spark, b), epoch_id=i)
+        seen += b
+        expect = _batch_ground_truth(spark, tmp_path / f"truth{i}", seen)
+        assert _rows(mon.scored(spark)) == _rows(expect), f"batch {i}"
+
+
+def test_pruning_shrinks_state(spark, tmp_path):
+    """Dominated rows (later views, post-gate clicks) must not pile up:
+    with everything in-order the state holds ~one row per (user, stage
+    reached), far below the raw distinct projection."""
+    rows = []
+    for uid in range(1, 21):
+        rows += [(uid, "view", _t(m)) for m in range(0, 10)]       # 10 views
+        rows += [(uid, "click", _t(m, 30)) for m in range(0, 10)]  # 10 clicks
+        rows += [(uid, "purchase", _t(m, 45)) for m in range(5, 10)]
+    mon = FunnelMonitor(str(tmp_path / "mon"))
+    mon.process_batch(spark, _events(spark, rows), epoch_id=0)
+    n_state = mon.state_rows(spark).count()
+    # exact floor: per user 1 view + clicks <= t2 (just the first) +
+    # purchases <= t3 (just the first) = 3; allow slack for ties
+    assert n_state <= 20 * 4
+    expect = _batch_ground_truth(spark, tmp_path / "truth", rows)
+    assert _rows(mon.scored(spark)) == _rows(expect)
+
+
+def test_replayed_epoch_is_noop(spark, tmp_path):
+    mon = FunnelMonitor(str(tmp_path / "mon"))
+    mon.process_batch(spark, _events(spark, B1), epoch_id=0)
+    mon.process_batch(spark, _events(spark, B2), epoch_id=1)
+    snap = _rows(mon.state_rows(spark))
+    mon.process_batch(spark, _events(spark, B2), epoch_id=1)  # replay
+    mon.process_batch(spark, _events(spark, B1), epoch_id=0)  # older replay
+    assert _rows(mon.state_rows(spark)) == snap
+    assert mon.last_epoch(spark) == 1
+
+
+def test_streaming_entrypoint_and_fresh_checkpoint_restart(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _events(spark, B1).coalesce(1).write.parquet(f"{src}/f0")
+    _events(spark, B2).coalesce(1).write.parquet(f"{src}/f1")
+    root = str(tmp_path / "mon")
+    mon = FunnelMonitor(root)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/f*"))
+    mon.start(spark, stream).awaitTermination()
+    expect = _batch_ground_truth(spark, tmp_path / "truth", B1 + B2)
+    assert _rows(mon.scored(spark)) == _rows(expect)
+
+    # fresh checkpoint on a NEW source: epoch ids restart at 0; the
+    # stale guard must be reset, not silently drop the late unlock
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    _events(spark, B3).coalesce(1).write.parquet(f"{src2}/f0")
+    mon2 = FunnelMonitor(root)
+    stream2 = (spark.readStream.schema(_EVENTS_SCHEMA)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(f"{src2}/f*"))
+    mon2.start(spark, stream2).awaitTermination()
+    expect2 = _batch_ground_truth(spark, tmp_path / "truth2", B1 + B2 + B3)
+    assert _rows(mon2.scored(spark)) == _rows(expect2)
+    assert mon2.last_epoch(spark) == 0

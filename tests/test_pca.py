@@ -115,3 +115,46 @@ def test_pca_model_roundtrips_through_pickle(spark):
     assert clone.mean == model.mean
     assert clone.components == model.components
     assert clone.k == 2 and clone.d == 4
+
+
+def test_catalog_pca_project_check_matches_numpy(spark, tmp_path):
+    """The catalog query (emb_pca_project_check) is the pca_project
+    kernel with a literal deterministic basis — pin its values against
+    a numpy recomputation of the same fold over the same float32 data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_nats_cdc_spark.operators.linalg import (
+        _PCA_COMPS,
+        _PCA_D,
+        _PCA_MEAN,
+        emb_pca_project_check,
+    )
+
+    rng = np.random.default_rng(11)
+    good = rng.normal(size=(40, _PCA_D)).astype(np.float32)
+    embs = [[float(x) for x in row] for row in good]
+    # rows the query must EXCLUDE: NULL, empty, short, NULL-lane, NaN-lane
+    bad = [None, [], [1.0] * 8,
+           [None] + [0.0] * (_PCA_D - 1),
+           [float("nan")] + [0.0] * (_PCA_D - 1)]
+    all_embs = embs + bad
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(len(all_embs)), pa.int64()),
+                  "embedding": pa.array(all_embs, pa.list_(pa.float32()))}),
+        f"{tmp_path}/embeddings.parquet")
+
+    out = {r.vec_id: (r.proj_0, r.proj_1)
+           for r in emb_pca_project_check(spark, str(tmp_path)).collect()}
+    assert set(out) == set(range(40))  # every dirty row excluded
+
+    mu = np.array(_PCA_MEAN)
+    for i, row in enumerate(good):
+        x = row.astype(np.float64)
+        for j, comp in enumerate(_PCA_COMPS):
+            acc = 0.0
+            for t in (x - mu) * np.array(comp):  # the engines' left fold
+                acc = acc + t
+            expect = round(acc, 6)
+            got = float(out[i][j])
+            assert abs(got - expect) < 5e-7, (i, j, got, expect)

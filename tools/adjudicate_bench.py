@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Interleaved-replay adjudication of a cross-round bench swing.
+
+VERDICT r9 task 1: BENCH_r09 regressed across the board vs BENCH_r08
+(catalog +51%, streaming -16%, P95 +44%) with the worst per-query deltas
+all on modules git shows untouched between the two round boundaries.
+That is the ambient-load signature, but at this magnitude it must be
+measured, not pattern-matched.  Method (proven on corpus_decontaminate,
+BENCHLOG round-9): same code, same tuned session, warm pass, then N
+interleaved timed rounds of the suspect queries so ambient drift spreads
+across all of them instead of biasing whichever ran when a noisy
+neighbor spiked.  Medians are compared against BOTH artifacts' values.
+
+Also runs the one code-adjacent variable the r9 round DID change in the
+streaming hot path: the session-wide parquet writer conf
+``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS`` (session.py,
+added r9 for footer min/max stats; the store sink sits inside the
+measured micro-batch loop).  A-B-B-A interleave of TIMESTAMP_MICROS vs
+the INT96 pre-r9 default over the full 500k-event throughput run +
+micro-batch latency, so the conf's cost (if any) is isolated from
+ambient drift.
+
+Usage: python tools/adjudicate_bench.py [catalog|streaming|all] [rounds]
+Prints one JSON line per run plus per-query/per-arm medians; paste into
+BENCHLOG.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
+TS_CONF = "spark.sql.parquet.outputTimestampType"
+
+# the four worst BENCH_r09-vs-r08 deltas (VERDICT r9), with both rounds'
+# artifact values for the verdict line
+SUSPECTS = {
+    "dedup_cluster_assign": (3.27, 5.6),
+    "dedup_minhash_lsh": (1.86, 2.9),
+    "dedup_ngram_jaccard": (1.7, 2.6),
+    "join_broadcast_enrich": (1.23, 1.9),
+}
+
+
+def loadavg() -> float:
+    return round(os.getloadavg()[0], 1)
+
+
+def run_catalog(spark, rounds: int) -> None:
+    from debezium_nats_cdc_spark import catalog
+    from debezium_nats_cdc_spark.operators.dedup import clear_pair_cache
+
+    ents = catalog.entries()
+    for t in ("lineitem", "documents", "embeddings", "orders", "customer"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    # warm pass: codegen at sf0.01 then one untimed sf0.1 pass per query,
+    # matching bench.py's warm-repeat discipline (recorded values are warm)
+    for name in SUSPECTS:
+        for d in (WARM_DIR, SF_DIR):
+            clear_pair_cache()
+            ents[name].fn(spark, d).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, list[float]] = {n: [] for n in SUSPECTS}
+    for rnd in range(rounds):
+        for name in SUSPECTS:
+            clear_pair_cache()
+            t0 = time.time()
+            ents[name].fn(spark, SF_DIR).write.format("noop") \
+                .mode("overwrite").save()
+            took = round(time.time() - t0, 3)
+            timings[name].append(took)
+            print(json.dumps({"exp": "catalog", "round": rnd, "q": name,
+                              "sec": took, "loadavg": loadavg()}), flush=True)
+    for name, runs in timings.items():
+        r8, r9 = SUSPECTS[name]
+        med, lo = statistics.median(runs), min(runs)
+        print(json.dumps({
+            "exp": "catalog", "q": name, "median_sec": round(med, 3),
+            "min_sec": round(lo, 3), "bench_r08": r8, "bench_r09": r9,
+            "median_vs_r08": round(med / r8, 2),
+            "median_vs_r09": round(med / r9, 2), "runs": runs,
+        }), flush=True)
+
+
+def run_streaming(spark, reps: int) -> None:
+    from debezium_nats_cdc_spark.streaming.bench import streaming_events_per_sec
+
+    arms = ["TIMESTAMP_MICROS", "INT96"]
+    results: dict[str, list[dict]] = {a: [] for a in arms}
+    order = (["TIMESTAMP_MICROS", "INT96", "INT96", "TIMESTAMP_MICROS"]
+             * reps)[: 4 * reps]
+    for arm in order:
+        spark.conf.set(TS_CONF, arm)
+        try:
+            r = streaming_events_per_sec(spark)
+        finally:
+            spark.conf.set(TS_CONF, "TIMESTAMP_MICROS")
+        rec = {"arm": arm, "ev_per_sec": r["stream_events_per_sec"],
+               "p50": r["stream_batch_p50_sec"],
+               "p95": r["stream_batch_p95_sec"], "loadavg": loadavg()}
+        results[arm].append(rec)
+        print(json.dumps({"exp": "streaming", **rec}), flush=True)
+    for arm, runs in results.items():
+        print(json.dumps({
+            "exp": "streaming", "arm": arm,
+            "median_ev_per_sec": statistics.median(
+                r["ev_per_sec"] for r in runs),
+            "median_p50": statistics.median(r["p50"] for r in runs),
+            "median_p95": statistics.median(r["p95"] for r in runs),
+            "runs": [r["ev_per_sec"] for r in runs],
+        }), flush=True)
+
+
+def main() -> None:
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from debezium_nats_cdc_spark.session import get_session
+
+    spark = get_session("adjudicate-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps({"loadavg_at_start": loadavg()}), flush=True)
+
+    if which in ("catalog", "all"):
+        run_catalog(spark, rounds)
+    if which in ("streaming", "all"):
+        run_streaming(spark, max(2, rounds // 4))
+
+
+if __name__ == "__main__":
+    main()
