@@ -185,11 +185,11 @@ def _sql_arr(vals: list[float]) -> str:
 
 def _sql_proj(comp: list[float], alias: str) -> str:
     return (
-        "CAST(list_reduce(list_transform("
+        "CAST(CAST(list_reduce(list_transform("
         f"list_zip(embedding, {_sql_arr(_PCA_MEAN)}, {_sql_arr(comp)}), "
         "s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE)) "
         "* CAST(s[3] AS DOUBLE)), (a, b) -> a + b) "
-        f"AS DECIMAL(14,6)) AS {alias}"
+        f"AS DECIMAL(14,6)) AS DOUBLE) AS {alias}"
     )
 
 
@@ -208,7 +208,9 @@ def _sql_proj(comp: list[float], alias: str) -> str:
     doc="pca_project's zip_with/aggregate projection kernel under the "
         "driver oracle (VERDICT r9 #5): every embedding projected onto a "
         "deterministic literal 2-component basis, per-vector projections "
-        "canonicalized to the engine-wide DECIMAL(14,6). The Spark fold "
+        "canonicalized through the engine-wide DECIMAL(14,6) (then cast "
+        "back to double, the engine's cross-engine print convention). "
+        "The Spark fold "
         "and the DuckDB list_reduce fold are both left folds over the "
         "same doubles, so the compared values are bit-identical before "
         "the decimal cast. Rows with NULL/NaN/inf lanes or a width other "
@@ -237,8 +239,10 @@ def emb_pca_project_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = pca_project(e, model)
     return proj.select(
         "vec_id",
-        F.element_at("proj", 1).cast("decimal(14,6)").alias("proj_0"),
-        F.element_at("proj", 2).cast("decimal(14,6)").alias("proj_1"),
+        F.element_at("proj", 1).cast("decimal(14,6)").cast("double")
+         .alias("proj_0"),
+        F.element_at("proj", 2).cast("decimal(14,6)").cast("double")
+         .alias("proj_1"),
     )
 
 

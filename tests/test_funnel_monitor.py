@@ -121,7 +121,7 @@ def test_replayed_epoch_is_noop(spark, tmp_path):
     assert mon.last_epoch(spark) == 1
 
 
-def test_streaming_entrypoint_and_fresh_checkpoint_restart(spark, tmp_path):
+def test_streaming_entrypoint_continues_checkpoint(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
     _events(spark, B1).coalesce(1).write.parquet(f"{src}/f0")
@@ -134,17 +134,42 @@ def test_streaming_entrypoint_and_fresh_checkpoint_restart(spark, tmp_path):
     mon.start(spark, stream).awaitTermination()
     expect = _batch_ground_truth(spark, tmp_path / "truth", B1 + B2)
     assert _rows(mon.scored(spark)) == _rows(expect)
+    assert mon.last_epoch(spark) == 1  # two files, one per trigger
 
-    # fresh checkpoint on a NEW source: epoch ids restart at 0; the
-    # stale guard must be reset, not silently drop the late unlock
-    src2 = tmp_path / "src2"
-    src2.mkdir()
-    _events(spark, B3).coalesce(1).write.parquet(f"{src2}/f0")
+    # restart on the SAME checkpoint with a new file landed: the epoch
+    # sequence continues (2), the guard is NOT reset, the late view in
+    # B3 still unlocks user 2's earlier click+purchase
+    _events(spark, B3).coalesce(1).write.parquet(f"{src}/f2")
     mon2 = FunnelMonitor(root)
     stream2 = (spark.readStream.schema(_EVENTS_SCHEMA)
                .option("maxFilesPerTrigger", 1)
-               .parquet(f"{src2}/f*"))
+               .parquet(f"{src}/f*"))
     mon2.start(spark, stream2).awaitTermination()
     expect2 = _batch_ground_truth(spark, tmp_path / "truth2", B1 + B2 + B3)
     assert _rows(mon2.scored(spark)) == _rows(expect2)
-    assert mon2.last_epoch(spark) == 0
+    assert mon2.last_epoch(spark) == 2
+
+
+def test_fresh_checkpoint_restart_keeps_folding(spark, tmp_path):
+    """A checkpoint reset restarts epoch ids at 0; the replay guard must
+    not silently drop the new data (the TfidfMonitor contract)."""
+    root = str(tmp_path / "mon")
+    mon = FunnelMonitor(root)
+    mon.process_batch(spark, _events(spark, B1), epoch_id=40)
+    mon.process_batch(spark, _events(spark, B2), epoch_id=41)
+    assert mon.last_epoch(spark) == 41
+
+    # restart with a FRESH checkpoint on a NEW source: epochs restart
+    # at 0, which the stale guard (41) would silently drop without the
+    # start()-time reset
+    src = tmp_path / "src2"
+    src.mkdir()
+    _events(spark, B3).coalesce(1).write.parquet(f"{src}/f0")
+    mon2 = FunnelMonitor(root)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/f*"))
+    mon2.start(spark, stream).awaitTermination()
+    expect = _batch_ground_truth(spark, tmp_path / "truth", B1 + B2 + B3)
+    assert _rows(mon2.scored(spark)) == _rows(expect)
+    assert mon2.last_epoch(spark) == 0  # the new checkpoint's sequence
