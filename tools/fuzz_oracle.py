@@ -131,10 +131,15 @@ def gen_tables(seed: int, out_dir: str, empty_facts: bool = False,
         "r_regionkey": list(range(5)),
         "r_name": ["AMERICA", "ASIA", "EUROPE", "AFRICA", "MIDDLE EAST"],
     }, {"r_regionkey": pa.int32()})
+    # ~1/6 of seeds leave one region with NO nations (the empty-ASIA
+    # shape for the regional-revenue star: a star whose broadcast dim
+    # filters everything must agree on the empty result)
+    excl_region = int(rng.randint(0, 6))  # 5 = exclude nothing
+    region_pool = [r for r in range(5) if r != excl_region]
     write("nation", {
         "n_nationkey": list(range(25)),
         "n_name": [f"NATION_{i:02d}" for i in range(25)],
-        "n_regionkey": [int(rng.randint(0, 5)) for _ in range(25)],
+        "n_regionkey": [int(rng.choice(region_pool)) for _ in range(25)],
     }, {"n_nationkey": pa.int32(), "n_regionkey": pa.int32()})
 
     n_cust = 120
@@ -217,23 +222,45 @@ def gen_tables(seed: int, out_dir: str, empty_facts: bool = False,
     users = [1] * 150  # hot user
     users += [int(rng.randint(1, 60)) for _ in range(n_ev - 150)]
     base_ts = 1_700_000_000 * _US
-    tss = [base_ts + int(rng.randint(0, 30 * 86400)) * _US for _ in users]
+    # ~half the seeds compress the whole event history into 4 days:
+    # the single-week cohort matrix (offset 0 only) and dense per-day
+    # funnel stage collisions
+    span_days = int(rng.choice([4, 30]))
+    tss = [base_ts + int(rng.randint(0, span_days * 86400)) * _US
+           for _ in users]
     tss[10:20] = [tss[10]] * 10  # exact timestamp ties across events
+    # 'purchase' in the taxonomy exercises the funnel's later stages —
+    # including purchase-before-view users (timestamps are independent
+    # of type, so inversions occur constantly)
+    ev_types = [rng.choice(["click", "view", "buy", "scroll", "purchase"])
+                for _ in users]
+    user_ids = _opt(rng, users, p_null=0.02)
+    values = _opt(rng, [round(float(rng.uniform(0, 100)), 3)
+                        for _ in users], p_null=0.08)
     props = ['{"k": 1}', '{"k": 2, "s": "x"}', "{}", None]
+    prop_col = [props[rng.randint(0, len(props))] for _ in users]
+    # constant-rate heartbeat: EXACTLY 2 events/day for 12 days — the
+    # z-score's zero-variance trailing window (GREATEST(var,0), sd=0 ->
+    # NULL z) must canonicalize identically in both engines
+    for d in range(12):
+        for i in range(2):
+            tss.append(base_ts + (d * 86400 + i * 3600) * _US)
+            ev_types.append("heartbeat")
+            user_ids.append(int(rng.randint(1, 60)))
+            values.append(1.0)
+            prop_col.append(None)
     if ns_events:
         tss = [t * 1000 for t in tss]  # whole-us values, ns encoding
     write("events", {
-        "event_id": list(range(1, len(users) + 1)),
+        "event_id": list(range(1, len(tss) + 1)),
         "ts": tss,
         # ~2% NULL user_ids: NULL grouping keys must rank/group/join
         # identically across engines (the stats_key_skew_report
         # NULLS-FIRST-vs-LAST tiebreak class, ADVICE r6)
-        "user_id": _opt(rng, users, p_null=0.02),
-        "event_type": [rng.choice(["click", "view", "buy", "scroll"])
-                       for _ in users],
-        "value": _opt(rng, [round(float(rng.uniform(0, 100)), 3)
-                            for _ in users], p_null=0.08),
-        "props": [props[rng.randint(0, len(props))] for _ in users],
+        "user_id": user_ids,
+        "event_type": ev_types,
+        "value": values,
+        "props": prop_col,
     }, {"ts": pa.timestamp("ns" if ns_events else "us")})
 
     # --- documents: dup/near-dup structure + degenerate rows ------------
