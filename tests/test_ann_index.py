@@ -211,3 +211,32 @@ def test_cell_stats_flags_drifted_ingest(spark, tmp_path):
     top = after.first()
     assert top.n_vectors >= max(before.values()) + 300
     assert top.balance_ratio > 1.5
+
+
+def test_recall_floor_at_default_nprobe_on_clustered_corpus(spark, tmp_path):
+    """The documented default operating point (OPERATIONS.md §5.8,
+    measured by tools/ann_recall_curve.py): on a clusterable corpus —
+    the shape real encoder output has — nprobe=4 of 16 cells must hold
+    recall@10 >= 0.9 vs the exhaustive scan."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    cents = rng.randn(16, 64)
+    rows = [(i, [float(x) for x in cents[i % 16] + 0.25 * rng.randn(64)])
+            for i in range(800)]
+    vec = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    queries = vec.filter("vec_id % 23 = 0")
+    idx = str(tmp_path / "ivf-recall")
+    ivf_build(spark, vec, idx, n_cells=16)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    exact = topk_sets(ivf_search(spark, idx, queries, k=10, nprobe=16))
+    approx = topk_sets(ivf_search(spark, idx, queries, k=10, nprobe=4))
+    recalls = [len(approx.get(q, set()) & hits) / len(hits)
+               for q, hits in exact.items()]
+    assert sum(recalls) / len(recalls) >= 0.9
