@@ -77,6 +77,7 @@ def _load_modules() -> None:
         linalg,
         funnel,
         analytics,
+        engagement,
     )
 
 
@@ -111,11 +112,12 @@ def _load_modules() -> None:
 # linalg.py 2 (r9-green emb_covariance + the NEW emb_pca_project_check,
 # never verified — VERDICT r9 #5), funnel.py 2 (r9-green; touched to
 # extract the funnel_summary kernel the NEW streaming FunnelMonitor
-# shares — VERDICT r9 #6).  joins.py is also touched this round
-# (execute_advised_join, VERDICT r9 #9) — its 10 queries are already in
-# the EVEN half above.  That fills 49; the one filler slot goes to the
-# off-phase half (cdc_set_except).  Out of window (46): the rest of the
-# ODD half, all r9-green; they rotate back in r11 (ODD phase).
+# shares — VERDICT r9 #6), NEW engagement.py 1 (events_dau_wau, never
+# verified — it displaces the off-phase filler slot).  joins.py is also
+# touched this round (execute_advised_join, VERDICT r9 #9) — its 10
+# queries are already in the EVEN half above.  That fills exactly 50.
+# Out of window (47): the whole ODD half, all r9-green; they rotate
+# back in r11 (ODD phase).
 _WINDOW_ORDER: list[str] = [
     # half EVEN: dedup (last green r8)
     "dedup_exact_groups",
@@ -177,8 +179,10 @@ _WINDOW_ORDER: list[str] = [
     # the streaming FunnelMonitor)
     "events_funnel_conversion",
     "events_cohort_retention",
-    # filler from the off-phase (ODD) half
-    "cdc_set_except",
+    # rule A: NEW engagement.py module (events_dau_wau, never verified)
+    # — displaces the planned off-phase filler (cdc_set_except,
+    # r9-green; it rotates back with the ODD half in r11)
+    "events_dau_wau",
 ]
 
 

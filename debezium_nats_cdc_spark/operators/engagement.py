@@ -1,0 +1,126 @@
+"""Engagement analytics over the event store: DAU / WAU / stickiness
+(SURVEY §2.D2/D4 adjacent — the longitudinal activity read the
+reference's analytics store exists to answer, alongside the funnel and
+cohort-retention family in ``operators/funnel.py``).
+
+The reference persists the complete event history precisely for
+behavioral analytics (`docs/system-design.md:131-134`, "stores complete
+event history … materialized views for real-time aggregations";
+`docs/design.md:166`).  The canonical health metric of that history is
+the DAU/WAU stickiness ratio: of the users active in the trailing week,
+how many were active TODAY.
+
+Scale shape — events never reach a window or a wide join:
+
+  * events collapse FIRST to the distinct (user_id, event_day) frame —
+    one hash shuffle; this frame is the information floor for exact
+    distinct-user counts and everything downstream runs on it;
+  * WAU avoids both a range join and a distinct-over-sliding-window
+    (neither distributes): each (user, day) row EXPLODES into the ≤7
+    future days it makes that user week-active for — a 7x projection
+    of the already-collapsed frame — and a semi join against the
+    observed-day set (bounded by #days) drops phantom days; the
+    distinct-user aggregates are then plain hash aggregations keyed on
+    day (≤ #days groups at ANY corpus size);
+  * the final DAU⋈WAU join runs on two ≤ #days-row frames.
+
+The ratio divides two exact BIGINTs in double and canonicalizes through
+the engine-wide 4dp DECIMAL — identical expression tree in the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import register
+from ..io import load_table
+
+_WINDOW_DAYS = 7
+
+
+def user_days(events: DataFrame, user_col: str = "user_id",
+              ts_col: str = "ts") -> DataFrame:
+    """The distinct (user_id, event_day DATE) frame — the shared
+    collapse the batch query and the streaming EngagementMonitor both
+    score from (and the monitor's exact incremental state: distinct
+    union is commutative and idempotent)."""
+    return (
+        events
+        .filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("user_id"),
+                F.to_date(ts_col).alias("event_day"))
+        .distinct()
+    )
+
+
+def dau_wau(ud: DataFrame, window_days: int = _WINDOW_DAYS) -> DataFrame:
+    """The shared DAU/WAU kernel over a distinct (user_id, event_day)
+    frame.  One row per observed day: dau, wau (distinct users active
+    in the trailing ``window_days`` incl. the day), stickiness."""
+    days = ud.select("event_day").distinct()
+    dau = (ud.groupBy("event_day")
+           .agg(F.countDistinct("user_id").cast("bigint").alias("dau")))
+    expanded = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(window_days - 1)))
+             .alias("_k"),
+            "event_day")
+        .select("user_id",
+                F.date_add("event_day", F.col("_k")).alias("event_day"))
+        .join(days, "event_day", "left_semi")
+    )
+    wau = (expanded.groupBy("event_day")
+           .agg(F.countDistinct("user_id").cast("bigint").alias("wau")))
+    return (
+        dau.join(wau, "event_day")
+        .select(
+            F.date_format("event_day", "yyyy-MM-dd").alias("event_day"),
+            "dau", "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 4)
+             .cast("decimal(18,4)").cast("double").alias("stickiness"),
+        )
+    )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    expanded AS (
+      SELECT ud.user_id, ud.d + CAST(t.k AS INTEGER) AS td
+      FROM ud, (SELECT UNNEST(generate_series(0, 6)) AS k) t
+    ),
+    wau AS (
+      SELECT e.td AS d, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+      FROM expanded e JOIN days ON e.td = days.d GROUP BY e.td
+    ),
+    dau AS (
+      SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM ud GROUP BY d
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS event_day, dau.dau, wau.wau,
+           CAST(CAST(ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 4)
+                AS DECIMAL(18,4)) AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+    survey_ids=["D2", "D4"],
+    doc="DAU / trailing-7-day WAU / stickiness per observed day — the "
+        "engagement-health read off the complete event history the "
+        "reference's analytics store keeps (docs/system-design.md:131-"
+        "134). Scale shape: events collapse to the distinct (user, day) "
+        "frame first (one shuffle, the exact-distinct information "
+        "floor); WAU is an EXPLODE of that frame into the <=7 future "
+        "days each row week-covers plus a semi join on the observed-day "
+        "set — no range join, no sliding-window distinct, every "
+        "aggregate keyed on day with <= #days groups at any corpus "
+        "size. DAU/WAU are exact BIGINT distinct counts; stickiness is "
+        "one double division canonicalized through the engine-wide 4dp "
+        "DECIMAL.",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dau_wau(user_days(load_table(spark, sf_dir, "events")))

@@ -1,0 +1,107 @@
+"""events_dau_wau (operators/engagement.py) hand-computed fixture +
+EngagementMonitor: incremental distinct-(user, day) state scored by the
+shared kernel == batch recompute over everything ingested; late-data
+correction; replay idempotence; fresh-checkpoint epoch reset.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from debezium_nats_cdc_spark.operators.engagement import events_dau_wau
+from debezium_nats_cdc_spark.streaming.engagement_monitor import (
+    EngagementMonitor,
+)
+
+_EVENTS_SCHEMA = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+                  "event_type string, value double, props string")
+
+
+def _events(spark, rows):
+    data = [(i, ts, uid, "click", None, None)
+            for i, (uid, ts) in enumerate(rows)]
+    return spark.createDataFrame(data, _EVENTS_SCHEMA)
+
+
+def _d(day, hour=12):
+    return datetime(2024, 1, day, hour, 0)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_dau_wau_hand_fixture(spark, tmp_path):
+    """Jan 1: users {1,2}; Jan 2: {1}; Jan 9: {2,3}.  WAU(Jan 2) counts
+    both days' users; WAU(Jan 9) sees only Jan 9 (Jan 1-2 are > 6 days
+    back).  Duplicate same-day events and NULL user/ts rows must not
+    inflate anything."""
+    rows = [(1, _d(1)), (2, _d(1)), (1, _d(1, 15)),   # dup same-day
+            (1, _d(2)),
+            (2, _d(9)), (3, _d(9)),
+            (None, _d(1)), (4, None)]
+    (_events(spark, rows).write.mode("overwrite")
+     .parquet(f"{tmp_path}/events.parquet"))
+    got = {r.event_day: (r.dau, r.wau, r.stickiness)
+           for r in events_dau_wau(spark, str(tmp_path)).collect()}
+    assert got == {
+        "2024-01-01": (2, 2, 1.0),
+        "2024-01-02": (1, 2, 0.5),
+        "2024-01-09": (2, 2, 1.0),
+    }
+
+
+# three micro-batches; B3 carries a LATE event for Jan 2 that must lift
+# WAU on Jan 2..8's observed days retroactively
+B1 = [(1, _d(1)), (2, _d(1)), (1, _d(2))]
+B2 = [(2, _d(5)), (3, _d(5)), (1, _d(5))]
+B3 = [(9, _d(2)), (3, _d(10)), (None, _d(3)), (5, None)]
+
+
+def _truth(spark, tmp_path, all_rows):
+    (_events(spark, all_rows).write.mode("overwrite")
+     .parquet(f"{tmp_path}/events.parquet"))
+    return events_dau_wau(spark, str(tmp_path))
+
+
+def test_incremental_equals_batch_after_every_batch(spark, tmp_path):
+    mon = EngagementMonitor(str(tmp_path / "mon"))
+    seen: list = []
+    for i, b in enumerate([B1, B2, B3]):
+        mon.process_batch(spark, _events(spark, b), epoch_id=i)
+        seen += b
+        expect = _truth(spark, tmp_path / f"truth{i}", seen)
+        assert _rows(mon.scored(spark)) == _rows(expect), f"batch {i}"
+    # the late Jan-2 user lifted WAU for Jan 5 (trailing window covers
+    # Jan 1, 2, 5): distinct {1, 2} ∪ {1, 9(late)} ∪ {1, 2, 3} = 4
+    wau5 = {r.event_day: r.wau for r in mon.scored(spark).collect()}
+    assert wau5["2024-01-05"] == 4
+
+
+def test_replay_and_adhoc_double_fold_are_noops(spark, tmp_path):
+    mon = EngagementMonitor(str(tmp_path / "mon"))
+    mon.process_batch(spark, _events(spark, B1), epoch_id=0)
+    mon.process_batch(spark, _events(spark, B2), epoch_id=1)
+    snap = _rows(mon.state_rows(spark))
+    mon.process_batch(spark, _events(spark, B2), epoch_id=1)  # replay
+    mon.process_batch(spark, _events(spark, B1))  # ad-hoc re-fold
+    assert _rows(mon.state_rows(spark)) == snap  # distinct union: no-op
+    assert mon.last_epoch(spark) == 1
+
+
+def test_streaming_entrypoint_and_fresh_checkpoint(spark, tmp_path):
+    root = str(tmp_path / "mon")
+    mon = EngagementMonitor(root)
+    mon.process_batch(spark, _events(spark, B1), epoch_id=40)
+    mon.process_batch(spark, _events(spark, B2), epoch_id=41)
+    src = tmp_path / "src"
+    src.mkdir()
+    _events(spark, B3).coalesce(1).write.parquet(f"{src}/f0")
+    mon2 = EngagementMonitor(root)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{src}/f*"))
+    mon2.start(spark, stream).awaitTermination()
+    expect = _truth(spark, tmp_path / "truth", B1 + B2 + B3)
+    assert _rows(mon2.scored(spark)) == _rows(expect)
+    assert mon2.last_epoch(spark) == 0  # fresh checkpoint sequence
