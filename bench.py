@@ -25,8 +25,9 @@ the integer-seconds tier because full suffixes + 2-decimal values
 overflowed the tail, losing per-query resolution; VERDICT r6 #3):
   d_=dedup_  c_=cdc_  k_=corpus_  w_=window_  g_=agg_  j_=join_
   s_=sim_  t_=text_   (mm_, emb_, pii_, scalar_ prefixes unchanged)
-  e.g. dedup_exact_groups -> d_exac_grou ; window_latest_state_per_key
-  -> w_late_stat_per_key.  The mapping is deterministic from catalog
+  e.g. dedup_exact_groups -> d_exa_gro ; window_latest_state_per_key
+  -> w_lat_sta_per_key.  (3-char tokens since r10: the 97-query catalog
+  overflowed the tail at 4.)  The mapping is deterministic from catalog
   names (abbr_name below, collision-checked), so per-round artifacts
   join on it without the legend line surviving the tail.
 
@@ -70,7 +71,7 @@ ABBR = [
 REPEAT_THRESHOLD_SEC = 2.0
 
 
-def abbr_name(name: str, tok_len: int = 4) -> str:
+def abbr_name(name: str, tok_len: int = 3) -> str:
     for long, short in ABBR:
         if name.startswith(long):
             name = short + name[len(long):]
@@ -81,8 +82,13 @@ def abbr_name(name: str, tok_len: int = 4) -> str:
 
 def abbr_map(names) -> dict[str, str]:
     """name -> short key; widens the token cut on (unlikely) collision
-    so two catalog queries can never share an artifact key."""
-    for tok_len in (4, 6, 8, 99):
+    so two catalog queries can never share an artifact key.  Starts at
+    3-char tokens: at 97 queries the 4-char map overflowed the 2000-char
+    driver tail and the summary silently fell to the integer-seconds
+    tier (the r6 failure mode, caught by test_bench_artifact in r10).
+    Consumers joining across rounds recompute the map from that round's
+    catalog names — the tier is part of the deterministic mapping."""
+    for tok_len in (3, 4, 6, 8, 99):
         m = {n: abbr_name(n, tok_len) for n in names}
         if len(set(m.values())) == len(m):
             return m
