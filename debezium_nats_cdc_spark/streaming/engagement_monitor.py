@@ -18,9 +18,10 @@ every trailing window the day participates in.  Per-batch cost: the
 batch collapses to its own (user, day) rows (one small shuffle), then
 one distinct against state.  The state is bounded by Σ_day DAU(day) —
 the information floor for exact counts; a production deployment bounds
-the horizon by dropping days older than its reporting window (they can
-no longer affect any trailing-window aggregate it publishes) or moves
-to HLL sketches where approximate WAU is acceptable.
+the horizon with :meth:`EngagementMonitor.expire_before` — days older
+than the published reporting window minus the trailing-window width can
+no longer affect any published aggregate and are dropped — or moves to
+HLL sketches where approximate WAU is acceptable.
 
 Layout: one swap-written parquet table — (user_id, event_day) rows plus
 a single ``event_day IS NULL`` meta row carrying ``last_epoch`` — the
@@ -33,6 +34,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.engagement import _WINDOW_DAYS as _WINDOW_DAYS_STATE
 from ..operators.engagement import dau_wau, user_days
 from .state_backend import LocalFSBackend, StateBackend
 
@@ -96,6 +98,24 @@ class EngagementMonitor:
             _STATE_SCHEMA)
         self.backend.swap_write(
             merged.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
+            self.state_dir)
+
+    def expire_before(self, spark: SparkSession, oldest_report_day) -> None:
+        """Reporting-horizon state bound — the production cap the module
+        docstring promises.  Contract: the deployment only publishes
+        days >= ``oldest_report_day`` ('YYYY-MM-DD' or date).  A
+        (user, day) row with day < horizon − (window − 1) cannot
+        participate in ANY published trailing window, so it is dropped;
+        ``scored()`` stays exactly equal to the batch recompute on every
+        published day (pytest-pinned).  State becomes bounded by the
+        horizon's user-day volume instead of all history."""
+        cutoff = F.date_sub(F.lit(oldest_report_day).cast("date"),
+                            _WINDOW_DAYS_STATE - 1)
+        state = self._state(spark)
+        self.backend.swap_write(
+            state.filter(F.col("event_day").isNull()
+                         | (F.col("event_day") >= cutoff))
+            .coalesce(1).localCheckpoint(eager=True),
             self.state_dir)
 
     def reset_epoch_guard(self, spark: SparkSession) -> None:

@@ -36,9 +36,11 @@ With in-order-ish arrival the surviving state is ~#stages rows per
 user; adversarially (timestamps arriving descending) it degrades
 gracefully toward the full distinct projection, which is the
 information-theoretic floor for an exact out-of-order funnel with no
-lateness bound.  A production deployment adds the bound: a watermark
-finalizes users whose whole funnel horizon has passed, after which
-their rows collapse to the three gate timestamps.
+lateness bound.  A production deployment adds the bound:
+:meth:`FunnelMonitor.compact` takes the stream's watermark and
+finalizes frozen stages, collapsing each affected user to at most one
+row per stage (the gate timestamps) — exactness under the no-late-
+arrivals contract is argued in the method docstring and pytest-pinned.
 
 State is ONE swap-written parquet table: event rows (ts as exact long
 microseconds) plus a single ``event_type IS NULL`` meta row carrying
@@ -124,11 +126,10 @@ class FunnelMonitor:
             )
         )
 
-    def _prune(self, rows: DataFrame) -> DataFrame:
-        """Dominance-prune the merged projection (exactness argument in
-        the module docstring).  One shuffle family keyed on user_id: the
-        gate frames are per-user MIN aggregates chained exactly like the
-        scoring kernel's stages, then a broadcast-free left join back."""
+    def _gates(self, rows: DataFrame) -> DataFrame:
+        """Per-user gate frame (_g1.._gk): the same chained per-user MIN
+        aggregates as the scoring kernel's stages — one shuffle family
+        keyed on user_id."""
         gates: DataFrame | None = None
         prev_gate: DataFrame | None = None
         for i, name in enumerate(self.stages, start=1):
@@ -149,7 +150,13 @@ class FunnelMonitor:
             gates = cur if gates is None else gates.join(cur, "user_id",
                                                          "left")
             prev_gate = cur
-        pruned = rows.join(gates, "user_id", "left")
+        return gates
+
+    def _prune(self, rows: DataFrame) -> DataFrame:
+        """Dominance-prune the merged projection (exactness argument in
+        the module docstring), via a broadcast-free left join back onto
+        the gate frame."""
+        pruned = rows.join(self._gates(rows), "user_id", "left")
         keep = F.lit(False)
         for i, name in enumerate(self.stages, start=1):
             g = F.col(f"_g{i}")
@@ -178,6 +185,55 @@ class FunnelMonitor:
         meta = spark.createDataFrame(
             [(None, None, None, last if epoch_id is None else epoch_id)],
             _STATE_SCHEMA)
+        self.backend.swap_write(
+            kept.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
+            self.state_dir)
+
+    def compact(self, spark: SparkSession, watermark_us: int) -> None:
+        """Watermark finalization — the production state bound the
+        module docstring promises.  Contract: no event with
+        ts < ``watermark_us`` will ever arrive again (the caller's
+        lateness bound; Structured Streaming's watermark gives exactly
+        this).  Under it, gates freeze bottom-up and frozen stages
+        collapse to at most ONE row per user:
+
+          * stage 1's gate only moves down via events EARLIER than the
+            current minimum; future events are >= W, so once g1 <= W it
+            is frozen — and stage-2 rows <= g1 can then NEVER qualify
+            (they need ts > g1 and g1 no longer moves): drop them.
+            Rows strictly inside (g1, g2) do not exist (g2 is the
+            minimum qualifier), so the stage collapses to the g2 row.
+          * the same argument chains: once g_{k-1} <= W, stage k keeps
+            only its gate row.
+
+        Scored output over the compacted state equals the batch
+        recompute over everything ingested, for every future ingest
+        respecting the contract (pytest-pinned).  A fully-converted
+        user whose funnel completed before W holds exactly
+        len(stages) rows afterwards."""
+        rows = self.state_rows(spark)
+        pruned = rows.join(self._gates(rows), "user_id", "left")
+        keep = F.lit(False)
+        w = F.lit(int(watermark_us))
+        for i, name in enumerate(self.stages, start=1):
+            g = F.col(f"_g{i}")
+            # prev gate frozen (<= W)?  Stage 1's virtual prev gate is
+            # always frozen.
+            frozen_prev = (F.lit(True) if i == 1
+                           else (F.col(f"_g{i - 1}").isNotNull()
+                                 & (F.col(f"_g{i - 1}") <= w)))
+            stage_keep = F.when(
+                frozen_prev,
+                g.isNotNull() & (F.col("ts_us") == g),   # gate row only
+            ).otherwise(
+                g.isNull() | (F.col("ts_us") <= g),      # dominance rule
+            )
+            keep = keep | ((F.col("event_type") == name) & stage_keep)
+        kept = (pruned.filter(keep)
+                .select("user_id", "event_type", "ts_us",
+                        F.lit(None).cast("bigint").alias("last_epoch")))
+        meta = spark.createDataFrame(
+            [(None, None, None, self.last_epoch(spark))], _STATE_SCHEMA)
         self.backend.swap_write(
             kept.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
             self.state_dir)

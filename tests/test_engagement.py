@@ -105,3 +105,38 @@ def test_streaming_entrypoint_and_fresh_checkpoint(spark, tmp_path):
     expect = _truth(spark, tmp_path / "truth", B1 + B2 + B3)
     assert _rows(mon2.scored(spark)) == _rows(expect)
     assert mon2.last_epoch(spark) == 0  # fresh checkpoint sequence
+
+
+def test_expire_before_bounds_state_and_keeps_published_days_exact(
+        spark, tmp_path):
+    """Reporting-horizon expiry: rows older than horizon − 6 days drop;
+    every published day (>= horizon) still scores exactly as the batch
+    kernel over the full history."""
+    from datetime import date
+
+    rows = ([(u, _d(1)) for u in (1, 2, 3)]
+            + [(u, _d(5)) for u in (1, 4)]
+            + [(u, _d(12)) for u in (2, 5)]
+            + [(1, _d(15))])
+    mon = EngagementMonitor(str(tmp_path / "mon"))
+    mon.process_batch(spark, _events(spark, rows), epoch_id=0)
+    pre = mon.state_rows(spark).count()
+
+    horizon = "2024-01-12"  # publish days >= Jan 12; cutoff = Jan 6
+    mon.expire_before(spark, horizon)
+    post = mon.state_rows(spark)
+    assert post.count() < pre
+    # Jan 1 and Jan 5 rows (all < Jan 6) are gone
+    assert post.filter("event_day < DATE'2024-01-06'").count() == 0
+
+    truth = {r.event_day: (r.dau, r.wau, r.stickiness)
+             for r in _truth(spark, tmp_path / "truth", rows).collect()
+             if r.event_day >= horizon}
+    got = {r.event_day: (r.dau, r.wau, r.stickiness)
+           for r in mon.scored(spark).collect()
+           if r.event_day >= horizon}
+    assert got == truth and len(truth) == 2  # Jan 12, Jan 15 published
+    # late data for a published day still folds and corrects it
+    mon.process_batch(spark, _events(spark, [(9, _d(12))]), epoch_id=1)
+    assert {r.dau for r in mon.scored(spark).collect()
+            if r.event_day == "2024-01-12"} == {3}

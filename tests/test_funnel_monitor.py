@@ -173,3 +173,54 @@ def test_fresh_checkpoint_restart_keeps_folding(spark, tmp_path):
     expect = _batch_ground_truth(spark, tmp_path / "truth", B1 + B2 + B3)
     assert _rows(mon2.scored(spark)) == _rows(expect)
     assert mon2.last_epoch(spark) == 0  # the new checkpoint's sequence
+
+
+def test_compact_collapses_frozen_users_and_stays_exact(spark, tmp_path):
+    """Watermark finalization: after compact(W), users whose gates froze
+    below W hold at most one row per stage, and scoring stays equal to
+    the batch recompute for any future ingest respecting the no-event-
+    below-W contract."""
+    from pyspark.sql import functions as F
+
+    # user 7: noisy funnel, fully converted well before W — many
+    # dominated-but-kept rows (clicks <= t1 that only a smaller future
+    # view could have unlocked)
+    rows = [(7, "view", _t(5))]
+    rows += [(7, "click", _t(m)) for m in range(0, 5)]      # all <= t1
+    rows += [(7, "click", _t(6)), (7, "purchase", _t(7))]
+    rows += [(7, "purchase", _t(m)) for m in range(0, 7)]   # all <= t2
+    # user 8: t1 frozen, no qualifying click yet (t2 NULL) — its
+    # pre-gate clicks can never qualify once t1 freezes
+    rows += [(8, "view", _t(4)), (8, "click", _t(1)), (8, "click", _t(2))]
+    mon = FunnelMonitor(str(tmp_path / "mon"))
+    mon.process_batch(spark, _events(spark, rows), epoch_id=0)
+    pre = mon.state_rows(spark).count()
+
+    from datetime import timezone
+
+    # explicit UTC: state ts_us came from unix_micros under the UTC
+    # session, and naive datetime.timestamp() would use the machine tz
+    watermark_us = int(_t(20).replace(tzinfo=timezone.utc)
+                       .timestamp() * 1_000_000)
+    mon.compact(spark, watermark_us)
+    post = mon.state_rows(spark)
+    assert post.count() < pre
+    # user 7 collapsed to exactly its three gate rows
+    u7 = {(r.event_type, r.ts_us) for r in
+          post.filter(F.col("user_id") == 7).collect()}
+    assert len(u7) == 3 and {t for t, _ in u7} == {"view", "click",
+                                                   "purchase"}
+    # user 8: the frozen-t1 dead clicks dropped, the view stays
+    u8 = [r.event_type for r in post.filter(F.col("user_id") == 8).collect()]
+    assert u8 == ["view"]
+
+    # scoring still equals batch over everything ingested...
+    expect = _batch_ground_truth(spark, tmp_path / "truth", rows)
+    assert _rows(mon.scored(spark)) == _rows(expect)
+    # ...including after further ingest that respects the contract
+    # (every new event >= W); user 8 finally converts
+    late = [(8, "click", _t(21)), (8, "purchase", _t(22)),
+            (7, "view", _t(25))]
+    mon.process_batch(spark, _events(spark, late), epoch_id=1)
+    expect2 = _batch_ground_truth(spark, tmp_path / "truth2", rows + late)
+    assert _rows(mon.scored(spark)) == _rows(expect2)
