@@ -44,7 +44,17 @@ from .similarity import _sql_cos
 )
 def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    tagged = e.filter(F.col("event_type").isin("purchase", "click")).select(
+    # NULL user_ids must drop: the window's partitionBy would group them
+    # into ONE partition and attribute NULL-user purchases to NULL-user
+    # clicks, where equi-join semantics (the oracle, and any sane
+    # attribution) match nothing.  Found by differential fuzz seed 150
+    # the round the generator learned to emit 'purchase' events
+    # (BENCHLOG round 10) — before that the fuzz result was vacuously
+    # empty and the divergence invisible.
+    tagged = e.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("purchase", "click")
+    ).select(
         "user_id",
         "ts",
         "event_id",
