@@ -98,3 +98,31 @@ def test_mm_feature_extract_null_payload_yields_null_features(spark,
             and r["mean_intensity"] is None)
     r = out[9002]  # empty text -> 0 bytes, 1 frame, checksum 0
     assert r["n_bytes"] == 0 and r["frames"] == 1 and r["mean_intensity"] == 0.0
+
+
+def test_asof_join_drops_null_user_attribution(spark, tmp_path):
+    """Regression pin for the round-10 fuzz find (BENCHLOG): a NULL-user
+    purchase must never be attributed to a NULL-user click.  Spark's
+    window partitionBy groups NULLs into one partition; equi-join
+    semantics (the oracle) match NULL to nothing."""
+    from datetime import datetime
+
+    from debezium_nats_cdc_spark.operators.advanced import (
+        join_asof_last_click,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    t1 = datetime(2024, 1, 1, 13, 0)
+    rows = [
+        (1, t0, None, "click", None, None),     # NULL-user click
+        (2, t1, None, "purchase", None, None),  # NULL-user purchase
+        (3, t0, 7, "click", None, None),        # real attribution pair
+        (4, t1, 7, "purchase", None, None),
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint, "
+              "event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = join_asof_last_click(spark, str(tmp_path)).collect()
+    assert [(r.p_event_id, r.user_id, r.last_click_id) for r in out] == \
+        [(4, 7, 3)]
