@@ -21,8 +21,11 @@ micro-batch latency, so the conf's cost (if any) is isolated from
 ambient drift.
 
 Usage: python tools/adjudicate_bench.py [catalog|streaming|all] [rounds]
-Prints one JSON line per run plus per-query/per-arm medians; paste into
-BENCHLOG.md.
+         [--queries a,b,...]
+--queries replaces the default suspect set (the four worst r8->r9
+deltas) so any future round can replay its own regression list with the
+same method.  Prints one JSON line per run plus per-query/per-arm
+medians; paste into BENCHLOG.md.
 """
 
 from __future__ import annotations
@@ -53,23 +56,25 @@ def loadavg() -> float:
     return round(os.getloadavg()[0], 1)
 
 
-def run_catalog(spark, rounds: int) -> None:
+def run_catalog(spark, rounds: int,
+                suspects: dict[str, tuple] | None = None) -> None:
     from debezium_nats_cdc_spark import catalog
     from debezium_nats_cdc_spark.operators.dedup import clear_pair_cache
 
+    suspects = suspects or SUSPECTS
     ents = catalog.entries()
     for t in ("lineitem", "documents", "embeddings", "orders", "customer"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     # warm pass: codegen at sf0.01 then one untimed sf0.1 pass per query,
     # matching bench.py's warm-repeat discipline (recorded values are warm)
-    for name in SUSPECTS:
+    for name in suspects:
         for d in (WARM_DIR, SF_DIR):
             clear_pair_cache()
             ents[name].fn(spark, d).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, list[float]] = {n: [] for n in SUSPECTS}
+    timings: dict[str, list[float]] = {n: [] for n in suspects}
     for rnd in range(rounds):
-        for name in SUSPECTS:
+        for name in suspects:
             clear_pair_cache()
             t0 = time.time()
             ents[name].fn(spark, SF_DIR).write.format("noop") \
@@ -79,14 +84,16 @@ def run_catalog(spark, rounds: int) -> None:
             print(json.dumps({"exp": "catalog", "round": rnd, "q": name,
                               "sec": took, "loadavg": loadavg()}), flush=True)
     for name, runs in timings.items():
-        r8, r9 = SUSPECTS[name]
         med, lo = statistics.median(runs), min(runs)
-        print(json.dumps({
-            "exp": "catalog", "q": name, "median_sec": round(med, 3),
-            "min_sec": round(lo, 3), "bench_r08": r8, "bench_r09": r9,
-            "median_vs_r08": round(med / r8, 2),
-            "median_vs_r09": round(med / r9, 2), "runs": runs,
-        }), flush=True)
+        rec = {"exp": "catalog", "q": name, "median_sec": round(med, 3),
+               "min_sec": round(lo, 3), "runs": runs}
+        prev = suspects[name]
+        if prev:  # (earlier_artifact_sec, later_artifact_sec) reference
+            r_lo, r_hi = prev
+            rec.update({"ref_lo": r_lo, "ref_hi": r_hi,
+                        "median_vs_lo": round(med / r_lo, 2),
+                        "median_vs_hi": round(med / r_hi, 2)})
+        print(json.dumps(rec), flush=True)
 
 
 def run_streaming(spark, reps: int) -> None:
@@ -119,8 +126,14 @@ def run_streaming(spark, reps: int) -> None:
 
 
 def main() -> None:
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    qflag = next((a for a in sys.argv[1:] if a.startswith("--queries=")),
+                 None)
+    suspects = None
+    if qflag:
+        suspects = {q: None for q in qflag.split("=", 1)[1].split(",") if q}
+    which = args[0] if args else "all"
+    rounds = int(args[1]) if len(args) > 1 else 8
 
     from debezium_nats_cdc_spark.session import get_session
 
@@ -129,7 +142,7 @@ def main() -> None:
     print(json.dumps({"loadavg_at_start": loadavg()}), flush=True)
 
     if which in ("catalog", "all"):
-        run_catalog(spark, rounds)
+        run_catalog(spark, rounds, suspects)
     if which in ("streaming", "all"):
         run_streaming(spark, max(2, rounds // 4))
 
