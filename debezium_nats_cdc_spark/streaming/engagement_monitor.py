@@ -86,9 +86,15 @@ class EngagementMonitor:
         last = self.last_epoch(spark)
         if epoch_id is not None and epoch_id <= last:
             return  # replayed micro-batch: already folded into state
+        # cast the configurable user column to the state schema's bigint
+        # explicitly (ADVICE r10), mirroring FunnelMonitor._batch_rows —
+        # unionByName against the parquet state schema must not depend
+        # on the source column's type
+        batch_ud = user_days(events, self.user_col, self.ts_col).select(
+            F.col("user_id").cast("bigint").alias("user_id"), "event_day")
         merged = (
             self.state_rows(spark)
-            .unionByName(user_days(events, self.user_col, self.ts_col))
+            .unionByName(batch_ud)
             .distinct()
             .select("user_id", "event_day",
                     F.lit(None).cast("bigint").alias("last_epoch"))

@@ -205,6 +205,16 @@ class FunnelMonitor:
             minimum qualifier), so the stage collapses to the g2 row.
           * the same argument chains: once g_{k-1} <= W, stage k keeps
             only its gate row.
+          * stage k > 1 rows with ts <= W whose previous gate is NOT
+            frozen can also never qualify (ADVICE r10): every FUTURE
+            value of the previous gate is >= W — it either stays at its
+            current value (> W in the not-frozen branch) or moves down
+            only via new events, which the contract bounds at >= W; a
+            NULL previous gate can only materialize at >= W for the
+            same reason.  Qualification is strict (ts > gate), so a
+            ts <= W row can never become a stage minimum: drop it.
+            Without this, never-converting users (stage-k rows, no
+            upstream gate) would leak state past the watermark forever.
 
         Scored output over the compacted state equals the batch
         recompute over everything ingested, for every future ingest
@@ -222,12 +232,18 @@ class FunnelMonitor:
             frozen_prev = (F.lit(True) if i == 1
                            else (F.col(f"_g{i - 1}").isNotNull()
                                  & (F.col(f"_g{i - 1}") <= w)))
+            # not-frozen branch: dominance rule, PLUS (stage > 1) the
+            # watermark drop — a ts <= W row can never beat a future
+            # previous gate that is itself >= W (strict >), so it can
+            # never become a stage minimum; without this,
+            # never-converting users would hold stage-k rows forever.
+            dominated = g.isNull() | (F.col("ts_us") <= g)
+            if i > 1:
+                dominated = dominated & (F.col("ts_us") > w)
             stage_keep = F.when(
                 frozen_prev,
                 g.isNotNull() & (F.col("ts_us") == g),   # gate row only
-            ).otherwise(
-                g.isNull() | (F.col("ts_us") <= g),      # dominance rule
-            )
+            ).otherwise(dominated)
             keep = keep | ((F.col("event_type") == name) & stage_keep)
         kept = (pruned.filter(keep)
                 .select("user_id", "event_type", "ts_us",

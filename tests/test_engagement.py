@@ -140,3 +140,24 @@ def test_expire_before_bounds_state_and_keeps_published_days_exact(
     mon.process_batch(spark, _events(spark, [(9, _d(12))]), epoch_id=1)
     assert {r.dau for r in mon.scored(spark).collect()
             if r.event_day == "2024-01-12"} == {3}
+
+
+def test_monitor_casts_configurable_user_col(spark, tmp_path):
+    """ADVICE r10 regression: a non-bigint user column (numeric-string
+    ids here) must cast explicitly to the state schema's bigint in
+    process_batch — mirroring FunnelMonitor._batch_rows — instead of
+    failing or mis-coercing at unionByName against the parquet state."""
+    mon = EngagementMonitor(str(tmp_path / "mon"), user_col="uid")
+    df1 = spark.createDataFrame(
+        [("1", _d(1)), ("2", _d(1)), ("1", _d(2))],
+        "uid string, ts timestamp_ntz")
+    df2 = spark.createDataFrame(
+        [("2", _d(2)), ("3", _d(2))], "uid string, ts timestamp_ntz")
+    mon.process_batch(spark, df1, epoch_id=0)
+    mon.process_batch(spark, df2, epoch_id=1)  # merges into parquet state
+    got = {r.event_day: (r.dau, r.wau) for r in mon.scored(spark).collect()}
+    assert got == {"2024-01-01": (2, 2), "2024-01-02": (3, 3)}
+    # state really is bigint-typed, both batches folded
+    state = mon.state_rows(spark)
+    assert dict(state.dtypes)["user_id"] == "bigint"
+    assert state.count() == 5

@@ -224,3 +224,45 @@ def test_compact_collapses_frozen_users_and_stays_exact(spark, tmp_path):
     mon.process_batch(spark, _events(spark, late), epoch_id=1)
     expect2 = _batch_ground_truth(spark, tmp_path / "truth2", rows + late)
     assert _rows(mon.scored(spark)) == _rows(expect2)
+
+
+def test_compact_drops_never_converting_users_below_watermark(
+        spark, tmp_path):
+    """ADVICE r10 regression: a user with stage-k rows but NO stage-1
+    gate at all (never-converting) must not leak state past the
+    watermark — under the no-late-arrivals contract any future upstream
+    gate is >= W and qualification is strict >, so stage-k rows with
+    ts_us <= W can never qualify and compact() drops them entirely."""
+    from pyspark.sql import functions as F
+
+    # user 9: orphan clicks + purchase, no view ever (_g1 NULL)
+    rows = [(9, "click", _t(1)), (9, "click", _t(2)),
+            (9, "purchase", _t(3)),
+            # user 10: control — a converting user whose rows survive
+            (10, "view", _t(1)), (10, "click", _t(2)),
+            (10, "purchase", _t(3))]
+    mon = FunnelMonitor(str(tmp_path / "mon"))
+    mon.process_batch(spark, _events(spark, rows), epoch_id=0)
+    assert mon.state_rows(spark).filter(F.col("user_id") == 9).count() == 3
+
+    from datetime import timezone
+
+    watermark_us = int(_t(20).replace(tzinfo=timezone.utc)
+                       .timestamp() * 1_000_000)
+    mon.compact(spark, watermark_us)
+    post = mon.state_rows(spark)
+    # the leak is gone: user 9 holds ZERO rows, not 3-forever
+    assert post.filter(F.col("user_id") == 9).count() == 0
+    assert post.filter(F.col("user_id") == 10).count() == 3
+
+    # exactness preserved: scoring == batch now...
+    expect = _batch_ground_truth(spark, tmp_path / "truth", rows)
+    assert _rows(mon.scored(spark)) == _rows(expect)
+    # ...and after user 9 finally starts a funnel with >= W events
+    # (their dropped pre-W clicks could never have qualified anyway:
+    # the new view gate is >= W and qualification is strict >)
+    late = [(9, "view", _t(21)), (9, "click", _t(23)),
+            (9, "purchase", _t(24))]
+    mon.process_batch(spark, _events(spark, late), epoch_id=1)
+    expect2 = _batch_ground_truth(spark, tmp_path / "truth2", rows + late)
+    assert _rows(mon.scored(spark)) == _rows(expect2)
