@@ -78,6 +78,7 @@ def _load_modules() -> None:
         funnel,
         analytics,
         engagement,
+        components,
     )
 
 
@@ -105,84 +106,85 @@ def _load_modules() -> None:
 # on-phase half).  Result: every query is driver-green in round N or
 # N−1, by construction.
 #
-# Round-10 plan (EVEN phase): the 45 r8-green out-of-window queries
-# lead — exactly the r9 out-of-window set (dedup 8, sampling 6, joins
-# 10 incl. asof, windows 7, emb/quantize 3, sim 3, advanced/cdc-derived
-# 4, mm 2, agg 2).  Then rule A's touched modules this round:
-# linalg.py 2 (r9-green emb_covariance + the NEW emb_pca_project_check,
-# never verified — VERDICT r9 #5), funnel.py 2 (r9-green; touched to
-# extract the funnel_summary kernel the NEW streaming FunnelMonitor
-# shares — VERDICT r9 #6), NEW engagement.py 1 (events_dau_wau, never
-# verified — it displaces the off-phase filler slot).  joins.py is also
-# touched this round (execute_advised_join, VERDICT r9 #9) — its 10
-# queries are already in the EVEN half above.  That fills exactly 50.
-# Out of window (47): the whole ODD half, all r9-green; they rotate
-# back in r11 (ODD phase).
+# Round-11 plan (ODD phase, per the r10 verdict task 2 + COVERAGE.md):
+# the 47 r9-green out-of-window queries lead — the whole ODD half (cdc
+# 11, text 9, ranking 2, curation/pii 5, mm 4, agg 6, analytics 2, sim
+# 3, stats 4, layout 1).  Then rule A's touched/new modules, which fill
+# the remaining 3 slots exactly: engagement.py 2 (r10-green
+# events_dau_wau + the NEW events_dau_wau_approx, the HLL tier —
+# VERDICT r10 #5) and the NEW components.py 1
+# (dedup_cluster_assign_delta, the delta-iteration CC kernel under the
+# same true-closure oracle — VERDICT r10 #3; dedup.py itself is
+# deliberately untouched this round: its 8 queries would not fit the
+# window beside the mandatory 47, so the optimized kernel ships as its
+# own oracle-checked query and the dedup.py swap waits for r12's EVEN
+# phase).  Out of window (48): the whole EVEN half, all r10-green; they
+# rotate back in r12.
 _WINDOW_ORDER: list[str] = [
-    # half EVEN: dedup (last green r8)
-    "dedup_exact_groups",
-    "dedup_exact_keep_first",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_cluster_assign",
-    "dedup_exact_substring",
-    "dedup_prefix_cluster",
-    # half EVEN: sampling (last green r8)
-    "corpus_train_split",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "corpus_lang_mix",
-    "corpus_quality_weighted_sample",
-    "corpus_global_shuffle",
-    # half EVEN: joins (last green r8; rule A too — joins.py touched)
-    "join_broadcast_enrich",
-    "join_hierarchy_chain",
-    "join_self_pairs",
-    "join_semi_exists",
-    "join_anti_orphans",
-    "join_range_interval",
-    "join_event_correlation",
-    "join_top_orders",
-    "join_salted_skew",
-    "join_asof_last_click",
-    # half EVEN: windows (last green r8)
-    "window_latest_state_per_key",
-    "window_topk_per_group",
-    "window_running_total",
-    "window_lag_timeline",
-    "window_field_diff_audit",
-    "window_ntile_curriculum",
-    "window_state_as_of",
-    # half EVEN: quantize/emb (last green r8)
-    "emb_quantize_int8",
-    "emb_norm_stats",
-    "emb_dim_stats",
-    # half EVEN: similarity deep cuts (last green r8)
-    "sim_ivf_probe_topk",
-    "sim_lsh_bucketed_neardup",
-    "sim_kmeans_refine",
-    # half EVEN: advanced/cdc-derived + agg + mm stragglers (last green r8)
-    "cdc_sessionization",
-    "cdc_tenure_per_user",
-    "scalar_functions_showcase",
-    "text_length_percentiles",
-    "agg_cube_orders",
-    "agg_approx_distinct",
-    "mm_feature_extract",
-    "mm_doc_embedding_join",
-    # rule A: linalg.py touched (NEW emb_pca_project_check, never
-    # verified — the pca_project kernel under the driver oracle)
-    "emb_covariance",
-    "emb_pca_project_check",
-    # rule A: funnel.py touched (funnel_summary kernel extracted for
-    # the streaming FunnelMonitor)
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    # rule A: NEW engagement.py module (events_dau_wau, never verified)
-    # — displaces the planned off-phase filler (cdc_set_except,
-    # r9-green; it rotates back with the ODD half in r11)
+    # half ODD: cdc envelope/routing family (last green r9)
+    "cdc_subject_route",
+    "cdc_envelope_build",
+    "cdc_dedup_exact",
+    "cdc_retention_filter",
+    "cdc_validate_split",
+    "cdc_json_extract",
+    "cdc_tumbling_window",
+    "cdc_masking_pii",
+    "cdc_union_heterogeneous",
+    "cdc_set_intersect",
+    "cdc_set_except",
+    # half ODD: text analysis (last green r9)
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_distribution",
+    "text_fingerprint",
+    "text_token_frequencies",
+    "text_language_id",
+    "text_bpe_token_count",
+    "text_repetition_filter",
+    "text_unigram_logprob",
+    # half ODD: ranking (last green r9)
+    "text_tfidf_topk",
+    "text_bm25_topk",
+    # half ODD: curation / PII (last green r9)
+    "corpus_curation",
+    "corpus_decontaminate",
+    "pii_scrub_customers",
+    "corpus_mixture_plan",
+    "pii_erasure_cascade",
+    # half ODD: multimodal (last green r9)
+    "mm_binary_metadata",
+    "mm_frame_sample",
+    "mm_resize_plan",
+    "mm_audio_chunk_plan",
+    # half ODD: aggregates (last green r9)
+    "agg_pricing_summary",
+    "agg_daily_event_volume",
+    "agg_metrics_by_type",
+    "agg_rollup_region_nation",
+    "agg_grouping_sets_priority",
+    "agg_pivot_returnflag",
+    # half ODD: analytics (last green r9)
+    "agg_regional_revenue",
+    "events_anomaly_zscore",
+    # half ODD: similarity base family (last green r9)
+    "sim_cosine_topk",
+    "sim_nearest_centroid",
+    "sim_embedding_neardup",
+    # half ODD: stats (last green r9)
+    "stats_key_skew_report",
+    "stats_join_advisor",
+    "stats_numeric_profile",
+    "stats_join_cardinality",
+    # half ODD: layout (last green r9)
+    "layout_zorder_stats",
+    # rule A: engagement.py touched (NEW events_dau_wau_approx — the
+    # DataSketches-HLL tier, VERDICT r10 #5)
     "events_dau_wau",
+    "events_dau_wau_approx",
+    # rule A: NEW components.py (dedup_cluster_assign_delta — the
+    # delta-iteration CC kernel, VERDICT r10 #3)
+    "dedup_cluster_assign_delta",
 ]
 
 

@@ -124,3 +124,103 @@ def dau_wau(ud: DataFrame, window_days: int = _WINDOW_DAYS) -> DataFrame:
 )
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau_wau(user_days(load_table(spark, sf_dir, "events")))
+
+
+@register(
+    "events_dau_wau_approx",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    expanded AS (
+      SELECT ud.user_id, ud.d + CAST(t.k AS INTEGER) AS td
+      FROM ud, (SELECT UNNEST(generate_series(0, 6)) AS k) t
+    ),
+    dau AS (
+      SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM ud GROUP BY d
+    ),
+    wau AS (
+      SELECT e.td AS d, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+      FROM expanded e JOIN days ON e.td = days.d GROUP BY e.td
+    ),
+    adau AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(approx_count_distinct(user_id) AS DOUBLE) AS a
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1
+    ),
+    awau AS (
+      SELECT e.td AS d,
+             CAST(approx_count_distinct(e.user_id) AS DOUBLE) AS a
+      FROM expanded e JOIN days ON e.td = days.d GROUP BY e.td
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS event_day, dau.dau,
+           (abs(adau.a - dau.dau) / dau.dau <= 0.2) AS dau_within_20pct,
+           wau.wau,
+           (abs(awau.a - wau.wau) / wau.wau <= 0.2) AS wau_within_20pct
+    FROM dau JOIN wau ON dau.d = wau.d
+             JOIN adau ON dau.d = adau.d
+             JOIN awau ON dau.d = awau.d
+    """,
+    survey_ids=["D2", "D4"],
+    doc="Approximate tier of events_dau_wau (VERDICT r10 #5): the exact "
+        "tier's distinct (user, day) frame is the information floor for "
+        "exact counts but is ~1e11 rows at 100 TB; this query runs the "
+        "DataSketches-HLL path beside it under the envelope contract "
+        "proven by agg_approx_distinct (each engine's own sketch lands "
+        "within 20%% of the exact count — 4-sigma at the sketches' "
+        "~1.6%% rsd, so two INDEPENDENT sketches virtually never "
+        "straddle the boundary and the booleans compare equal). The "
+        "100 TB shape is the point: hll_sketch_agg collapses events to "
+        "ONE sketch row per day (map-side partial merge, no distinct "
+        "shuffle), and trailing-week WAU then explodes the <= #days "
+        "SKETCH rows — not the corpus — into the <= 7 window days each "
+        "covers and hll_union_agg merges them; the second pass over the "
+        "data that exact WAU needs disappears entirely. Operating "
+        "guidance exact-vs-approx: OPERATIONS.md.",
+)
+def events_dau_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (load_table(spark, sf_dir, "events")
+         .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull()))
+    # one sketch row per day: the only pass over the events
+    day_sk = (e.groupBy(F.to_date("ts").alias("event_day"))
+              .agg(F.hll_sketch_agg("user_id").alias("_sk"),
+                   F.hll_sketch_estimate(
+                       F.hll_sketch_agg("user_id")).cast("double")
+                   .alias("_dau_a")))
+    days = day_sk.select("event_day")
+    # WAU: explode the per-day SKETCHES (<= #days rows) into the <= 7
+    # trailing windows each day covers, union-merge per window day
+    expanded = (
+        day_sk.select(
+            F.explode(F.sequence(F.lit(0), F.lit(_WINDOW_DAYS - 1)))
+             .alias("_k"),
+            "event_day", "_sk")
+        .select(F.date_add("event_day", F.col("_k")).alias("event_day"),
+                "_sk")
+        .join(days, "event_day", "left_semi")
+    )
+    wau_est = (expanded.groupBy("event_day")
+               .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk"))
+                    .cast("double").alias("_wau_a")))
+    est = (day_sk.select(
+               F.date_format("event_day", "yyyy-MM-dd").alias("event_day"),
+               "_dau_a")
+           .join(wau_est.select(
+               F.date_format("event_day", "yyyy-MM-dd").alias("event_day"),
+               "_wau_a"), "event_day"))
+    exact = dau_wau(user_days(e))
+    return (
+        exact.join(est, "event_day")
+        .select(
+            "event_day", "dau",
+            (F.abs(F.col("_dau_a") - F.col("dau")) / F.col("dau") <= 0.2)
+            .alias("dau_within_20pct"),
+            "wau",
+            (F.abs(F.col("_wau_a") - F.col("wau")) / F.col("wau") <= 0.2)
+            .alias("wau_within_20pct"),
+        )
+    )
