@@ -293,3 +293,67 @@ def ivf_cell_stats(spark: SparkSession, index_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_vectors"), F.asc("cell_id"))
     )
+
+
+def recommend_nprobe(spark: SparkSession, index_dir: str,
+                     target_recall: float, k: int = 10,
+                     sample_stride: int = 17,
+                     candidates: list[int] | None = None) -> dict:
+    """Auto-tune ``nprobe`` (VERDICT r10 stretch 9): replay the
+    measured recall curve (tools/ann_recall_curve.py, OPERATIONS.md §5.8)
+    on a deterministic held-out sample of THIS index's own vectors and
+    return the cheapest nprobe whose recall@k meets ``target_recall``.
+
+    Method: every ``sample_stride``-th indexed vec_id self-probes the
+    index; ground truth is ``ivf_search`` at nprobe = n_cells (scans
+    every cell — pinned equal to brute force in tests/test_ann_index.py).
+    Candidates are walked cheapest-first, so the returned operating
+    point is the minimal scan fraction meeting the target; if nothing
+    short of a full scan does (the near-isotropic corpus case in the
+    OPERATIONS.md table), the answer IS n_cells — i.e. "switch this
+    workload to the exact path", exactly the §5.8 tuning rule.
+
+    Driver-side cost is bounded by the SAMPLE (n_vectors /
+    sample_stride query rows collected per candidate), never the
+    corpus — this is an offline tuning helper, run once per rebuild.
+
+    Returns ``{"nprobe", "recall", "scan_fraction", "target_recall",
+    "n_queries", "curve": {nprobe: recall, ...}}``.
+    """
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], "
+                         f"got {target_recall}")
+    meta = _load_meta(index_dir)
+    n_cells = meta["n_cells"]
+    vecs = (spark.read.parquet(os.path.join(index_dir, "vectors"))
+            .select("vec_id", "embedding"))
+    queries = vecs.filter(F.col("vec_id") % sample_stride == 0)
+
+    def topk_sets(df) -> dict:
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk_sets(ivf_search(spark, index_dir, queries, k=k,
+                                 nprobe=n_cells))
+    n_queries = len(exact)
+    ladder = sorted({c for c in (candidates or (1, 2, 4, 8, 12))
+                     if 0 < c < n_cells})
+    curve: dict[int, float] = {}
+    for nprobe in ladder:
+        approx = topk_sets(ivf_search(spark, index_dir, queries, k=k,
+                                      nprobe=nprobe))
+        recalls = [len(approx.get(q, set()) & hits) / len(hits)
+                   for q, hits in exact.items() if hits]
+        recall = sum(recalls) / len(recalls) if recalls else 1.0
+        curve[nprobe] = round(recall, 4)
+        if recall >= target_recall:
+            return {"nprobe": nprobe, "recall": curve[nprobe],
+                    "scan_fraction": round(nprobe / n_cells, 3),
+                    "target_recall": target_recall,
+                    "n_queries": n_queries, "curve": curve}
+    curve[n_cells] = 1.0  # full scan == ground truth by construction
+    return {"nprobe": n_cells, "recall": 1.0, "scan_fraction": 1.0,
+            "target_recall": target_recall, "n_queries": n_queries,
+            "curve": curve}

@@ -12,6 +12,20 @@ would double the suite's wall time.  Ambient-load caveat: the recorded
 ev/s is already best-of-2 full-volume runs (streaming/bench.py), so a
 floor of 2x SLO leaves 4x headroom below the observed steady state
 (80k+ ev/s r4/r6) — a trip means a real regression, not scheduler noise.
+
+ADJUDICATION POLICY (VERDICT r10 task 1).  The driver's artifact lands
+AFTER round close, so a breach can be pure ambient sandbox load on a
+tree the builder measured green (BENCH_r10: P95 2.288 s recorded, while
+the builder's same-round record and four judge replays on the SAME tree
+measured 1.008-1.353 s).  The SLO asserts below are NEVER loosened;
+instead, a breached artifact passes ONLY if ADJUDICATIONS.json carries
+a structured verdict for that exact artifact name, written by
+``tools/adjudicate_bench.py streaming --record=BENCH_rNN.json`` — >= 8
+interleaved full-volume replays on the artifact's tree — AND that
+replay median ITSELF meets the un-loosened SLO ('ambient' verdict).  A
+'regression' verdict is recorded too and keeps this gate red.  Without
+any record, the gate stays red until one exists: adjudicate, don't
+ignore.
 """
 
 from __future__ import annotations
@@ -46,6 +60,29 @@ def _latest_bench() -> tuple[str, dict] | None:
     return None
 
 
+def _ambient_adjudication(artifact: str) -> dict | None:
+    """The structured verdict for a breached artifact, if one exists
+    AND is 'ambient' (replay median meets the un-loosened SLO).  See
+    the module docstring for the policy."""
+    path = os.path.join(REPO, "ADJUDICATIONS.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        book = json.load(f)
+    rec = book.get(artifact)
+    if not rec or rec.get("verdict") != "ambient":
+        return None
+    # trust nothing: re-check the record's medians against the SLO
+    # constants HERE, so editing the tool can't quietly loosen the gate
+    if rec.get("median_p95", 99.0) > SLO_P95_SEC:
+        return None
+    if rec.get("median_ev_per_sec", 0) < SLO_EVENTS_PER_SEC * FLOOR_MULTIPLIER:
+        return None
+    if rec.get("rounds", 0) < 8:
+        return None  # fewer than 8 interleaved replays is not a verdict
+    return rec
+
+
 def test_recorded_stream_throughput_meets_floor():
     hit = _latest_bench()
     assert hit is not None, "no parseable BENCH_r*.json artifact found"
@@ -53,10 +90,11 @@ def test_recorded_stream_throughput_meets_floor():
     evs = parsed.get("stream_events_per_sec")
     assert evs is not None, f"{name} summary lacks stream_events_per_sec"
     floor = SLO_EVENTS_PER_SEC * FLOOR_MULTIPLIER
-    assert evs >= floor, (
+    assert evs >= floor or _ambient_adjudication(name) is not None, (
         f"{name}: recorded {evs:.0f} ev/s < {floor} floor "
         f"({FLOOR_MULTIPLIER}x the {SLO_EVENTS_PER_SEC} ev/s SLO) — "
-        f"throughput regression shipped in the round artifact")
+        f"throughput regression shipped in the round artifact, and no "
+        f"ambient adjudication record covers it (see module docstring)")
 
 
 def test_recorded_stream_p95_meets_slo():
@@ -66,5 +104,8 @@ def test_recorded_stream_p95_meets_slo():
     p95 = parsed.get("stream_batch_p95_sec")
     if p95 is None:
         return  # older artifacts (r1-r3) predate the p95 field
-    assert p95 <= SLO_P95_SEC, (
-        f"{name}: recorded P95 {p95:.3f} s > {SLO_P95_SEC} s SLO")
+    assert p95 <= SLO_P95_SEC or _ambient_adjudication(name) is not None, (
+        f"{name}: recorded P95 {p95:.3f} s > {SLO_P95_SEC} s SLO, and no "
+        f"ambient adjudication record covers it — run "
+        f"tools/adjudicate_bench.py streaming --record={name} "
+        f"(module docstring has the policy)")

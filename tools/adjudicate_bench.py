@@ -96,11 +96,12 @@ def run_catalog(spark, rounds: int,
         print(json.dumps(rec), flush=True)
 
 
-def run_streaming(spark, reps: int) -> None:
+def run_streaming(spark, reps: int) -> dict:
     from debezium_nats_cdc_spark.streaming.bench import streaming_events_per_sec
 
     arms = ["TIMESTAMP_MICROS", "INT96"]
     results: dict[str, list[dict]] = {a: [] for a in arms}
+    all_runs: list[dict] = []
     order = (["TIMESTAMP_MICROS", "INT96", "INT96", "TIMESTAMP_MICROS"]
              * reps)[: 4 * reps]
     for arm in order:
@@ -113,6 +114,7 @@ def run_streaming(spark, reps: int) -> None:
                "p50": r["stream_batch_p50_sec"],
                "p95": r["stream_batch_p95_sec"], "loadavg": loadavg()}
         results[arm].append(rec)
+        all_runs.append(rec)
         print(json.dumps({"exp": "streaming", **rec}), flush=True)
     for arm, runs in results.items():
         print(json.dumps({
@@ -123,11 +125,68 @@ def run_streaming(spark, reps: int) -> None:
             "median_p95": statistics.median(r["p95"] for r in runs),
             "runs": [r["ev_per_sec"] for r in runs],
         }), flush=True)
+    summary = {
+        "rounds": len(all_runs),
+        "median_ev_per_sec": round(statistics.median(
+            r["ev_per_sec"] for r in all_runs), 1),
+        "median_p50": round(statistics.median(
+            r["p50"] for r in all_runs), 3),
+        "median_p95": round(statistics.median(
+            r["p95"] for r in all_runs), 3),
+        "p95_runs": [r["p95"] for r in all_runs],
+        "ev_per_sec_runs": [r["ev_per_sec"] for r in all_runs],
+        "loadavg": [r["loadavg"] for r in all_runs],
+    }
+    print(json.dumps({"exp": "streaming", "arm": "ALL", **summary}),
+          flush=True)
+    return summary
+
+
+# SLO targets mirrored from tests/test_slo_floor.py — an adjudication
+# verdict is "ambient" only if the interleaved replay MEDIAN itself
+# meets the SLO (never by loosening the assert).
+_SLO_P95_SEC = 2.0
+_SLO_EVENTS_PER_SEC = 10_000
+_FLOOR_MULTIPLIER = 2
+
+
+def record_adjudication(artifact: str, summary: dict) -> None:
+    """Append a structured verdict for a breached driver artifact to
+    ADJUDICATIONS.json (VERDICT r10 task 1).  tests/test_slo_floor.py
+    consults this file: a breached BENCH_r*.json passes the gate ONLY
+    if its adjudication record says 'ambient' AND the replay median
+    meets the un-loosened SLO.  A 'regression' verdict is recorded too
+    (honesty over green), and keeps the gate red."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "ADJUDICATIONS.json")
+    book = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            book = json.load(f)
+    ambient = (summary["median_p95"] <= _SLO_P95_SEC
+               and summary["median_ev_per_sec"]
+               >= _SLO_EVENTS_PER_SEC * _FLOOR_MULTIPLIER)
+    book[artifact] = {
+        "metric": "streaming SLO (p95 sec, ev/s)",
+        "method": f"{summary['rounds']} interleaved full-volume replays "
+                  f"on the artifact's tree (tools/adjudicate_bench.py "
+                  f"streaming)",
+        "verdict": "ambient" if ambient else "regression",
+        **summary,
+    }
+    with open(path, "w") as f:
+        json.dump(book, f, indent=1, sort_keys=True)
+    print(f"ADJUDICATIONS.json <- {artifact}: "
+          f"{book[artifact]['verdict']} (median_p95 "
+          f"{summary['median_p95']}, median_ev_per_sec "
+          f"{summary['median_ev_per_sec']})")
 
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     qflag = next((a for a in sys.argv[1:] if a.startswith("--queries=")),
+                 None)
+    rflag = next((a for a in sys.argv[1:] if a.startswith("--record=")),
                  None)
     suspects = None
     if qflag:
@@ -144,7 +203,9 @@ def main() -> None:
     if which in ("catalog", "all"):
         run_catalog(spark, rounds, suspects)
     if which in ("streaming", "all"):
-        run_streaming(spark, max(2, rounds // 4))
+        summary = run_streaming(spark, max(2, rounds // 4))
+        if rflag:
+            record_adjudication(rflag.split("=", 1)[1], summary)
 
 
 if __name__ == "__main__":
