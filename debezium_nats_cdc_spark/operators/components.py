@@ -3,11 +3,25 @@
 
 ``dedup_cluster_assign`` has been the catalog's cost ceiling every
 round since r8 (7.61 s driver / 4.3-4.6 s replay at sf0.1, 2-3x the
-next heaviest query).  Decomposition (BENCHLOG round-11) splits that
-into the shared Jaccard pair pipeline (~2.5 s, also paid by
-``dedup_ngram_jaccard``) and the CC fixed-point loop (~2 s), so the
-loop is the half this module attacks.  Three changes vs the r8 kernel,
-none of which alter the result (property-tested against the same
+next heaviest query).  The measured decomposition (BENCHLOG round-11,
+tools/cc_decompose.py) splits the ~4.1 s replay median into the shared
+Jaccard pair pipeline (2.65 s median, also paid by
+``dedup_ngram_jaccard``) and the CC fixed-point loop (~1.5 s) — and
+shows the loop's cost at sf0.1 is NOT data: the matched graph is 256
+edges / 477 nodes, so ~1.5 s is pure per-round scheduling +
+localCheckpoint overhead.  That floor is attacked two ways, picked
+adaptively by edge count:
+
+0. **Size-gated driver-local union-find** (the broadcast-join analogy:
+   below a threshold, centralizing beats distributing).  Under
+   ``_DRIVER_CC_MAX_EDGES`` pairs the edge set is collected and solved
+   exactly in O(E α(E)) Python — microseconds at sf0.1 versus O(log d)
+   Spark rounds of fixed overhead.  Above the gate (the 100 TB
+   matched-pair set), the delta iteration below is the path; the gate
+   costs one count() over the already-checkpointed edges.
+
+Three changes vs the r8 kernel in the distributed path, none of which
+alter the result (both paths property-tested against the same
 union-find reference):
 
 1. **Fused convergence probe.**  The r8 loop runs THREE shuffle joins
@@ -53,26 +67,68 @@ the clustering layer is specified, not implemented, in the reference).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..catalog import register
 from .dedup import _CC_MAX_ROUNDS, _cluster_oracle, _jaccard_edges
 
+# Size gate for the driver-local fast path (the broadcast-join analogy:
+# below the threshold, centralizing beats distributing).  500k undirected
+# pairs ≈ 1M symmetric rows ≈ 16 MB of longs collected — far inside any
+# driver's memory, and union-find folds them in ~1 s of Python, versus
+# O(log d) Spark rounds at ~0.3-0.4 s of pure scheduling + checkpoint
+# overhead EACH even when the graph is trivial (the measured sf0.1
+# floor: 256 edges / 477 nodes still cost ~1.5 s in the distributed
+# loop — BENCHLOG round-11 decomposition).
+_DRIVER_CC_MAX_EDGES = 500_000
+
+
+def _driver_union_find(spark: SparkSession, sym: DataFrame) -> DataFrame:
+    """Exact CC on a size-gated edge set: collect, union-find with the
+    min-id-keeps-root discipline (attaching the larger root under the
+    smaller preserves root == component min by induction), relabel with
+    a final find pass.  Same (doc_id, lbl) contract as the distributed
+    loop; the collect is bounded by the caller's gate."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for src, dst in sym.collect():
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((x, find(x)) for x in parent)
+    id_type = sym.schema["src"].dataType
+    schema = StructType([StructField("doc_id", id_type),
+                         StructField("lbl", id_type)])
+    return spark.createDataFrame(rows, schema)
+
 
 def connected_components_delta(pairs: DataFrame,
                                max_rounds: int = _CC_MAX_ROUNDS,
+                               driver_max_edges: int = _DRIVER_CC_MAX_EDGES,
                                ) -> DataFrame:
     """(doc_a, doc_b) undirected pairs -> (doc_id, lbl) with lbl = min
-    id in the node's component.  Frontier-restricted min-label
-    propagation with pointer jumping and a fused convergence probe —
-    see the module docstring for the exactness argument.  Returns the
-    same frame as ``dedup.connected_components`` on every input
-    (property-tested side by side in tests/test_corpus_ops.py)."""
+    id in the node's component.  Adaptive: a size-gated driver-local
+    union-find below ``driver_max_edges`` pairs (pass 0 to disable),
+    else frontier-restricted min-label propagation with pointer jumping
+    and a fused convergence probe — see the module docstring for the
+    exactness argument.  Both paths return the same frame as
+    ``dedup.connected_components`` on every input (property-tested side
+    by side, both paths, in tests/test_corpus_ops.py)."""
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     # materialize the edge set once; everything below derives from it
     sym = sym.localCheckpoint(eager=True)
+    if driver_max_edges and sym.count() <= 2 * driver_max_edges:
+        return _driver_union_find(pairs.sparkSession, sym)
     labels = (
         sym.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("lbl", F.col("doc_id"))
@@ -122,18 +178,20 @@ def connected_components_delta(pairs: DataFrame,
     "dedup_cluster_assign_delta",
     oracle=_cluster_oracle(),
     survey_ids=["K1"],
-    doc="Near-dup cluster assignment on the delta-iteration CC kernel "
+    doc="Near-dup cluster assignment on the adaptive CC kernel "
         "(VERDICT r10 task 3): same contract and same recursive-CTE "
-        "true-closure oracle as dedup_cluster_assign, with the "
-        "fixed-point loop rewritten as frontier-restricted min-label "
-        "propagation — the per-round neighbor-min shuffle runs over "
-        "last round's CHANGED labels only and the convergence probe is "
-        "fused into the round's projection instead of costing its own "
-        "labels-vs-previous shuffle join. Two shuffle joins + one "
-        "narrow count per round vs three joins + a count; the dominant "
-        "join shrinks with the frontier. Exactness argument and the "
-        "interleaved A/B vs the r8 kernel: module docstring + BENCHLOG "
-        "round-11.",
+        "true-closure oracle as dedup_cluster_assign. Edge-count-gated "
+        "strategy pick, the broadcast-join analogy: under 500k matched "
+        "pairs the component solve is a driver-local union-find "
+        "(O(E a(E)), vs O(log d) Spark rounds of pure scheduling "
+        "overhead — the measured sf0.1 loop floor was ~1.5 s for a "
+        "256-edge graph); above it, frontier-restricted min-label "
+        "propagation with pointer jumping — the per-round neighbor-min "
+        "shuffle runs over last round's CHANGED labels only and the "
+        "convergence probe is fused into the round's projection "
+        "instead of costing its own labels-vs-previous shuffle join. "
+        "Exactness arguments and the interleaved A/B vs the r8 kernel: "
+        "module docstring + BENCHLOG round-11.",
 )
 def dedup_cluster_assign_delta(spark: SparkSession,
                                sf_dir: str) -> DataFrame:

@@ -275,10 +275,14 @@ def test_pair_cache_invalidates_on_table_rewrite(spark, tmp_path):
     assert fresh == {(2, 3)}
 
 
-def test_connected_components_delta_matches_union_find_and_v1(spark):
-    """Property (VERDICT r10 task 3): the frontier-restricted delta
-    kernel agrees with a sequential union-find AND with the r8 kernel
-    on every node over random graphs + a diameter-stressing path."""
+@pytest.mark.parametrize("gate", [500_000, 0],
+                         ids=["driver_path", "distributed_path"])
+def test_connected_components_delta_matches_union_find_and_v1(spark, gate):
+    """Property (VERDICT r10 task 3): BOTH adaptive arms — the
+    size-gated driver union-find (gate open) and the
+    frontier-restricted delta loop (gate=0 forces it) — agree with a
+    sequential union-find AND with the r8 kernel on every node over
+    random graphs + a diameter-stressing path."""
     import random
 
     from debezium_nats_cdc_spark.operators.components import (
@@ -315,7 +319,8 @@ def test_connected_components_delta_matches_union_find_and_v1(spark):
 
         df = spark.createDataFrame(edges, "doc_a long, doc_b long")
         got = {r["doc_id"]: r["lbl"]
-               for r in connected_components_delta(df).collect()}
+               for r in connected_components_delta(
+                   df, driver_max_edges=gate).collect()}
         assert got == expected, f"trial {trial}"
         v1 = {r["doc_id"]: r["lbl"]
               for r in connected_components(df).collect()}
@@ -332,6 +337,7 @@ def test_connected_components_delta_long_path_converges(spark):
     edges = [(i, i + 1) for i in range(200)]
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r["doc_id"]: r["lbl"]
-           for r in connected_components_delta(df).collect()}
+           for r in connected_components_delta(
+               df, driver_max_edges=0).collect()}
     assert set(got) == set(range(201))
     assert set(got.values()) == {0}
