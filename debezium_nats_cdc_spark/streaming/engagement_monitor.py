@@ -21,7 +21,9 @@ the information floor for exact counts; a production deployment bounds
 the horizon with :meth:`EngagementMonitor.expire_before` — days older
 than the published reporting window minus the trailing-window width can
 no longer affect any published aggregate and are dropped — or moves to
-HLL sketches where approximate WAU is acceptable.
+the per-day HLL sketch state of the sibling
+``approx_engagement_monitor`` (state <= #days at any user volume)
+where approximate WAU is acceptable.
 
 Layout: one swap-written parquet table — (user_id, event_day) rows plus
 a single ``event_day IS NULL`` meta row carrying ``last_epoch`` — the

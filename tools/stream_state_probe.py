@@ -11,6 +11,8 @@ bytes, so the sub-linear/bounded claims carry measurements:
   * volume-anomaly: state <= #types x #days rows, INDEPENDENT of events;
   * engagement / cohort: state = the distinct (user, day|week) frame —
     saturates at pool x horizon; expire_before/expire caps it;
+  * approx engagement: ONE HLL sketch row per day — <= #days at ANY
+    user volume (the sketch tier's reason to exist);
   * funnel: dominance-pruned rows; compact(W) collapses to <=1
     row/user/stage;
   * TF-IDF: df-vocabulary + meta — grows with VOCABULARY, not docs;
@@ -106,6 +108,9 @@ def probe(spark, volumes=(8_000, 32_000)) -> list[dict]:
     from debezium_nats_cdc_spark.streaming.anomaly_monitor import (
         VolumeAnomalyMonitor,
     )
+    from debezium_nats_cdc_spark.streaming.approx_engagement_monitor import (
+        ApproxEngagementMonitor,
+    )
     from debezium_nats_cdc_spark.streaming.cohort_monitor import CohortMonitor
     from debezium_nats_cdc_spark.streaming.corpus_dedup import (
         CorpusDedupPipeline,
@@ -165,6 +170,11 @@ def probe(spark, volumes=(8_000, 32_000)) -> list[dict]:
             extras=lambda m: _compacted(spark, m, wm_us))
         run("engagement", vol,
             lambda root, rng: EngagementMonitor(os.path.join(root, "m")),
+            feed_events, lambda m: m.state_dir,
+            extras=lambda m: _expired(spark, m, horizon))
+        run("approx_engagement", vol,
+            lambda root, rng: ApproxEngagementMonitor(
+                os.path.join(root, "m")),
             feed_events, lambda m: m.state_dir,
             extras=lambda m: _expired(spark, m, horizon))
         run("cohort", vol,
@@ -259,6 +269,8 @@ def write_md(records: list[dict], path: str) -> None:
                   "(<= 1500)",
         "engagement": "distinct (user, day) <= 500 x 30; expire caps at "
                       "horizon window",
+        "approx_engagement": "ONE HLL row per day — <= #days at ANY "
+                             "user volume; expire caps at horizon",
         "cohort": "distinct (user, week) <= 500 x 5; expire keeps "
                   "cohort row/user + horizon",
         "tfidf": "df vocabulary + meta — grows with VOCAB (bounded "
