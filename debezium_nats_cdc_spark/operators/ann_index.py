@@ -10,6 +10,9 @@ only the probe.  This module persists that split:
     ivf_build(spark, vectors, index_dir)   # k-means + assign + write
     ivf_add(spark, index_dir, new_vectors) # incremental: assign + append
     ivf_search(spark, index_dir, queries)  # nprobe cells only
+    # live ingest: streaming/ann_ingest.IvfStreamIngest appends into a
+    # vectors_stream/ area (cell_id leading, so probes prune it too);
+    # search/stats/tuning read base + stream transparently
 
 Physical layout IS the search structure (the 100 TB story):
 - `centroids/` — n_cells rows (cell_id, c_emb, c_norm); always
@@ -48,6 +51,9 @@ from ..functions.vectors import l2_norm
 from .similarity import _pair_cos, _with_norm
 
 INDEX_FORMAT = "ivf-cos-decmean-v1"
+# live adds from streaming/ann_ingest.py land here, partitioned
+# (cell_id, _epoch) — cell_id leading so probe pruning works unchanged
+_STREAM_SUBDIR = "vectors_stream"
 
 
 def _meta_path(index_dir: str) -> Path:
@@ -147,6 +153,23 @@ def _centroids(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(index_dir, "centroids"))
 
 
+def _vector_scan(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The index's full vector set: the build/add area plus, when the
+    streaming sink has landed anything, the ``vectors_stream/`` area
+    (same columns; the stream's ``_epoch`` partition level dropped).
+    Both scans keep ``cell_id`` as a raw partition column, so probe
+    pruning — literal or DPP — prunes each area independently; with no
+    stream area the plan is byte-identical to the pre-streaming one
+    (the explain-pinned tests build without streaming)."""
+    base = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    sdir = os.path.join(index_dir, _STREAM_SUBDIR)
+    if os.path.isdir(sdir) and any(
+            e.name.startswith("cell_id=") for e in os.scandir(sdir)):
+        stream = spark.read.parquet(sdir).select(*base.columns)
+        base = base.unionByName(stream)
+    return base
+
+
 def ivf_add(spark: SparkSession, index_dir: str, vectors: DataFrame,
             id_col: str = "vec_id", emb_col: str = "embedding") -> None:
     """Incremental ingest: assign new vectors to the EXISTING centroids
@@ -222,7 +245,7 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
     # the engine session disables partition-column type inference (a
     # STRING event_month contract elsewhere), so the partition column
     # reads back as string on BOTH paths
-    raw_vectors = spark.read.parquet(os.path.join(index_dir, "vectors"))
+    raw_vectors = _vector_scan(spark, index_dir)
     if probe_mode == "literal":
         probed_cells = sorted({r["cell_id"] for r in
                                probes.select("cell_id").distinct().collect()})
@@ -275,7 +298,7 @@ def ivf_cell_stats(spark: SparkSession, index_dir: str) -> DataFrame:
     """
     meta = _load_meta(index_dir)
     counts = (
-        spark.read.parquet(os.path.join(index_dir, "vectors"))
+        _vector_scan(spark, index_dir)
         .groupBy(F.col("cell_id").cast("int").alias("cell_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
     )
@@ -325,8 +348,7 @@ def recommend_nprobe(spark: SparkSession, index_dir: str,
                          f"got {target_recall}")
     meta = _load_meta(index_dir)
     n_cells = meta["n_cells"]
-    vecs = (spark.read.parquet(os.path.join(index_dir, "vectors"))
-            .select("vec_id", "embedding"))
+    vecs = _vector_scan(spark, index_dir).select("vec_id", "embedding")
     queries = vecs.filter(F.col("vec_id") % sample_stride == 0)
 
     def topk_sets(df) -> dict:

@@ -1,0 +1,165 @@
+"""Streaming ingest into a persisted IVF index (SURVEY §2.K2 x H-family
+— the live half of the ``ann_index`` build/add/search production
+split).
+
+``ivf_build`` runs off the hot path; ``ivf_add`` batch-appends.  This
+sink keeps the index CURRENT as vectors stream in, with the engine's
+exactly-once discipline — but an append-shaped store cannot reuse the
+sibling monitors' idempotent-merge trick (their distinct/max folds
+no-op on re-delivery; an append duplicates).  Exactly-once here comes
+from the LAYOUT instead:
+
+  * stream adds land in their own area ``vectors_stream/`` partitioned
+    by ``(cell_id, _epoch)``, where ``_epoch`` is
+    ``{generation}-{micro-batch epoch}``;
+  * each micro-batch writes mode("overwrite") under dynamic
+    partition-overwrite, touching ONLY its own (cell, epoch)
+    partitions — a replayed epoch (crash between data write and the
+    epoch-guard sidecar update, or a Structured Streaming retry)
+    REWRITES byte-identical partitions instead of appending beside
+    them.  The epoch guard then makes the common replay a cheap no-op;
+    the overwrite makes the crash-window replay harmless;
+  * cell_id stays the LEADING partition level, so ``ivf_search``'s
+    probe pruning (literal or DPP) prunes the stream area exactly like
+    the build area — search reads union both transparently.
+
+Fresh-checkpoint contract (differs from the state monitors, on
+purpose): a NEW checkpoint means Structured Streaming re-delivers the
+source from scratch, and re-folding into an append-shaped store would
+double every vector — so :meth:`IvfStreamIngest.start` RESETS the
+stream area (build area untouched) and bumps ``generation``; the new
+lineage rebuilds it.  The monitors instead keep state and no-op the
+refold — their merges are idempotent by content; an append is not.
+
+Centroids stay FROZEN during ingest (assignment is ``ivf_add``'s);
+drift is watched by ``ivf_cell_stats`` (which also sees the stream
+area) and resolved by an off-hot-path ``ivf_build`` rebuild — after
+which the stream area is part of the rebuilt base and is cleared by
+the next fresh-checkpoint start.  Reference parity: the same
+continuous-ingest + periodic-compaction contract as the dedup band
+indexes (`streaming/corpus_dedup.py`); reference models ingest state
+only (`sql/init-db.sql`), the ANN layer is specified, not implemented,
+there.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.ann_index import (
+    _STREAM_SUBDIR,
+    _assign,
+    _centroids,
+    _load_meta,
+)
+from ..operators.similarity import _with_norm
+from .state_backend import LocalFSBackend, StateBackend
+
+_OVERWRITE_CONF = "spark.sql.sources.partitionOverwriteMode"
+
+
+class IvfStreamIngest:
+    """foreachBatch sink appending assigned vectors into an existing
+    IVF index's stream area, exactly-once by layout (module docstring).
+    NULL / dimension-mismatched vectors are dropped — the index-wide
+    dirty-input guard shared with build/add/search."""
+
+    def __init__(self, index_dir: str, backend: StateBackend | None = None,
+                 id_col: str = "vec_id", emb_col: str = "embedding"):
+        self.index_dir = index_dir
+        self.stream_dir = os.path.join(index_dir, _STREAM_SUBDIR)
+        self.checkpoint_dir = os.path.join(index_dir, "_stream_checkpoints")
+        self.backend = backend or LocalFSBackend()
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    # -- epoch-guard sidecar -------------------------------------------
+    def _sidecar_path(self) -> str:
+        return os.path.join(self.index_dir, "_stream_epoch.json")
+
+    def _sidecar(self) -> dict:
+        p = self._sidecar_path()
+        if not os.path.exists(p):
+            return {"generation": 0, "last_epoch": -1}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_sidecar(self, rec: dict) -> None:
+        tmp = self._sidecar_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, self._sidecar_path())
+
+    def last_epoch(self) -> int:
+        return self._sidecar()["last_epoch"]
+
+    def generation(self) -> int:
+        return self._sidecar()["generation"]
+
+    # -- writes --------------------------------------------------------
+    def process_batch(self, spark: SparkSession, vectors: DataFrame,
+                      epoch_id: int | None = None) -> None:
+        vectors = vectors.localCheckpoint(eager=True)
+        if vectors.isEmpty():
+            return
+        side = self._sidecar()
+        epoch = side["last_epoch"] + 1 if epoch_id is None else int(epoch_id)
+        if epoch <= side["last_epoch"]:
+            return  # replayed micro-batch: its partitions are already live
+        meta = _load_meta(self.index_dir)
+        v = _with_norm(
+            vectors.select(F.col(self.id_col).alias("vec_id"),
+                           F.col(self.emb_col).alias("embedding"))
+            .filter(F.col("embedding").isNotNull())
+            .filter(F.size("embedding") == meta["dim"])
+        )
+        assigned = (
+            _assign(v, _centroids(spark, self.index_dir))
+            .withColumn("_epoch",
+                        F.lit(f"{side['generation']}-{epoch}"))
+        )
+        # the write plans against the BATCH frame's session — inside
+        # foreachBatch that is the micro-batch clone, not `spark`, and
+        # a conf set on the outer session never reaches the clone's
+        # writer (epoch N would then static-overwrite the whole area,
+        # silently dropping every earlier epoch — caught by the E2E
+        # test): always flip the conf on the owning session
+        sess = vectors.sparkSession
+        prev = sess.conf.get(_OVERWRITE_CONF, "static")
+        sess.conf.set(_OVERWRITE_CONF, "dynamic")
+        try:
+            (
+                assigned.repartition("cell_id")
+                .write.mode("overwrite").partitionBy("cell_id", "_epoch")
+                .parquet(self.stream_dir)
+            )
+        finally:
+            sess.conf.set(_OVERWRITE_CONF, prev)
+        self._write_sidecar({"generation": side["generation"],
+                             "last_epoch": epoch})
+
+    def reset_stream_area(self) -> None:
+        """Fresh-lineage reset: clear the stream area, bump generation
+        (so any orphan partitions from a torn past lineage can never
+        collide), restart the epoch guard."""
+        side = self._sidecar()
+        shutil.rmtree(self.stream_dir, ignore_errors=True)
+        self._write_sidecar({"generation": side["generation"] + 1,
+                             "last_epoch": -1})
+
+    def start(self, spark: SparkSession, stream: DataFrame,
+              available_now: bool = True):
+        if not self.backend.checkpoint_established(self.checkpoint_dir):
+            self.reset_stream_area()  # new lineage re-delivers the source
+        writer = (
+            stream.writeStream.queryName("ivf-stream-ingest")
+            .option("checkpointLocation", self.checkpoint_dir)
+            .foreachBatch(lambda b, e: self.process_batch(spark, b, e))
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

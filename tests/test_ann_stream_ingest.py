@@ -1,0 +1,125 @@
+"""IvfStreamIngest (streaming/ann_ingest.py): exactly-once streaming
+adds into a persisted IVF index — stream-area layout, epoch-guard +
+crash-window idempotency via dynamic partition overwrite, search/stats
+equivalence with the proven batch ivf_add path, fresh-lineage reset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_nats_cdc_spark.io import load_table
+from debezium_nats_cdc_spark.operators.ann_index import (
+    _vector_scan,
+    ivf_add,
+    ivf_build,
+    ivf_cell_stats,
+    ivf_search,
+)
+from debezium_nats_cdc_spark.streaming.ann_ingest import IvfStreamIngest
+
+SF = "/root/testdata/sf0.001"
+N_CELLS, NPROBE, K = 8, 3, 5
+
+
+def _emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _base(spark):
+    return _emb(spark).filter(F.col("vec_id") % 3 == 0)
+
+
+def _b1(spark):
+    return _emb(spark).filter(F.col("vec_id") % 3 == 1)
+
+
+def _b2(spark):
+    return _emb(spark).filter(F.col("vec_id") % 3 == 2)
+
+
+def _queries(spark):
+    return _emb(spark).filter(F.col("vec_id") < 8)
+
+
+def _search_rows(spark, d):
+    return sorted(map(tuple, ivf_search(
+        spark, d, _queries(spark), k=K, nprobe=NPROBE).collect()))
+
+
+def test_stream_adds_equal_batch_adds(spark, tmp_path):
+    """Same base + same two add batches: the streaming sink and the
+    proven batch ivf_add path must yield identical searches (both probe
+    modes) and identical cell stats."""
+    d_stream, d_batch = str(tmp_path / "s"), str(tmp_path / "b")
+    for d in (d_stream, d_batch):
+        ivf_build(spark, _base(spark), d, n_cells=N_CELLS)
+    ing = IvfStreamIngest(d_stream)
+    ing.process_batch(spark, _b1(spark), epoch_id=0)
+    ing.process_batch(spark, _b2(spark), epoch_id=1)
+    ivf_add(spark, d_batch, _b1(spark))
+    ivf_add(spark, d_batch, _b2(spark))
+    assert _search_rows(spark, d_stream) == _search_rows(spark, d_batch)
+    assert sorted(map(tuple, ivf_cell_stats(spark, d_stream).collect())) == \
+        sorted(map(tuple, ivf_cell_stats(spark, d_batch).collect()))
+    joined = sorted(map(tuple, ivf_search(
+        spark, d_stream, _queries(spark), k=K, nprobe=NPROBE,
+        probe_mode="join").collect()))
+    assert joined == _search_rows(spark, d_batch)
+
+
+def test_replay_and_crash_window_are_exactly_once(spark, tmp_path):
+    """A replayed epoch no-ops via the guard; a crash BETWEEN the data
+    write and the sidecar update (simulated by rolling the sidecar
+    back) re-runs the write, which dynamic partition overwrite makes
+    rewrite-in-place — no duplicate vectors either way."""
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _base(spark), d, n_cells=N_CELLS)
+    ing = IvfStreamIngest(d)
+    ing.process_batch(spark, _b1(spark), epoch_id=0)
+    n = _vector_scan(spark, d).count()
+    snap = _search_rows(spark, d)
+
+    ing.process_batch(spark, _b1(spark), epoch_id=0)  # guard replay
+    assert _vector_scan(spark, d).count() == n
+
+    ing._write_sidecar({"generation": ing.generation(),
+                        "last_epoch": -1})  # crash before sidecar update
+    ing.process_batch(spark, _b1(spark), epoch_id=0)  # retry re-writes
+    assert _vector_scan(spark, d).count() == n
+    assert _search_rows(spark, d) == snap
+    assert ing.last_epoch() == 0
+
+
+def test_streaming_entrypoint_and_fresh_lineage_reset(spark, tmp_path):
+    """writeStream E2E (two files, maxFilesPerTrigger=1); then a FRESH
+    checkpoint re-delivers the source — start() must reset the stream
+    area (append-shaped state cannot idempotently refold) and the
+    rebuilt index must still equal the batch-add reference."""
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _base(spark), d, n_cells=N_CELLS)
+    src = tmp_path / "src"
+    src.mkdir()
+    _b1(spark).coalesce(1).write.parquet(f"{src}/f0")
+    _b2(spark).coalesce(1).write.parquet(f"{src}/f1")
+    schema = _emb(spark).schema
+    ing = IvfStreamIngest(d)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/f*/*"))
+    ing.start(spark, stream).awaitTermination()
+    gen1 = ing.generation()
+
+    d_batch = str(tmp_path / "b")
+    ivf_build(spark, _base(spark), d_batch, n_cells=N_CELLS)
+    ivf_add(spark, d_batch, _b1(spark))
+    ivf_add(spark, d_batch, _b2(spark))
+    assert _search_rows(spark, d) == _search_rows(spark, d_batch)
+
+    # fresh checkpoint lineage: the same source replays from scratch
+    ing2 = IvfStreamIngest(d)
+    ing2.checkpoint_dir = str(tmp_path / "ckpt2")
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{src}/f*/*"))
+    ing2.start(spark, stream2).awaitTermination()
+    assert ing2.generation() == gen1 + 1
+    assert _search_rows(spark, d) == _search_rows(spark, d_batch)
