@@ -135,7 +135,24 @@ def ivf_build(spark: SparkSession, vectors: DataFrame, index_dir: str,
          "kmeans_rounds": kmeans_rounds}))
 
 
+def _recover_swap(index_dir: str) -> None:
+    """Heal a torn ``ivf_rebalance`` directory swap (the generation-
+    pointer recovery discipline): a ``.rebalancing`` staging dir was
+    never pointed-to and is discarded; a ``.old`` dir with the live dir
+    missing means the crash hit between the two renames — restore it."""
+    import shutil as _sh
+
+    staging, old = index_dir + ".rebalancing", index_dir + ".old"
+    if os.path.isdir(old) and not os.path.isdir(index_dir):
+        os.rename(old, index_dir)
+    if os.path.isdir(staging):
+        _sh.rmtree(staging, ignore_errors=True)
+    if os.path.isdir(old) and os.path.isdir(index_dir):
+        _sh.rmtree(old, ignore_errors=True)
+
+
 def _load_meta(index_dir: str) -> dict:
+    _recover_swap(index_dir)
     p = _meta_path(index_dir)
     if not p.exists():
         raise ValueError(f"no IVF index at {index_dir} (missing _meta.json)")
@@ -379,3 +396,159 @@ def recommend_nprobe(spark: SparkSession, index_dir: str,
     return {"nprobe": n_cells, "recall": 1.0, "scan_fraction": 1.0,
             "target_recall": target_recall, "n_queries": n_queries,
             "curve": curve}
+
+
+def ivf_rebalance(spark: SparkSession, index_dir: str,
+                  max_balance_ratio: float = 4.0,
+                  kmeans_rounds: int = 2) -> dict:
+    """Split oversized IVF cells in place — the skew remediation between
+    ``ivf_add`` drift and a full ``ivf_build`` rebuild.
+
+    At 100 TB the IVF failure mode is CELL SKEW: frozen centroids +
+    drifting ingest concentrate vectors into few cells, and every probe
+    that touches a fat cell pays its whole directory — probe cost creeps
+    toward a full scan while ``balance_ratio`` climbs.  A full rebuild
+    re-clusters the entire corpus; this op re-clusters ONLY the fat
+    cells (balance_ratio > ``max_balance_ratio``, measured over base +
+    stream areas combined — what probes actually pay): each is 2-means
+    split (deterministic seeds = its two lowest vec_ids, DECIMAL-mean
+    recompute — the build kernel's determinism discipline), its members
+    re-assigned between the two children, everything else copied
+    untouched.
+
+    Durability is the engine's generation-pointer pattern: the new
+    index materializes beside the live one (``.rebalancing``), then two
+    renames swap it in; ``_recover_swap`` (run by every ``_load_meta``)
+    heals any crash window — readers only ever see a complete index.
+
+    The STREAM area is rewritten with the same (cell, _epoch) layout
+    and the epoch sidecar is copied verbatim, so a stopped
+    ``IvfStreamIngest`` resumes its OLD checkpoint safely: a replayed
+    epoch re-assigns against the new centroids and dynamic-overwrites
+    exactly the child partitions the rebalance created for it.  Run
+    with ingest STOPPED (swap-vs-append is a directory race, same
+    contract as every compaction in this engine).
+
+    Returns ``{"split_cells": [...], "n_cells": N, "max_share": post}``.
+    ``max_share`` — the corpus fraction the heaviest single cell holds,
+    i.e. what a probe touching it pays — is the cross-split skew metric
+    (``balance_ratio`` = share x n_cells rises MECHANICALLY when a split
+    grows n_cells, so it only compares within one layout); a no-op
+    (nothing fat, or fat cells too degenerate to split) reports the
+    live stats unchanged.
+    """
+    meta = _load_meta(index_dir)
+    stats = ivf_cell_stats(spark, index_dir).collect()
+    fat = [r["cell_id"] for r in stats
+           if r["balance_ratio"] > max_balance_ratio and r["n_vectors"] >= 2]
+    if not fat:
+        return {"split_cells": [], "n_cells": meta["n_cells"],
+                "max_share": max(
+                    (r["share"] for r in stats), default=0.0)}
+
+    cents = _centroids(spark, index_dir)
+    combined = _vector_scan(spark, index_dir).withColumn(
+        "cell_id", F.col("cell_id").cast("int"))
+    next_id = max(r["cell_id"] for r in cents.select("cell_id").collect()) + 1
+    child_cents = []
+    assign_map = None  # (vec_id, cell_id) for every fat-cell member
+    for x in sorted(fat):
+        members = (combined.filter(F.col("cell_id") == x)
+                   .select("vec_id", "embedding", "_norm")
+                   .localCheckpoint(eager=True))
+        s1 = members.orderBy("vec_id").limit(1).collect()
+        if not s1:
+            continue
+        s1 = s1[0]
+        # deterministic farthest-point seeding: seed 2 is the member
+        # LEAST cosine-similar to seed 1 (id tiebreak) — two-lowest-ids
+        # seeding can land both seeds in the same sub-cluster and the
+        # split then never separates the drifted mass (caught by the
+        # skew-reduction test)
+        s1_emb = F.array(*[F.lit(float(v)) for v in s1["embedding"]])
+        far = (
+            members.withColumn(
+                "_cos", F.round(_pair_cos(s1_emb, F.col("embedding"),
+                                          F.lit(float(s1["_norm"])),
+                                          F.col("_norm")), 6))
+            .orderBy(F.asc("_cos"), F.asc("vec_id")).limit(1).collect()
+        )
+        seeds = [s1, far[0]] if far and far[0]["vec_id"] != s1["vec_id"] \
+            else []
+        if len(seeds) < 2:
+            continue
+        pair = spark.createDataFrame(
+            [(x, seeds[0]["embedding"], seeds[0]["_norm"]),
+             (next_id, seeds[1]["embedding"], seeds[1]["_norm"])],
+            "cell_id int, c_emb array<double>, c_norm double")
+        for _ in range(kmeans_rounds):
+            assigned = _assign(members, pair)
+            recomputed = _recompute_centroids(assigned)
+            if recomputed.count() < 2:
+                break  # degenerate (identical members): keep last split
+            pair = recomputed
+        assigned = _assign(members, pair).select("vec_id", "cell_id")
+        child_cents.append(pair)
+        assign_map = (assigned if assign_map is None
+                      else assign_map.unionByName(assigned))
+        next_id += 1
+    if assign_map is None:
+        return {"split_cells": [], "n_cells": meta["n_cells"],
+                "max_share": max(r["share"] for r in stats)}
+    assign_map = assign_map.localCheckpoint(eager=True)
+
+    staging = index_dir + ".rebalancing"
+    if os.path.isdir(staging):
+        import shutil as _sh
+        _sh.rmtree(staging, ignore_errors=True)
+    new_cents = cents.filter(~F.col("cell_id").isin(fat))
+    for pc in child_cents:
+        new_cents = new_cents.unionByName(pc)
+    new_cents = new_cents.localCheckpoint(eager=True)
+    n_cells = new_cents.count()
+    new_cents.write.mode("overwrite").parquet(
+        os.path.join(staging, "centroids"))
+
+    def _rewrite(src_dir: str, out_dir: str, part_cols: list[str]) -> None:
+        rows = spark.read.parquet(src_dir)
+        keep = rows.filter(~F.col("cell_id").cast("int").isin(fat))
+        moved = (
+            rows.filter(F.col("cell_id").cast("int").isin(fat))
+            .drop("cell_id")
+            .join(assign_map, "vec_id")
+        ).select(*rows.columns)
+        (
+            keep.unionByName(moved)
+            .withColumn("cell_id", F.col("cell_id").cast("int"))
+            .repartition("cell_id")
+            .write.mode("overwrite").partitionBy(*part_cols)
+            .parquet(out_dir)
+        )
+
+    _rewrite(os.path.join(index_dir, "vectors"),
+             os.path.join(staging, "vectors"), ["cell_id"])
+    sdir = os.path.join(index_dir, _STREAM_SUBDIR)
+    if os.path.isdir(sdir) and any(
+            e.name.startswith("cell_id=") for e in os.scandir(sdir)):
+        _rewrite(sdir, os.path.join(staging, _STREAM_SUBDIR),
+                 ["cell_id", "_epoch"])
+    sidecar = os.path.join(index_dir, "_stream_epoch.json")
+    if os.path.exists(sidecar):
+        import shutil as _sh
+        _sh.copy2(sidecar, os.path.join(staging, "_stream_epoch.json"))
+    ckpt = os.path.join(index_dir, "_stream_checkpoints")
+    if os.path.isdir(ckpt):
+        import shutil as _sh
+        # preserved so a stopped IvfStreamIngest resumes its offsets
+        # instead of re-delivering the whole source after the swap
+        _sh.copytree(ckpt, os.path.join(staging, "_stream_checkpoints"))
+    _meta_path(staging).write_text(json.dumps({**meta, "n_cells": n_cells}))
+
+    old = index_dir + ".old"
+    os.rename(index_dir, old)
+    os.rename(staging, index_dir)
+    import shutil as _sh
+    _sh.rmtree(old, ignore_errors=True)
+    post = ivf_cell_stats(spark, index_dir).collect()
+    return {"split_cells": sorted(fat), "n_cells": n_cells,
+            "max_share": max(r["share"] for r in post)}
