@@ -54,6 +54,7 @@ INDEX_FORMAT = "ivf-cos-decmean-v1"
 # live adds from streaming/ann_ingest.py land here, partitioned
 # (cell_id, _epoch) — cell_id leading so probe pruning works unchanged
 _STREAM_SUBDIR = "vectors_stream"
+_OVERWRITE_CONF_DELETE = "spark.sql.sources.partitionOverwriteMode"
 
 
 def _meta_path(index_dir: str) -> Path:
@@ -552,3 +553,96 @@ def ivf_rebalance(spark: SparkSession, index_dir: str,
     post = ivf_cell_stats(spark, index_dir).collect()
     return {"split_cells": sorted(fat), "n_cells": n_cells,
             "max_share": max(r["share"] for r in post)}
+
+
+def ivf_delete(spark: SparkSession, index_dir: str, ids,
+               id_col: str = "vec_id") -> dict:
+    """Erase vectors from a persisted IVF index by id — the ANN leg of
+    the PII erasure cascade (SURVEY §2.B7): erasing a user from the
+    tables (`pii_erasure_cascade`) must also reach every DERIVED store,
+    and an embedding index is exactly such a store (reference GDPR
+    clause, `docs/system-design.md` compliance section).
+
+    Cost shape: only the CELLS that contain a hit are rewritten — the
+    hit set is joined against the partition column first, so untouched
+    cell directories are never read or written (at 100 TB an erasure
+    batch touches a handful of cells, not the corpus).  Partially
+    emptied (cell[, epoch]) partitions are rewritten via dynamic
+    partition overwrite; fully emptied ones — which an overwrite write
+    would never visit — are removed directly.  Centroids are left as
+    built (a centroid is an aggregate over many vectors, not personal
+    data; re-centering happens at the next ivf_build/ivf_rebalance).
+
+    Idempotent by construction (deleting absent ids is a no-op), so the
+    crash contract is RE-RUN: a crash mid-way leaves some hit cells
+    rewritten and others not — re-running converges, and no crash
+    window can resurrect an erased row.  Run with streaming ingest
+    stopped (same swap-vs-append race contract as ivf_rebalance);
+    erased ids re-arriving through a later stream REPLAY of an old
+    epoch would be re-added — re-run the erasure after restarting
+    ingest from a fresh checkpoint if the source itself was scrubbed.
+
+    ``ids``: list/tuple of ids or a single-column DataFrame.  Returns
+    ``{"deleted": n, "cells_rewritten": [...], "partitions_removed": N}``.
+    """
+    import shutil as _sh
+
+    _load_meta(index_dir)
+    if isinstance(ids, DataFrame):
+        ids_df = ids.select(F.col(ids.columns[0]).alias("vec_id")).distinct()
+    else:
+        ids_df = spark.createDataFrame(
+            [(int(i),) for i in ids], "vec_id bigint").distinct()
+    ids_df = ids_df.localCheckpoint(eager=True)
+
+    deleted = 0
+    cells_rewritten: set = set()
+    parts_removed = 0
+    areas = [(os.path.join(index_dir, "vectors"), ["cell_id"])]
+    sdir = os.path.join(index_dir, _STREAM_SUBDIR)
+    if os.path.isdir(sdir) and any(
+            e.name.startswith("cell_id=") for e in os.scandir(sdir)):
+        areas.append((sdir, ["cell_id", "_epoch"]))
+    for area, part_cols in areas:
+        rows = spark.read.parquet(area)
+        hits = rows.join(ids_df, "vec_id", "left_semi")
+        hit_parts = [tuple(r) for r in
+                     hits.select(*part_cols).distinct().collect()]
+        if not hit_parts:
+            continue
+        deleted += hits.count()
+        hit_cells = sorted({p[0] for p in hit_parts})
+        cells_rewritten.update(int(c) for c in hit_cells)
+        in_hit_cells = rows.filter(F.col("cell_id").isin(hit_cells))
+        remaining = in_hit_cells.join(ids_df, "vec_id", "left_anti")
+        # break lineage before writing back to the path being read
+        # (the swap_write discipline — an overwrite whose plan still
+        # scans the target path is refused by Spark)
+        remaining = remaining.localCheckpoint(eager=True)
+        # partitions the overwrite will rewrite vs ones it would skip
+        # (fully emptied: no surviving row ever writes there again)
+        kept_parts = {tuple(r) for r in
+                      remaining.select(*part_cols).distinct().collect()}
+        sess = spark
+        prev = sess.conf.get(_OVERWRITE_CONF_DELETE, "static")
+        sess.conf.set(_OVERWRITE_CONF_DELETE, "dynamic")
+        try:
+            if kept_parts:
+                (
+                    remaining.withColumn("cell_id",
+                                         F.col("cell_id").cast("int"))
+                    .repartition("cell_id")
+                    .write.mode("overwrite").partitionBy(*part_cols)
+                    .parquet(area)
+                )
+        finally:
+            sess.conf.set(_OVERWRITE_CONF_DELETE, prev)
+        for p in hit_parts:
+            if p not in kept_parts:
+                d = os.path.join(
+                    area, *[f"{c}={v}" for c, v in zip(part_cols, p)])
+                if os.path.isdir(d):
+                    _sh.rmtree(d, ignore_errors=True)
+                    parts_removed += 1
+    return {"deleted": deleted, "cells_rewritten": sorted(cells_rewritten),
+            "partitions_removed": parts_removed}

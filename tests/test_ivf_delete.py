@@ -1,0 +1,110 @@
+"""ivf_delete (operators/ann_index.py): the erasure cascade's ANN leg —
+targeted cell rewrite, erased ids unreachable by search, untouched
+cells byte-untouched, fully-emptied partitions removed, idempotent
+re-run, stream area covered.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from debezium_nats_cdc_spark.io import load_table
+from debezium_nats_cdc_spark.operators.ann_index import (
+    _vector_scan,
+    ivf_build,
+    ivf_delete,
+    ivf_search,
+)
+from debezium_nats_cdc_spark.streaming.ann_ingest import IvfStreamIngest
+
+SF = "/root/testdata/sf0.001"
+N_CELLS, K = 8, 5
+
+
+def _emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _queries(spark):
+    return _emb(spark).filter(F.col("vec_id") < 8)
+
+
+def _search(spark, d, nprobe=N_CELLS):
+    return sorted(map(tuple, ivf_search(
+        spark, d, _queries(spark), k=K, nprobe=nprobe).collect()))
+
+
+def _mtimes(d):
+    out = {}
+    for root, _, files in os.walk(d):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
+def test_delete_erases_ids_and_touches_only_hit_cells(spark, tmp_path):
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _emb(spark), d, n_cells=N_CELLS)
+    victims = [r.vec_id for r in
+               _vector_scan(spark, d).select("vec_id", "cell_id")
+               .filter(F.col("cell_id").cast("int") == 1)
+               .limit(3).collect()]
+    untouched_before = {
+        p: t for p, t in _mtimes(os.path.join(d, "vectors")).items()
+        if "cell_id=1/" not in p}
+    pre_ids = set(r.vec_id for r in
+                  _vector_scan(spark, d).select("vec_id").collect())
+
+    rep = ivf_delete(spark, d, victims)
+    assert rep["deleted"] == len(victims)
+    assert rep["cells_rewritten"] == [1]
+    post_ids = set(r.vec_id for r in
+                   _vector_scan(spark, d).select("vec_id").collect())
+    assert post_ids == pre_ids - set(victims)
+    # erased ids never come back from search, everything else unchanged
+    hits = {t[1] for t in _search(spark, d)}
+    assert not hits & set(victims)
+    # cells without a hit were not rewritten (file mtimes identical)
+    untouched_after = {
+        p: t for p, t in _mtimes(os.path.join(d, "vectors")).items()
+        if "cell_id=1/" not in p}
+    assert untouched_after == untouched_before
+
+    rep2 = ivf_delete(spark, d, victims)  # idempotent re-run
+    assert rep2["deleted"] == 0
+    assert set(r.vec_id for r in
+               _vector_scan(spark, d).select("vec_id").collect()) == post_ids
+
+
+def test_delete_removes_fully_emptied_partitions(spark, tmp_path):
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _emb(spark), d, n_cells=N_CELLS)
+    cell3 = [r.vec_id for r in
+             _vector_scan(spark, d).select("vec_id", "cell_id")
+             .filter(F.col("cell_id").cast("int") == 3).collect()]
+    rep = ivf_delete(spark, d, cell3)
+    assert rep["deleted"] == len(cell3)
+    assert rep["partitions_removed"] >= 1
+    assert not os.path.isdir(os.path.join(d, "vectors", "cell_id=3"))
+    remaining = set(r.vec_id for r in
+                    _vector_scan(spark, d).select("vec_id").collect())
+    assert not remaining & set(cell3)
+
+
+def test_delete_reaches_the_stream_area(spark, tmp_path):
+    d = str(tmp_path / "ivf")
+    e = _emb(spark)
+    ivf_build(spark, e.filter(F.col("vec_id") % 2 == 0), d, n_cells=N_CELLS)
+    ing = IvfStreamIngest(d)
+    ing.process_batch(spark, e.filter(F.col("vec_id") % 2 == 1), epoch_id=0)
+    victims = [1, 2, 3]  # one streamed (odd) + two base (even) ids
+    rep = ivf_delete(spark, d, victims)
+    assert rep["deleted"] == 3
+    remaining = set(r.vec_id for r in
+                    _vector_scan(spark, d).select("vec_id").collect())
+    assert not remaining & set(victims)
+    hits = {t[1] for t in _search(spark, d)}
+    assert not hits & set(victims)
