@@ -55,6 +55,14 @@ INDEX_FORMAT = "ivf-cos-decmean-v1"
 # (cell_id, _epoch) — cell_id leading so probe pruning works unchanged
 _STREAM_SUBDIR = "vectors_stream"
 _OVERWRITE_CONF_DELETE = "spark.sql.sources.partitionOverwriteMode"
+# Live-rebalance claim marker (ADVICE r11): written into the LIVE index
+# dir before the staging tree is built, so _recover_swap — which runs on
+# every _load_meta, including concurrent readers' ivf_search /
+# ivf_cell_stats — leaves a CLAIMED staging tree alone instead of
+# deleting it out from under the builder.  The swap renames the live dir
+# away, so a completed rebalance drops its claim atomically with the
+# swap, and a torn swap's marker dies with the .old dir during healing.
+_REBALANCE_MARKER = "_rebalance.lock"
 
 
 def _meta_path(index_dir: str) -> Path:
@@ -138,18 +146,36 @@ def ivf_build(spark: SparkSession, vectors: DataFrame, index_dir: str,
 
 def _recover_swap(index_dir: str) -> None:
     """Heal a torn ``ivf_rebalance`` directory swap (the generation-
-    pointer recovery discipline): a ``.rebalancing`` staging dir was
-    never pointed-to and is discarded; a ``.old`` dir with the live dir
-    missing means the crash hit between the two renames — restore it."""
+    pointer recovery discipline).  A ``.old`` dir with the live dir
+    missing means the crash hit between the two renames — restore it;
+    the rebalancer is dead by construction at that point, so its staging
+    tree and in-progress marker are discarded as part of the healing.
+    An UNCLAIMED ``.rebalancing`` staging dir (no ``_rebalance.lock``
+    marker in the live dir) is a leftover from a builder that crashed
+    before the swap claim protocol existed, and is discarded; a CLAIMED
+    one belongs to a possibly-live ``ivf_rebalance`` and is left alone —
+    concurrent readers calling ``_load_meta`` mid-rebalance must never
+    delete the staging tree out from under the builder (ADVICE r11).  A
+    stale claim (builder crashed mid-build) costs only disk until the
+    next ``ivf_rebalance``, which clears and re-claims the staging path
+    itself; it can never install an incomplete index, because only the
+    builder performs the swap."""
     import shutil as _sh
 
     staging, old = index_dir + ".rebalancing", index_dir + ".old"
+    marker = os.path.join(index_dir, _REBALANCE_MARKER)
     if os.path.isdir(old) and not os.path.isdir(index_dir):
         os.rename(old, index_dir)
-    if os.path.isdir(staging):
+        # genuine crash healing: the swap was torn, the builder is gone
         _sh.rmtree(staging, ignore_errors=True)
+        try:
+            os.remove(marker)
+        except FileNotFoundError:
+            pass
     if os.path.isdir(old) and os.path.isdir(index_dir):
         _sh.rmtree(old, ignore_errors=True)
+    if os.path.isdir(staging) and not os.path.exists(marker):
+        _sh.rmtree(staging, ignore_errors=True)
 
 
 def _load_meta(index_dir: str) -> dict:
@@ -202,11 +228,30 @@ def ivf_add(spark: SparkSession, index_dir: str, vectors: DataFrame,
         .filter(F.size("embedding") == meta["dim"])
     )
     assigned = _assign(v, _centroids(spark, index_dir))
-    (
+    area = os.path.join(index_dir, "vectors")
+    # an erasure that emptied the whole base area leaves a zero-row flat
+    # sentinel file (see ivf_delete) — appending partition dirs beside
+    # it would give the next read conflicting layouts, so a
+    # partition-less area is overwritten back into partitioned form
+    has_parts = os.path.isdir(area) and any(
+        e.name.startswith("cell_id=") for e in os.scandir(area))
+    writer = (
         assigned.repartition("cell_id")
-        .write.mode("append").partitionBy("cell_id")
-        .parquet(os.path.join(index_dir, "vectors"))
+        .write.mode("append" if has_parts else "overwrite")
+        .partitionBy("cell_id")
     )
+    if has_parts:
+        writer.parquet(area)
+    else:
+        # the restore-overwrite must truncate the WHOLE area (static
+        # semantics) even if an ambient caller left the session in
+        # dynamic partition-overwrite mode
+        prev = spark.conf.get(_OVERWRITE_CONF_DELETE, "static")
+        spark.conf.set(_OVERWRITE_CONF_DELETE, "static")
+        try:
+            writer.parquet(area)
+        finally:
+            spark.conf.set(_OVERWRITE_CONF_DELETE, prev)
 
 
 def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
@@ -428,7 +473,13 @@ def ivf_rebalance(spark: SparkSession, index_dir: str,
     epoch re-assigns against the new centroids and dynamic-overwrites
     exactly the child partitions the rebalance created for it.  Run
     with ingest STOPPED (swap-vs-append is a directory race, same
-    contract as every compaction in this engine).
+    contract as every compaction in this engine).  Concurrent READS are
+    safe during the build phase — the ``_rebalance.lock`` claim keeps
+    their ``_recover_swap`` off the staging tree (ADVICE r11) — with
+    one residual microsecond window: a reader's crash-healer racing the
+    two swap renames themselves can restore ``.old`` between them,
+    failing the builder's second rename loudly (staging intact; re-run
+    the rebalance).  It can never install an incomplete index.
 
     Returns ``{"split_cells": [...], "n_cells": N, "max_share": post}``.
     ``max_share`` — the corpus fraction the heaviest single cell holds,
@@ -499,6 +550,11 @@ def ivf_rebalance(spark: SparkSession, index_dir: str,
     assign_map = assign_map.localCheckpoint(eager=True)
 
     staging = index_dir + ".rebalancing"
+    # claim the staging path BEFORE building it (see _REBALANCE_MARKER):
+    # from here on, a concurrent reader's _recover_swap leaves the
+    # staging tree alone, so reads need not be quiesced during the build
+    Path(index_dir, _REBALANCE_MARKER).write_text(
+        json.dumps({"pid": os.getpid()}))
     if os.path.isdir(staging):
         import shutil as _sh
         _sh.rmtree(staging, ignore_errors=True)
@@ -593,6 +649,27 @@ def ivf_delete(spark: SparkSession, index_dir: str, ids,
     else:
         ids_df = spark.createDataFrame(
             [(int(i),) for i in ids], "vec_id bigint").distinct()
+    # Type guard (ADVICE r11): a DataFrame of ids whose column type
+    # differs from the index's vec_id would make the semi join match
+    # nothing and the erasure silently delete 0 rows — the worst failure
+    # mode for a GDPR cascade leg.  Cast to the index's type and raise
+    # LOUDLY if any id is lost to the cast (e.g. non-numeric strings vs
+    # a bigint index); a lossless cast (int vs bigint ids) proceeds.
+    vec_type = spark.read.parquet(
+        os.path.join(index_dir, "vectors")).schema["vec_id"].dataType
+    if ids_df.schema["vec_id"].dataType != vec_type:
+        n_in = ids_df.filter(F.col("vec_id").isNotNull()).count()
+        # try_cast, not cast: ANSI mode would abort the job mid-stage on
+        # the first malformed id — the guard below raises with a count
+        ids_df = ids_df.select(
+            F.col("vec_id").try_cast(vec_type).alias("vec_id")).distinct()
+        n_cast = ids_df.filter(F.col("vec_id").isNotNull()).count()
+        if n_cast < n_in:
+            raise ValueError(
+                f"ivf_delete: {n_in - n_cast} of {n_in} ids do not cast "
+                f"to the index's vec_id type {vec_type.simpleString()} — "
+                "refusing an erasure that would silently skip them"
+            )
     ids_df = ids_df.localCheckpoint(eager=True)
 
     deleted = 0
@@ -644,5 +721,33 @@ def ivf_delete(spark: SparkSession, index_dir: str, ids,
                 if os.path.isdir(d):
                     _sh.rmtree(d, ignore_errors=True)
                     parts_removed += 1
+        # Fully-emptied partitions (ADVICE r11): the loop above removes
+        # the leaf dirs, which can leave empty cell_id= shells (stream
+        # area: a cell whose every _epoch emptied) or a bare area with
+        # no partition dirs at all — and a later read of a file-less
+        # directory fails schema inference.
+        if area == sdir:
+            # prune empty cell shells; if nothing survives at all,
+            # _vector_scan's has-partitions guard then skips the area
+            # (the epoch sidecar stays — it still fences old-epoch
+            # replays from resurrecting erased rows)
+            for e in os.scandir(area):
+                if (e.name.startswith("cell_id=") and e.is_dir()
+                        and not os.listdir(e.path)):
+                    _sh.rmtree(e.path, ignore_errors=True)
+        elif not any(e.name.startswith("cell_id=")
+                     for e in os.scandir(area)):
+            # the base area is always read: leave a zero-row,
+            # schema-bearing flat file (cell_id becomes a data column
+            # of an empty frame — probe filters still apply as plain
+            # filters); the next ivf_add restores the partitioned
+            # layout by overwriting a partition-less area instead of
+            # appending
+            (
+                remaining.limit(0)
+                .withColumn("cell_id", F.col("cell_id").cast("int"))
+                .coalesce(1)
+                .write.mode("overwrite").parquet(area)
+            )
     return {"deleted": deleted, "cells_rewritten": sorted(cells_rewritten),
             "partitions_removed": parts_removed}

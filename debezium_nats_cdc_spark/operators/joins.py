@@ -364,6 +364,19 @@ def execute_advised_join(left: DataFrame, right: DataFrame, left_key: str,
       * ``shuffle`` — plain hash join, because the measurements showed
         no reason to do more.
 
+    Salting hardening (ADVICE r10): the spread hash uses only the left
+    side's HASHABLE columns — ``xxhash64`` rejects MapType anywhere in
+    a column's type tree, so map-bearing columns are skipped rather
+    than crashing the plan (defensively, zero hashable columns fall
+    back to a ``monotonically_increasing_id()`` spread — unreachable
+    for a valid equi-join, whose key column is itself always hashable).
+    The salt column name is chosen collision-proof against both sides'
+    existing columns.  Known limitation: hot-key rows that are fully
+    duplicate in every hashable column hash to ONE salt value and still
+    land on a single reducer — the price of a deterministic,
+    re-run-stable spread; dedup such a corpus upstream, or spread by
+    row id at the call site if assignment determinism doesn't matter.
+
     Inner-join only: salting replicates build rows, which is only
     transparent when unmatched rows cannot survive into the result.
     Pass ``advice`` to reuse a prior measurement (e.g. a persisted skew
@@ -385,18 +398,30 @@ def execute_advised_join(left: DataFrame, right: DataFrame, left_key: str,
 
     hot = advice.get("hot_keys") or []
     if strategy == "salted" and hot:
+        # collision-proof temp column: a user frame may already carry
+        # an _eaj_salt (e.g. the output of a previous advised join)
+        salt = "_eaj_salt"
+        taken = set(left.columns) | set(right.columns)
+        while salt in taken:
+            salt += "_"
+        hashable = [f.name for f in left.schema.fields
+                    if _xxhashable(f.dataType)]
+        if hashable:
+            # whole-hashable-row hash, NULL-safe via pmod: any row lands
+            # in [0, factor) deterministically, so re-runs are stable
+            spread = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]),
+                            F.lit(salt_factor)).cast("int")
+        else:
+            # every column is map-typed: spread by row id instead —
+            # assignment varies with partitioning, result does not
+            spread = F.pmod(F.monotonically_increasing_id(),
+                            F.lit(salt_factor)).cast("int")
         l2 = left.withColumn(
-            "_eaj_salt",
-            F.when(
-                F.col(left_key).isin(hot),
-                # whole-row hash, NULL-safe via pmod: any row lands in
-                # [0, factor) deterministically, so re-runs are stable
-                F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
-                       F.lit(salt_factor)).cast("int"),
-            ).otherwise(F.lit(0)),
+            salt,
+            F.when(F.col(left_key).isin(hot), spread).otherwise(F.lit(0)),
         )
         r2 = right.withColumn(
-            "_eaj_salt",
+            salt,
             F.explode(
                 F.when(F.col(right_key).isin(hot),
                        F.sequence(F.lit(0), F.lit(salt_factor - 1)))
@@ -405,8 +430,7 @@ def execute_advised_join(left: DataFrame, right: DataFrame, left_key: str,
         )
         joined = l2.join(
             r2,
-            (l2[left_key] == r2[right_key])
-            & (l2["_eaj_salt"] == r2["_eaj_salt"]),
+            (l2[left_key] == r2[right_key]) & (l2[salt] == r2[salt]),
             "inner",
         )
         # restore the plain join's exact column set/order
@@ -414,3 +438,18 @@ def execute_advised_join(left: DataFrame, right: DataFrame, left_key: str,
                              *[r2[c] for c in right.columns])
 
     return left.join(right, left[left_key] == right[right_key], "inner")
+
+
+def _xxhashable(dt) -> bool:
+    """xxhash64 rejects MapType anywhere in a column's type tree (maps
+    are unordered, so they have no canonical hash) — recurse through
+    arrays and structs to find buried ones."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _xxhashable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_xxhashable(f.dataType) for f in dt.fields)
+    return True

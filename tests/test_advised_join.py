@@ -100,3 +100,69 @@ def test_end_to_end_measures_when_no_advice_given(spark):
     left, right = _facts(spark), _dim(spark)
     out = execute_advised_join(left, right, "k", "dk")
     assert _rows(out) == _rows(_plain(left, right, "k", "dk"))
+
+
+def test_salted_skips_map_columns_in_spread_hash(spark):
+    """ADVICE r10: xxhash64 rejects MapType — a map-bearing left frame
+    must not crash the salted plan; the spread hashes the other columns."""
+    left = _facts(spark).withColumn(
+        "attrs", F.create_map(F.lit("k"), F.col("payload")))
+    right = _facts(spark, n=300, hot_n=200).select(
+        F.col("k").alias("rk"), F.col("payload").alias("rpayload"))
+    advice = {"strategy": "salted", "hot_keys": [7], "rationale": {}}
+    out = execute_advised_join(left, right, "k", "rk", advice=advice)
+    plain = _plain(left, right, "k", "rk")
+    assert out.columns == plain.columns
+    # maps aren't comparable: compare on the hashable projection + map
+    # rendered as sorted items
+    def norm(df):
+        return sorted(map(tuple, df.select(
+            "k", "payload", F.map_keys("attrs")[0], F.map_values("attrs")[0],
+            "rk", "rpayload").collect()))
+    assert norm(out) == norm(plain)
+
+
+def test_xxhashable_type_walk_and_map_payload_join(spark):
+    """The hashability walk finds maps buried in arrays/structs (an
+    equi-join key can never itself be a map, so the all-map fallback is
+    exercised through the helper), and a map-payload salted join still
+    matches plain."""
+    from debezium_nats_cdc_spark.operators.joins import _xxhashable
+    from pyspark.sql.types import (ArrayType, LongType, MapType,
+                                   StringType, StructField, StructType)
+
+    assert not _xxhashable(MapType(StringType(), LongType()))
+    assert not _xxhashable(ArrayType(MapType(StringType(), LongType())))
+    assert not _xxhashable(StructType(
+        [StructField("m", MapType(StringType(), LongType()))]))
+    assert _xxhashable(ArrayType(LongType()))
+    assert _xxhashable(StructType([StructField("s", StringType())]))
+
+    left = _facts(spark).select(
+        "k", F.create_map(F.lit("p"), F.col("payload")).alias("mp"))
+    right = _facts(spark, n=300, hot_n=200).select(
+        F.col("k").alias("rk"), F.col("payload").alias("rpayload"))
+    advice = {"strategy": "salted", "hot_keys": [7], "rationale": {}}
+    out = execute_advised_join(left, right, "k", "rk", advice=advice)
+    got = sorted(map(tuple, out.select(
+        "k", F.map_values("mp")[0], "rk", "rpayload").collect()))
+    want = sorted(map(tuple, _plain(left, right, "k", "rk").select(
+        "k", F.map_values("mp")[0], "rk", "rpayload").collect()))
+    assert got == want
+
+
+def test_salted_survives_preexisting_salt_column(spark):
+    """ADVICE r10: a left OR right frame that already carries _eaj_salt
+    (e.g. the output of a previous advised join) must not collide with
+    the temp column."""
+    left = _facts(spark).withColumn("_eaj_salt", F.lit(99))
+    right = _facts(spark, n=300, hot_n=200).select(
+        F.col("k").alias("rk"), F.col("payload").alias("rpayload")) \
+        .withColumn("_eaj_salt_", F.lit(-1))
+    advice = {"strategy": "salted", "hot_keys": [7], "rationale": {}}
+    out = execute_advised_join(left, right, "k", "rk", advice=advice)
+    plain = _plain(left, right, "k", "rk")
+    assert out.columns == plain.columns
+    assert _rows(out) == _rows(plain)
+    # the user's column came through untouched
+    assert out.select("_eaj_salt").distinct().collect()[0][0] == 99

@@ -108,3 +108,54 @@ def test_delete_reaches_the_stream_area(spark, tmp_path):
     assert not remaining & set(victims)
     hits = {t[1] for t in _search(spark, d)}
     assert not hits & set(victims)
+
+def test_delete_every_vector_leaves_a_readable_empty_index(spark, tmp_path):
+    """ADVICE r11: an erasure batch that empties EVERY partition must not
+    leave a schema-less directory behind — the index stays readable
+    (zero rows), searchable (zero hits), and a later ivf_add restores
+    the partitioned layout and makes the index live again."""
+    d = str(tmp_path / "ivf")
+    e = _emb(spark)
+    ivf_build(spark, e.filter(F.col("vec_id") % 2 == 0), d, n_cells=N_CELLS)
+    ing = IvfStreamIngest(d)
+    ing.process_batch(spark, e.filter(F.col("vec_id") % 2 == 1), epoch_id=0)
+    everyone = [r.vec_id for r in
+                _vector_scan(spark, d).select("vec_id").collect()]
+    rep = ivf_delete(spark, d, everyone)
+    assert rep["deleted"] == len(everyone)
+    # readable and empty — both the scan and a full-nprobe search
+    assert _vector_scan(spark, d).count() == 0
+    assert _search(spark, d) == []
+    # idempotent re-run on the emptied index
+    assert ivf_delete(spark, d, everyone)["deleted"] == 0
+    # ivf_add restores the partitioned layout and the index serves again
+    from debezium_nats_cdc_spark.operators.ann_index import ivf_add
+
+    ivf_add(spark, d, e.filter(F.col("vec_id") < 40))
+    area = os.path.join(d, "vectors")
+    assert any(n.startswith("cell_id=") for n in os.listdir(area))
+    # no stray flat data file beside the partition dirs (layout conflict)
+    assert not any(n.endswith(".parquet") for n in os.listdir(area))
+    assert _vector_scan(spark, d).count() == 40
+    assert len(_search(spark, d)) > 0
+
+
+def test_delete_mismatched_id_type_casts_or_raises(spark, tmp_path):
+    """ADVICE r11: a DataFrame of ids whose type differs from the
+    index's vec_id must not silently delete 0 rows.  Losslessly
+    castable ids (int, numeric strings) work; non-castable ids raise."""
+    import pytest
+
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _emb(spark), d, n_cells=N_CELLS)
+    pre = _vector_scan(spark, d).count()
+    # string ids that cast losslessly to bigint: the erasure proceeds
+    ids_str = spark.createDataFrame([("1",), ("2",)], "vec_id string")
+    rep = ivf_delete(spark, d, ids_str)
+    assert rep["deleted"] == 2
+    assert _vector_scan(spark, d).count() == pre - 2
+    # an id that cannot cast raises loudly instead of skipping it
+    bad = spark.createDataFrame([("3",), ("user-00004",)], "vec_id string")
+    with pytest.raises(ValueError, match="do not cast"):
+        ivf_delete(spark, d, bad)
+    assert _vector_scan(spark, d).count() == pre - 2  # nothing erased

@@ -179,3 +179,59 @@ def test_stream_area_rewritten_and_replay_consistent(spark, tmp_path):
     assert sorted(map(tuple, ivf_search(
         spark, d, _queries(spark), k=K,
         nprobe=rep["n_cells"]).collect())) == snap
+
+def test_concurrent_reader_leaves_claimed_staging_alone(spark, tmp_path):
+    """ADVICE r11 (medium): _recover_swap used to rmtree the staging
+    tree on EVERY _load_meta — a concurrent ivf_search/ivf_cell_stats
+    during a live rebalance could delete the half-built index.  Now a
+    staging dir claimed by the builder's _rebalance.lock marker
+    survives reads; an UNCLAIMED one (pre-claim crash debris) is still
+    swept, and genuine torn-swap healing still clears everything."""
+    from debezium_nats_cdc_spark.operators.ann_index import (
+        _REBALANCE_MARKER, _recover_swap)
+
+    d = str(tmp_path / "ivf")
+    _build_skewed(spark, d)
+    staging = d + ".rebalancing"
+
+    # claimed staging (mid-build state): reads must leave it intact
+    import json as _json
+    with open(os.path.join(d, _REBALANCE_MARKER), "w") as f:
+        f.write(_json.dumps({"pid": 0}))
+    os.makedirs(os.path.join(staging, "centroids"))
+    ivf_cell_stats(spark, d).collect()          # a concurrent reader
+    ivf_search(spark, d, _queries(spark), k=K, nprobe=4).collect()
+    assert os.path.isdir(staging), "reader deleted a claimed staging dir"
+
+    # unclaimed staging: swept as before
+    os.remove(os.path.join(d, _REBALANCE_MARKER))
+    _recover_swap(d)
+    assert not os.path.isdir(staging)
+
+    # torn swap + stale claim: healing restores the live dir and clears
+    # both the staging tree and the dead builder's marker
+    os.makedirs(os.path.join(staging, "centroids"))
+    with open(os.path.join(d, _REBALANCE_MARKER), "w") as f:
+        f.write(_json.dumps({"pid": 0}))
+    os.rename(d, d + ".old")
+    _recover_swap(d)
+    assert os.path.isdir(d) and not os.path.isdir(d + ".old")
+    assert not os.path.isdir(staging)
+    assert not os.path.exists(os.path.join(d, _REBALANCE_MARKER))
+    # index is complete and serves
+    ivf_search(spark, d, _queries(spark), k=K, nprobe=4).collect()
+
+
+def test_completed_rebalance_drops_its_claim(spark, tmp_path):
+    """A successful rebalance leaves no marker and no staging dir —
+    the claim dies with the swap, so later _recover_swap runs behave
+    exactly as before the ADVICE fix."""
+    from debezium_nats_cdc_spark.operators.ann_index import _REBALANCE_MARKER
+
+    d = str(tmp_path / "ivf")
+    _build_skewed(spark, d)
+    rep = ivf_rebalance(spark, d, max_balance_ratio=2.0)
+    assert rep["split_cells"]
+    assert not os.path.exists(os.path.join(d, _REBALANCE_MARKER))
+    assert not os.path.isdir(d + ".rebalancing")
+    assert not os.path.isdir(d + ".old")
