@@ -25,7 +25,7 @@ the integer-seconds tier because full suffixes + 2-decimal values
 overflowed the tail, losing per-query resolution; VERDICT r6 #3):
   d_=dedup_  c_=cdc_  k_=corpus_  w_=window_  g_=agg_  j_=join_
   s_=sim_  t_=text_   (mm_, emb_, pii_, scalar_ prefixes unchanged)
-  e.g. dedup_exact_groups -> d_exa_gro ; window_latest_state_per_key
+  e.g. dedup_exact_survivors -> d_exa_sur ; window_latest_state_per_key
   -> w_lat_sta_per_key.  (3-char tokens since r10: the 97-query catalog
   overflowed the tail at 4.)  The mapping is deterministic from catalog
   names (abbr_name below, collision-checked), so per-round artifacts

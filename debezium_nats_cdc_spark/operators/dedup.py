@@ -27,51 +27,42 @@ from ..io import load_table
 
 
 @register(
-    "dedup_exact_groups",
+    "dedup_exact_survivors",
     oracle="""
-    SELECT md5(text) AS text_hash,
-           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_copies
-    FROM documents
-    GROUP BY md5(text)
-    HAVING COUNT(*) > 1
-    """,
-    survey_ids=["K1"],
-    doc="Exact dedup: digest-groupBy; only duplicate groups surface. "
-        "Digest (16 bytes) shuffles instead of the document body — at "
-        "100 TB the shuffle is ~digest+id wide, not content wide.",
-)
-def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.groupBy(F.md5("text").alias("text_hash"))
-        .agg(
-            F.min("doc_id").alias("keeper_doc_id"),
-            F.count("*").alias("n_copies"),
-        )
-        .filter(F.col("n_copies") > 1)
-    )
-
-
-@register(
-    "dedup_exact_keep_first",
-    oracle="""
-    SELECT doc_id, lang, source, n_chars
-    FROM documents
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    SELECT doc_id, lang, source, n_chars,
+           CAST(n_copies AS BIGINT) AS n_copies
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+             ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
     """,
     survey_ids=["K1", "E2"],
-    doc="Exact dedup, surviving rows: min-doc_id winner per content digest.",
+    doc="Exact dedup, both contracts in one pass (r12 consolidation of "
+        "dedup_exact_groups + dedup_exact_keep_first — this output is a "
+        "superset of each): the min-doc_id survivor per content digest, "
+        "projected WITH its collapsed copy count (n_copies > 1 filters "
+        "to the old duplicate-groups view; the survivor's doc_id IS the "
+        "old keeper_doc_id).  Still exactly one shuffle, on the 16-byte "
+        "digest — at 100 TB the shuffle is ~digest+id wide, not content "
+        "wide, and the count/row_number windows share the single "
+        "exchange+sort.",
 )
-def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    w = W.partitionBy(F.md5("text"))
     return (
-        d.withColumn("rn", F.row_number().over(w))
+        d.select(
+            "doc_id", "lang", "source", "n_chars",
+            F.count("*").over(w).cast("bigint").alias("n_copies"),
+            F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        )
         .filter(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "n_chars")
+        .drop("rn")
     )
 
 
@@ -932,37 +923,20 @@ def _cluster_oracle() -> str:
     """
 
 
-@register(
-    "dedup_cluster_assign",
-    oracle=_cluster_oracle(),
-    survey_ids=["K1"],
-    doc="Near-dup CLUSTERS from pairwise matches: connected components "
-        "over the n-gram-Jaccard edge set, labels = min doc_id per "
-        "component (the canonical representative a dedup pass keeps). "
-        "Iterative min-label propagation with pointer jumping — each "
-        "round relabels via neighbors AND jumps to the label's label, "
-        "so label distance doubles per round (the large-star/small-star "
-        "shape from the MapReduce CC literature) — iterated to the "
-        "FIXED POINT: a round that changes zero labels terminates the "
-        "loop, so any component diameter converges (bounded by a "
-        "20-round safety valve that raises instead of silently "
-        "splitting clusters). Every round is two hash-join shuffles on "
-        "doc id over the (tiny) matched-doc set — never the corpus — "
-        "with eager truncation so the plan stays linear in rounds. The "
-        "pair set is the localCheckpoint-cached dedup_ngram_jaccard "
-        "output, not a recompute. The oracle computes the true "
-        "transitive closure via a recursive CTE; agreement proves the "
-        "fixed point was reached.",
-)
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _jaccard_edges(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(e)
-    sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
-    return labels.join(sizes, "lbl").select(
-        "doc_id",
-        F.col("lbl").alias("cluster_id"),
-        F.col("cluster_size").cast("bigint").alias("cluster_size"),
-    )
+    """Near-dup cluster assignment — since r12 a delegate to the
+    adaptive CC kernel (VERDICT r10 task 3 / r11 task 1: the swap).
+    The r8 pointer-jumping-only registration is RETIRED from the
+    catalog; ``dedup_cluster_assign_delta`` (components.py, r11-green
+    under the same recursive-CTE true-closure oracle) is the registered
+    cluster-assignment query, and the rename back to this name is
+    queued for r13's ODD window, when the query is in-window anyway
+    (COVERAGE.md r12 rotation statement).  The r8 kernel itself
+    (``connected_components`` below) remains as the reference
+    implementation the property tests compare both paths against."""
+    from .components import dedup_cluster_assign_delta
+
+    return dedup_cluster_assign_delta(spark, sf_dir)
 
 
 def connected_components(pairs: DataFrame,

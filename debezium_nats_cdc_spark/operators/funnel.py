@@ -258,6 +258,18 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return cohort_matrix(uw)
+
+
+def cohort_matrix(uw: DataFrame) -> DataFrame:
+    """The cohort-retention matrix over a distinct (user_id, wk) frame —
+    the SHARED scoring kernel (r12 consolidation, VERDICT r11 task 5):
+    the batch ``events_cohort_retention`` runs it over the events
+    table's frame, the streaming ``CohortMonitor.scored`` over its
+    accumulated state, so the two can never drift (the dau_wau /
+    funnel_summary pattern).  <= weeks^2 result rows at any corpus
+    size; the cohort window runs over <= #weeks rows per user, never
+    events."""
     c = uw.withColumn(
         "cohort_wk", F.min("wk").over(W.partitionBy("user_id"))
     )

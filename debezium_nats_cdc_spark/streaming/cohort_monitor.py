@@ -43,86 +43,41 @@ atomic state+meta exactly-once contract as the sibling monitors: a
 replayed micro-batch compares against last_epoch and no-ops, and the
 distinct merge is additionally idempotent.
 
-The scoring mirrors ``operators.funnel.events_cohort_retention``
-verbatim from the (user, wk) frame down (the batch query's first step
-IS this frame); extracting a shared kernel means touching funnel.py,
-which the r11 ODD-phase window cannot absorb (rule A would force its
-two queries into a full window) — the consolidation is noted for r12,
-and the pytest parity gate pins the two scorings equal after every
-batch meanwhile.
+The scoring is the shared :func:`cohort_matrix` kernel the batch
+``events_cohort_retention`` also runs (consolidated in r12 per the r11
+verdict task 5: the state plumbing lives in
+``_monitor_base.SwapStateMonitor``, shared with the funnel and
+engagement monitors, and the batch query scores through this module's
+kernel — the pytest parity gate pins batch == streaming after every
+batch).
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from .state_backend import LocalFSBackend, StateBackend
+# the shared scoring kernel (operators/funnel.py since r12 — the batch
+# events_cohort_retention runs the SAME function)
+from ..operators.funnel import cohort_matrix  # noqa: F401 (re-export)
+from ._monitor_base import SwapStateMonitor
 
 _STATE_SCHEMA = "user_id bigint, wk date, last_epoch bigint"
 
 
-def cohort_matrix(uw: DataFrame) -> DataFrame:
-    """The cohort-retention matrix over a distinct (user_id, wk) frame
-    — column-for-column the batch ``events_cohort_retention`` output
-    (whose first step is exactly this frame).  <= weeks^2 result rows
-    at any corpus size; the cohort window runs over <= #weeks rows per
-    user, never events."""
-    c = uw.withColumn(
-        "cohort_wk", F.min("wk").over(W.partitionBy("user_id"))
-    )
-    m = (
-        c.groupBy(
-            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
-            (F.datediff("wk", "cohort_wk") / 7).cast("int")
-             .alias("offset_weeks"),
-        )
-        .agg(F.count("*").cast("bigint").alias("n_active"))
-    )
-    w_cohort = W.partitionBy("cohort_week")
-    cohort_size = F.max(
-        F.when(F.col("offset_weeks") == 0, F.col("n_active"))
-    ).over(w_cohort)
-    return m.select(
-        "cohort_week", "offset_weeks", "n_active",
-        cohort_size.alias("cohort_size"),
-        F.round(F.col("n_active").cast("double") / cohort_size, 4)
-         .cast("decimal(18,4)").cast("double").alias("retained_pct"),
-    )
-
-
-class CohortMonitor:
+class CohortMonitor(SwapStateMonitor):
     """foreachBatch-driven incremental distinct-(user, week) state
     scored into the cohort-retention matrix.  Rows with NULL user or
     NULL event-time are dropped, exactly as the batch operator; the
     configurable user column is cast to the state schema's bigint
-    (the ADVICE-r10 contract the engagement monitor follows)."""
+    (the ADVICE-r10 contract the engagement monitor follows).  State
+    plumbing (exactly-once fold, meta row, epoch guard, start wiring)
+    is the shared :class:`SwapStateMonitor` kernel."""
 
-    def __init__(self, root: str, backend: StateBackend | None = None,
-                 ts_col: str = "ts", user_col: str = "user_id"):
-        self.backend = backend or LocalFSBackend()
-        self.state_dir = os.path.join(root, "cohort_state")
-        self.checkpoint_dir = os.path.join(root, "_checkpoints")
-        self.ts_col = ts_col
-        self.user_col = user_col
-
-    # -- reads ---------------------------------------------------------
-    def _state(self, spark: SparkSession) -> DataFrame:
-        self.backend.recover(self.state_dir)
-        if not self.backend.has_data(self.state_dir):
-            return spark.createDataFrame([], _STATE_SCHEMA)
-        return spark.read.parquet(self.state_dir)
-
-    def state_rows(self, spark: SparkSession) -> DataFrame:
-        """The accumulated distinct (user_id, wk) projection."""
-        return (self._state(spark).filter(F.col("wk").isNotNull())
-                .select("user_id", "wk"))
-
-    def last_epoch(self, spark: SparkSession) -> int:
-        row = (self._state(spark).filter(F.col("wk").isNull())
-               .select("last_epoch").first())
-        return row.last_epoch if row else -1
+    _STATE_SUBDIR = "cohort_state"
+    _QUERY_NAME = "cohort-monitor"
+    _STATE_SCHEMA = _STATE_SCHEMA
+    _VALUE_COLS = ("user_id", "wk")
+    _META_COL = "wk"
 
     def scored(self, spark: SparkSession) -> DataFrame:
         """The cohort matrix of everything ingested so far — the
@@ -144,28 +99,6 @@ class CohortMonitor:
             )
             .distinct()
         )
-
-    def process_batch(self, spark: SparkSession, events: DataFrame,
-                      epoch_id: int | None = None) -> None:
-        events = events.localCheckpoint(eager=True)
-        if events.isEmpty():
-            return
-        last = self.last_epoch(spark)
-        if epoch_id is not None and epoch_id <= last:
-            return  # replayed micro-batch: already folded into state
-        merged = (
-            self.state_rows(spark)
-            .unionByName(self._batch_rows(events))
-            .distinct()
-            .select("user_id", "wk",
-                    F.lit(None).cast("bigint").alias("last_epoch"))
-        )
-        meta = spark.createDataFrame(
-            [(None, None, last if epoch_id is None else epoch_id)],
-            _STATE_SCHEMA)
-        self.backend.swap_write(
-            merged.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
-            self.state_dir)
 
     def expire_before(self, spark: SparkSession, oldest_report_week,
                       watermark_us: int) -> None:
@@ -193,38 +126,5 @@ class CohortMonitor:
                 | (F.col("wk") >= horizon)          # feeds published cells
                 | (F.col("wk") == F.col("_cohort"))  # the cohort row
             )
-            .select("user_id", "wk",
-                    F.lit(None).cast("bigint").alias("last_epoch"))
         )
-        meta = spark.createDataFrame(
-            [(None, None, self.last_epoch(spark))], _STATE_SCHEMA)
-        self.backend.swap_write(
-            kept.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
-            self.state_dir)
-
-    def reset_epoch_guard(self, spark: SparkSession) -> None:
-        """Clear ``last_epoch`` so a stream restarted from a FRESH
-        checkpoint (epoch ids restart at 0) keeps folding into the
-        accumulated state — the _ingest_base half-reset contract."""
-        state = self._state(spark)
-        if state.isEmpty():
-            return
-        self.backend.swap_write(
-            state.withColumn(
-                "last_epoch",
-                F.when(F.col("wk").isNull(), F.lit(-1).cast("bigint"))
-                 .otherwise(F.col("last_epoch"))),
-            self.state_dir)
-
-    def start(self, spark: SparkSession, stream: DataFrame,
-              available_now: bool = True):
-        if not self.backend.checkpoint_established(self.checkpoint_dir):
-            self.reset_epoch_guard(spark)
-        writer = (
-            stream.writeStream.queryName("cohort-monitor")
-            .option("checkpointLocation", self.checkpoint_dir)
-            .foreachBatch(lambda b, e: self.process_batch(spark, b, e))
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
+        self._swap_state(spark, kept, self.last_epoch(spark))

@@ -32,46 +32,27 @@ same atomic state+meta exactly-once contract as the sibling monitors.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.engagement import _WINDOW_DAYS as _WINDOW_DAYS_STATE
 from ..operators.engagement import dau_wau, user_days
-from .state_backend import LocalFSBackend, StateBackend
+from ._monitor_base import SwapStateMonitor
 
 _STATE_SCHEMA = "user_id bigint, event_day date, last_epoch bigint"
 
 
-class EngagementMonitor:
+class EngagementMonitor(SwapStateMonitor):
     """foreachBatch-driven incremental distinct-(user, day) state scored
     by the shared DAU/WAU kernel.  Rows with NULL user or NULL
-    event-time are dropped, exactly as the batch operator."""
+    event-time are dropped, exactly as the batch operator.  State
+    plumbing (exactly-once fold, meta row, epoch guard, start wiring)
+    is the shared :class:`SwapStateMonitor` kernel."""
 
-    def __init__(self, root: str, backend: StateBackend | None = None,
-                 ts_col: str = "ts", user_col: str = "user_id"):
-        self.backend = backend or LocalFSBackend()
-        self.state_dir = os.path.join(root, "engagement_state")
-        self.checkpoint_dir = os.path.join(root, "_checkpoints")
-        self.ts_col = ts_col
-        self.user_col = user_col
-
-    # -- reads ---------------------------------------------------------
-    def _state(self, spark: SparkSession) -> DataFrame:
-        self.backend.recover(self.state_dir)
-        if not self.backend.has_data(self.state_dir):
-            return spark.createDataFrame([], _STATE_SCHEMA)
-        return spark.read.parquet(self.state_dir)
-
-    def state_rows(self, spark: SparkSession) -> DataFrame:
-        """The accumulated distinct (user_id, event_day) projection."""
-        return (self._state(spark).filter(F.col("event_day").isNotNull())
-                .select("user_id", "event_day"))
-
-    def last_epoch(self, spark: SparkSession) -> int:
-        row = (self._state(spark).filter(F.col("event_day").isNull())
-               .select("last_epoch").first())
-        return row.last_epoch if row else -1
+    _STATE_SUBDIR = "engagement_state"
+    _QUERY_NAME = "engagement-monitor"
+    _STATE_SCHEMA = _STATE_SCHEMA
+    _VALUE_COLS = ("user_id", "event_day")
+    _META_COL = "event_day"
 
     def scored(self, spark: SparkSession) -> DataFrame:
         """DAU/WAU/stickiness of everything ingested so far — the
@@ -80,33 +61,13 @@ class EngagementMonitor:
         return dau_wau(self.state_rows(spark))
 
     # -- writes --------------------------------------------------------
-    def process_batch(self, spark: SparkSession, events: DataFrame,
-                      epoch_id: int | None = None) -> None:
-        events = events.localCheckpoint(eager=True)
-        if events.isEmpty():
-            return
-        last = self.last_epoch(spark)
-        if epoch_id is not None and epoch_id <= last:
-            return  # replayed micro-batch: already folded into state
+    def _batch_rows(self, events: DataFrame) -> DataFrame:
         # cast the configurable user column to the state schema's bigint
         # explicitly (ADVICE r10), mirroring FunnelMonitor._batch_rows —
         # unionByName against the parquet state schema must not depend
         # on the source column's type
-        batch_ud = user_days(events, self.user_col, self.ts_col).select(
+        return user_days(events, self.user_col, self.ts_col).select(
             F.col("user_id").cast("bigint").alias("user_id"), "event_day")
-        merged = (
-            self.state_rows(spark)
-            .unionByName(batch_ud)
-            .distinct()
-            .select("user_id", "event_day",
-                    F.lit(None).cast("bigint").alias("last_epoch"))
-        )
-        meta = spark.createDataFrame(
-            [(None, None, last if epoch_id is None else epoch_id)],
-            _STATE_SCHEMA)
-        self.backend.swap_write(
-            merged.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
-            self.state_dir)
 
     def expire_before(self, spark: SparkSession, oldest_report_day) -> None:
         """Reporting-horizon state bound — the production cap the module
@@ -119,37 +80,7 @@ class EngagementMonitor:
         horizon's user-day volume instead of all history."""
         cutoff = F.date_sub(F.lit(oldest_report_day).cast("date"),
                             _WINDOW_DAYS_STATE - 1)
-        state = self._state(spark)
-        self.backend.swap_write(
-            state.filter(F.col("event_day").isNull()
-                         | (F.col("event_day") >= cutoff))
-            .coalesce(1).localCheckpoint(eager=True),
-            self.state_dir)
-
-    def reset_epoch_guard(self, spark: SparkSession) -> None:
-        """Clear ``last_epoch`` so a stream restarted from a FRESH
-        checkpoint (epoch ids restart at 0) keeps folding into the
-        accumulated state — the _ingest_base half-reset contract."""
-        state = self._state(spark)
-        if state.isEmpty():
-            return
-        self.backend.swap_write(
-            state.withColumn(
-                "last_epoch",
-                F.when(F.col("event_day").isNull(),
-                       F.lit(-1).cast("bigint"))
-                 .otherwise(F.col("last_epoch"))),
-            self.state_dir)
-
-    def start(self, spark: SparkSession, stream: DataFrame,
-              available_now: bool = True):
-        if not self.backend.checkpoint_established(self.checkpoint_dir):
-            self.reset_epoch_guard(spark)
-        writer = (
-            stream.writeStream.queryName("engagement-monitor")
-            .option("checkpointLocation", self.checkpoint_dir)
-            .foreachBatch(lambda b, e: self.process_batch(spark, b, e))
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
+        self._swap_state(
+            spark,
+            self.state_rows(spark).filter(F.col("event_day") >= cutoff),
+            self.last_epoch(spark))

@@ -54,52 +54,39 @@ the meta does not.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.funnel import _FUNNEL_STAGES, funnel_summary
-from .state_backend import LocalFSBackend, StateBackend
+from ._monitor_base import SwapStateMonitor
+from .state_backend import StateBackend
 
 _STATE_SCHEMA = ("user_id bigint, event_type string, ts_us bigint, "
                  "last_epoch bigint")
 
 
-class FunnelMonitor:
+class FunnelMonitor(SwapStateMonitor):
     """foreachBatch-driven incremental funnel state scored by the shared
     batch kernel.  ``ts_col`` is the event-time column, ``user_col`` the
     funnel subject, ``type_col`` the stage discriminator; rows with NULL
     user or NULL event-time are dropped — both exactly as the batch
-    operator's base filter."""
+    operator's base filter.  State plumbing (exactly-once fold, meta
+    row, epoch guard, start wiring) is the shared
+    :class:`SwapStateMonitor` kernel; this monitor's ``_post_merge``
+    adds the dominance pruning."""
+
+    _STATE_SUBDIR = "funnel_state"
+    _QUERY_NAME = "funnel-monitor"
+    _STATE_SCHEMA = _STATE_SCHEMA
+    _VALUE_COLS = ("user_id", "event_type", "ts_us")
+    _META_COL = "event_type"
 
     def __init__(self, root: str, backend: StateBackend | None = None,
                  ts_col: str = "ts", user_col: str = "user_id",
                  type_col: str = "event_type",
                  stages: list[str] | None = None):
-        self.backend = backend or LocalFSBackend()
-        self.state_dir = os.path.join(root, "funnel_state")
-        self.checkpoint_dir = os.path.join(root, "_checkpoints")
-        self.ts_col = ts_col
-        self.user_col = user_col
+        super().__init__(root, backend, ts_col, user_col)
         self.type_col = type_col
         self.stages = stages or _FUNNEL_STAGES
-
-    # -- reads ---------------------------------------------------------
-    def _state(self, spark: SparkSession) -> DataFrame:
-        self.backend.recover(self.state_dir)
-        if not self.backend.has_data(self.state_dir):
-            return spark.createDataFrame([], _STATE_SCHEMA)
-        return spark.read.parquet(self.state_dir)
-
-    def state_rows(self, spark: SparkSession) -> DataFrame:
-        """The surviving (user_id, event_type, ts_us) projection."""
-        return (self._state(spark).filter(F.col("event_type").isNotNull())
-                .select("user_id", "event_type", "ts_us"))
-
-    def last_epoch(self, spark: SparkSession) -> int:
-        row = (self._state(spark).filter(F.col("event_type").isNull())
-               .select("last_epoch").first())
-        return row.last_epoch if row else -1
 
     def scored(self, spark: SparkSession) -> DataFrame:
         """The funnel summary of everything ingested so far — the
@@ -166,28 +153,8 @@ class FunnelMonitor:
             )
         return pruned.filter(keep).select("user_id", "event_type", "ts_us")
 
-    def process_batch(self, spark: SparkSession, events: DataFrame,
-                      epoch_id: int | None = None) -> None:
-        events = events.localCheckpoint(eager=True)
-        if events.isEmpty():
-            return
-        last = self.last_epoch(spark)
-        if epoch_id is not None and epoch_id <= last:
-            return  # replayed micro-batch: already folded into state
-        merged = (
-            self.state_rows(spark)
-            .unionByName(self._batch_rows(events))
-            .distinct()
-        )
-        kept = self._prune(merged).select(
-            "user_id", "event_type", "ts_us",
-            F.lit(None).cast("bigint").alias("last_epoch"))
-        meta = spark.createDataFrame(
-            [(None, None, None, last if epoch_id is None else epoch_id)],
-            _STATE_SCHEMA)
-        self.backend.swap_write(
-            kept.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
-            self.state_dir)
+    # dominance pruning rides the shared fold between merge and write
+    _post_merge = _prune
 
     def compact(self, spark: SparkSession, watermark_us: int) -> None:
         """Watermark finalization — the production state bound the
@@ -245,39 +212,5 @@ class FunnelMonitor:
                 g.isNotNull() & (F.col("ts_us") == g),   # gate row only
             ).otherwise(dominated)
             keep = keep | ((F.col("event_type") == name) & stage_keep)
-        kept = (pruned.filter(keep)
-                .select("user_id", "event_type", "ts_us",
-                        F.lit(None).cast("bigint").alias("last_epoch")))
-        meta = spark.createDataFrame(
-            [(None, None, None, self.last_epoch(spark))], _STATE_SCHEMA)
-        self.backend.swap_write(
-            kept.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
-            self.state_dir)
-
-    def reset_epoch_guard(self, spark: SparkSession) -> None:
-        """Clear ``last_epoch`` so a stream restarted from a FRESH
-        checkpoint (epoch ids restart at 0) keeps folding into the
-        accumulated state — the _ingest_base half-reset contract."""
-        state = self._state(spark)
-        if state.isEmpty():
-            return
-        self.backend.swap_write(
-            state.withColumn(
-                "last_epoch",
-                F.when(F.col("event_type").isNull(),
-                       F.lit(-1).cast("bigint"))
-                 .otherwise(F.col("last_epoch"))),
-            self.state_dir)
-
-    def start(self, spark: SparkSession, stream: DataFrame,
-              available_now: bool = True):
-        if not self.backend.checkpoint_established(self.checkpoint_dir):
-            self.reset_epoch_guard(spark)
-        writer = (
-            stream.writeStream.queryName("funnel-monitor")
-            .option("checkpointLocation", self.checkpoint_dir)
-            .foreachBatch(lambda b, e: self.process_batch(spark, b, e))
-        )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        return writer.start()
+        self._swap_state(spark, pruned.filter(keep),
+                         self.last_epoch(spark))

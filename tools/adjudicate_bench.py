@@ -42,10 +42,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WARM_DIR = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
 TS_CONF = "spark.sql.parquet.outputTimestampType"
 
-# the four worst BENCH_r09-vs-r08 deltas (VERDICT r9), with both rounds'
-# artifact values for the verdict line
+# default suspects: the catalog's heaviest family (reference values are
+# the r9/r8 artifact pair that first motivated this tool; the r8-kernel
+# dedup_cluster_assign was retired in r12 — its contract lives on as
+# dedup_cluster_assign_delta, benchmarked here without a reference pair)
 SUSPECTS = {
-    "dedup_cluster_assign": (3.27, 5.6),
+    "dedup_cluster_assign_delta": None,
     "dedup_minhash_lsh": (1.86, 2.9),
     "dedup_ngram_jaccard": (1.7, 2.6),
     "join_broadcast_enrich": (1.23, 1.9),
