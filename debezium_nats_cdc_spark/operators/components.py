@@ -67,7 +67,7 @@ the clustering layer is specified, not implemented, in the reference).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..catalog import register
 from .dedup import _CC_MAX_ROUNDS, _cluster_oracle, _jaccard_edges
@@ -83,12 +83,12 @@ from .dedup import _CC_MAX_ROUNDS, _cluster_oracle, _jaccard_edges
 _DRIVER_CC_MAX_EDGES = 500_000
 
 
-def _driver_union_find(spark: SparkSession, sym: DataFrame) -> DataFrame:
-    """Exact CC on a size-gated edge set: collect, union-find with the
+def _uf_solve(pair_rows) -> dict:
+    """Exact CC over collected pairs: union-find with the
     min-id-keeps-root discipline (attaching the larger root under the
-    smaller preserves root == component min by induction), relabel with
-    a final find pass.  Same (doc_id, lbl) contract as the distributed
-    loop; the collect is bounded by the caller's gate."""
+    smaller preserves root == component min by induction), relabelled
+    with a final find pass.  Returns {node: component_min}; the input
+    is bounded by the caller's gate."""
     parent: dict = {}
 
     def find(x):
@@ -98,15 +98,26 @@ def _driver_union_find(spark: SparkSession, sym: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for src, dst in sym.collect():
-        ra, rb = find(src), find(dst)
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    rows = sorted((x, find(x)) for x in parent)
-    id_type = sym.schema["src"].dataType
-    schema = StructType([StructField("doc_id", id_type),
-                         StructField("lbl", id_type)])
-    return spark.createDataFrame(rows, schema)
+    return {x: find(x) for x in parent}
+
+
+def _gated_pairs(pairs: DataFrame, driver_max_edges: int):
+    """Materialize the pair set once and probe the size gate with ONE
+    job: ``limit(gate+1).collect()`` — if the head fits the gate it IS
+    the whole edge set (no separate count job, no symmetric-doubled
+    materialization on the driver path).  Returns (checkpointed pairs,
+    collected head or None when over the gate / gate disabled)."""
+    pruned = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    if not driver_max_edges:
+        return pruned, None
+    head = pruned.limit(driver_max_edges + 1).collect()
+    if len(head) > driver_max_edges:
+        return pruned, None
+    return pruned, head
 
 
 def connected_components_delta(pairs: DataFrame,
@@ -121,14 +132,21 @@ def connected_components_delta(pairs: DataFrame,
     exactness argument.  Both paths return the same frame as
     ``dedup.connected_components`` on every input (property-tested side
     by side, both paths, in tests/test_corpus_ops.py)."""
-    sym = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))
+    pruned, head = _gated_pairs(pairs, driver_max_edges)
+    if head is not None:
+        roots = _uf_solve((r[0], r[1]) for r in head)
+        id_type = pruned.schema["doc_a"].dataType
+        schema = StructType([StructField("doc_id", id_type),
+                             StructField("lbl", id_type)])
+        return pairs.sparkSession.createDataFrame(
+            sorted(roots.items()), schema)
+    sym = pruned.union(
+        pruned.select(F.col("doc_b").alias("doc_a"),
+                      F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    # materialize the edge set once; everything below derives from it
+    # materialize the (cheap, checkpoint-derived) symmetric set once;
+    # every loop round derives from it
     sym = sym.localCheckpoint(eager=True)
-    if driver_max_edges and sym.count() <= 2 * driver_max_edges:
-        return _driver_union_find(pairs.sparkSession, sym)
     labels = (
         sym.select(F.col("src").alias("doc_id")).distinct()
         .withColumn("lbl", F.col("doc_id"))
@@ -195,8 +213,39 @@ def connected_components_delta(pairs: DataFrame,
 )
 def dedup_cluster_assign_delta(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    e = _jaccard_edges(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components_delta(e)
+    return cluster_assignment(
+        spark, _jaccard_edges(spark, sf_dir).select("doc_a", "doc_b"))
+
+
+def cluster_assignment(spark: SparkSession, pairs: DataFrame,
+                       driver_max_edges: int = _DRIVER_CC_MAX_EDGES,
+                       ) -> DataFrame:
+    """(doc_a, doc_b) pairs -> (doc_id, cluster_id, cluster_size) — the
+    full cluster-assignment frame.  On the size-gated driver path the
+    whole answer (labels AND sizes) is computed in Python off the one
+    collected edge set and shipped back as a single literal frame: the
+    r11 shape paid three extra Spark jobs here (symmetric-union
+    materialization, a count for the gate, and a groupBy+join over the
+    label frame for sizes) — pure scheduling overhead when the matched
+    graph is hundreds of edges (BENCHLOG round-12 decomposition).
+    Above the gate, the distributed delta kernel labels and the sizes
+    ride one small groupBy+join over the matched-doc set, exactly as
+    before."""
+    pruned, head = _gated_pairs(pairs, driver_max_edges)
+    if head is not None:
+        from collections import Counter
+
+        roots = _uf_solve((r[0], r[1]) for r in head)
+        counts = Counter(roots.values())
+        id_type = pruned.schema["doc_a"].dataType
+        schema = StructType([
+            StructField("doc_id", id_type),
+            StructField("cluster_id", id_type),
+            StructField("cluster_size", LongType()),
+        ])
+        return spark.createDataFrame(
+            [(x, r, counts[r]) for x, r in sorted(roots.items())], schema)
+    labels = connected_components_delta(pruned, driver_max_edges=0)
     sizes = labels.groupBy("lbl").agg(F.count("*").alias("cluster_size"))
     return labels.join(sizes, "lbl").select(
         "doc_id",

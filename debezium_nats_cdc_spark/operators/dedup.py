@@ -227,6 +227,21 @@ def _candidate_pairs(rows: DataFrame, key_cols: list[str],
     """
     from pyspark.sql import Observation, Window as W
 
+    # Width-pin the bucket exchange (VERDICT r11 task 1, BENCHLOG
+    # round-12): AQE's post-shuffle coalescing sizes this exchange by
+    # its INPUT bytes — a few MB of narrow postings at sf0.1 — and
+    # under-provisions the stage that matters, because the window +
+    # pair explode downstream AMPLIFIES rows ~5x (260k postings ->
+    # 1.27M pair structs at sf0.1): the coalesced 5-6 tasks serialize
+    # the pipeline's dominant CPU on a 32-core box.  The explicit
+    # repartition satisfies the window's clustering requirement, so the
+    # plan's exchange COUNT is unchanged — only its width (measured:
+    # full Jaccard edge pipeline 2.00 -> 1.54 s median, interleaved
+    # idle-box A/B).  The same generate-amplification argument holds on
+    # a cluster; defaultParallelism (total cores) is the right width
+    # for a CPU-bound expand at any scale.
+    rows = rows.repartition(
+        rows.sparkSession.sparkContext.defaultParallelism, *key_cols)
     w_part = W.partitionBy(*key_cols)
     w_ord = W.partitionBy(*key_cols).orderBy("doc_id")
     tagged = rows.select(
