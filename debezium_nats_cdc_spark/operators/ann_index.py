@@ -611,6 +611,82 @@ def ivf_rebalance(spark: SparkSession, index_dir: str,
             "max_share": max(r["share"] for r in post)}
 
 
+def ivf_compact(spark: SparkSession, index_dir: str) -> dict:
+    """Fold the stream area into the base area — the FILE-COUNT
+    remediation between live ingest and a full re-cluster.
+
+    Exactly-once-by-layout ingest writes one (cell, epoch) partition
+    per touched cell per micro-batch, so stream-area files accumulate
+    ~n_cells per batch and probe latency grows with them (measured
+    1.6 s -> 2.3 s over 10 epochs / 160 files — BENCHLOG round-12,
+    `tools/ann_ingest_bench.py`).  An ``ivf_build`` rebuild bounds this
+    but re-clusters the whole corpus; this op only REWRITES: base ∪
+    stream lands as one file set per cell under the UNCHANGED
+    centroids, assignments verbatim (nothing numeric is recomputed —
+    centroids and meta are byte-copied).
+
+    Durability is the rebalance's claim+swap machinery reused
+    verbatim: the ``_rebalance.lock`` claim keeps concurrent readers'
+    crash healing off the staging tree, ``_recover_swap`` heals a torn
+    swap, and the staging dir carries the checkpoint dir so a stopped
+    ``IvfStreamIngest`` resumes its offsets afterwards.
+
+    Ingest contract: run with ingest STOPPED CLEANLY (sidecar
+    committed — the same swap-vs-append race contract as rebalance,
+    plus one compaction-specific hazard: the compacted rows live in
+    the base, so a crash-window replay of a pre-compaction epoch with
+    a rolled-back sidecar would re-add them).  The sidecar's
+    ``last_epoch`` is PRESERVED, so an engine-level redelivery of the
+    last committed batch after resume no-ops on the epoch guard, and
+    ``generation`` is bumped so post-compaction epochs can never
+    collide with any orphan of the pre-compaction lineage.
+
+    Returns ``{"compacted": n_stream_rows, "n_cells": N}``.
+    """
+    import shutil as _sh
+
+    meta = _load_meta(index_dir)
+    sdir = os.path.join(index_dir, _STREAM_SUBDIR)
+    if not (os.path.isdir(sdir) and any(
+            e.name.startswith("cell_id=") for e in os.scandir(sdir))):
+        return {"compacted": 0, "n_cells": meta["n_cells"]}
+    n_stream = spark.read.parquet(sdir).count()
+
+    staging = index_dir + ".rebalancing"
+    Path(index_dir, _REBALANCE_MARKER).write_text(
+        json.dumps({"pid": os.getpid()}))
+    if os.path.isdir(staging):
+        _sh.rmtree(staging, ignore_errors=True)
+    (
+        _vector_scan(spark, index_dir)
+        .withColumn("cell_id", F.col("cell_id").cast("int"))
+        .repartition("cell_id")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(os.path.join(staging, "vectors"))
+    )
+    # centroids byte-copied: compaction must not perturb a single bit
+    # of the quantizer (the determinism discipline)
+    _sh.copytree(os.path.join(index_dir, "centroids"),
+                 os.path.join(staging, "centroids"))
+    sidecar = os.path.join(index_dir, "_stream_epoch.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            side = json.load(f)
+        with open(os.path.join(staging, "_stream_epoch.json"), "w") as f:
+            json.dump({"generation": side["generation"] + 1,
+                       "last_epoch": side["last_epoch"]}, f)
+    ckpt = os.path.join(index_dir, "_stream_checkpoints")
+    if os.path.isdir(ckpt):
+        _sh.copytree(ckpt, os.path.join(staging, "_stream_checkpoints"))
+    _meta_path(staging).write_text(json.dumps(meta))
+
+    old = index_dir + ".old"
+    os.rename(index_dir, old)
+    os.rename(staging, index_dir)
+    _sh.rmtree(old, ignore_errors=True)
+    return {"compacted": n_stream, "n_cells": meta["n_cells"]}
+
+
 def ivf_delete(spark: SparkSession, index_dir: str, ids,
                id_col: str = "vec_id") -> dict:
     """Erase vectors from a persisted IVF index by id — the ANN leg of

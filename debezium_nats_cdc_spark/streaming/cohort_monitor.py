@@ -43,13 +43,14 @@ atomic state+meta exactly-once contract as the sibling monitors: a
 replayed micro-batch compares against last_epoch and no-ops, and the
 distinct merge is additionally idempotent.
 
-The scoring is the shared :func:`cohort_matrix` kernel the batch
-``events_cohort_retention`` also runs (consolidated in r12 per the r11
-verdict task 5: the state plumbing lives in
-``_monitor_base.SwapStateMonitor``, shared with the funnel and
-engagement monitors, and the batch query scores through this module's
-kernel — the pytest parity gate pins batch == streaming after every
-batch).
+The scoring is the shared :func:`cohort_matrix` kernel
+(operators/funnel.py since the r12 consolidation, VERDICT r11 task 5)
+that the batch ``events_cohort_retention`` also runs — the dau_wau /
+funnel_summary pattern, so the two scorings cannot drift; the state
+plumbing lives in ``_monitor_base.SwapStateMonitor``, shared with the
+funnel and engagement monitors.  The pytest parity gate pins batch ==
+streaming after every batch, and ``monitor_cohort_publish`` gives the
+published table a real driver row.
 """
 
 from __future__ import annotations

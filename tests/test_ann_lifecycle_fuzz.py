@@ -18,6 +18,9 @@ Model semantics mirror the documented contracts exactly:
                      documented re-run-the-erasure hazard);
   delete(ids)        removes ids everywhere;
   rebalance          layout-only (vector multiset unchanged);
+  compact            layout-only (stream folded into base; pre-compact
+                     epochs are no longer replayable — the documented
+                     stop-cleanly contract);
   add(batch)         base-area append.
 """
 
@@ -32,6 +35,7 @@ from debezium_nats_cdc_spark.operators.ann_index import (
     _vector_scan,
     ivf_add,
     ivf_build,
+    ivf_compact,
     ivf_delete,
     ivf_rebalance,
     ivf_search,
@@ -107,7 +111,8 @@ def test_random_lifecycle_interleaving(spark, tmp_path, seed):
     epoch = -1
     last_batch: list | None = None  # rows of the replayable epoch
 
-    ops = ["ingest", "ingest_crash_replay", "delete", "rebalance", "add"]
+    ops = ["ingest", "ingest_crash_replay", "delete", "rebalance", "add",
+           "compact"]
     for step in range(8):
         op = rng.choice(ops)
         if op == "ingest":
@@ -151,6 +156,13 @@ def test_random_lifecycle_interleaving(spark, tmp_path, seed):
                 ing2.process_batch(spark, _df(spark, last_batch),
                                    epoch_id=epoch)
                 model.update(dict(last_batch))  # re-run hazard: rows live
+        elif op == "compact":
+            ivf_compact(spark, d)
+            # pre-compact epochs are out of replay scope (the documented
+            # stop-cleanly contract) and the ingest handle must be
+            # re-opened to see the bumped generation
+            last_batch = None
+            ing = IvfStreamIngest(d)
         else:  # add
             rows = _vecs(rng, range(next_id, next_id + rng.randint(2, 5)))
             next_id += len(rows)
