@@ -142,11 +142,13 @@ _WINDOW_ORDER: list[str] = [
     "dedup_exact_substring",
     "dedup_prefix_cluster",
     # rule A: NEW merged exact-dedup query (supersedes
-    # dedup_exact_groups + dedup_exact_keep_first).
-    # dedup_cluster_assign_delta needs no slot: components.py is
-    # untouched, the query is r11-green, and it rotates back with the
-    # ODD half in r13 — the retired r8 twin's delegate points at it.
+    # dedup_exact_groups + dedup_exact_keep_first), and the adaptive
+    # cluster-assign query — components.py was touched by the round's
+    # pair-pipeline perf work (gate probe + driver-side sizes), so rule
+    # A pulls it in although it is r11-green; the slot comes from the
+    # window_field_diff_audit merge below.
     "dedup_exact_survivors",
+    "dedup_cluster_assign_delta",
     # half EVEN: sampling (last green r10)
     "corpus_train_split",
     "corpus_stratified_sample",
@@ -157,12 +159,15 @@ _WINDOW_ORDER: list[str] = [
     # half EVEN: multimodal stragglers (last green r10)
     "mm_feature_extract",
     "mm_doc_embedding_join",
-    # half EVEN: windows (last green r10)
+    # half EVEN: windows (last green r10).  window_field_diff_audit's
+    # registration was MERGED into window_lag_timeline (the audit view
+    # is a pure projection of the timeline, which now carries the
+    # `changed` flag — one window pass, both contracts), freeing the
+    # slot rule A needs for dedup_cluster_assign_delta above.
     "window_latest_state_per_key",
     "window_topk_per_group",
     "window_running_total",
     "window_lag_timeline",
-    "window_field_diff_audit",
     "window_ntile_curriculum",
     "window_state_as_of",
     # half EVEN: aggregates stragglers (last green r10)

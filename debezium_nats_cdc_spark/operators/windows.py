@@ -111,52 +111,52 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_lag_timeline",
     oracle="""
-    SELECT user_id, event_id, ts, value,
-           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
-    FROM events
+    SELECT user_id, event_id, ts, value, prev_value,
+           (prev_value IS NOT NULL AND prev_value <> value) AS changed
+    FROM (
+      SELECT user_id, event_id, ts, value,
+             LAG(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev_value
+      FROM events)
     """,
-    survey_ids=["E3"],
+    survey_ids=["E3", "F6"],
     doc="Per-entity previous-value timeline — the audit_trail old_value/"
-        "new_value semantics (docs/design.md:185-197) via LAG.",
+        "new_value semantics (docs/design.md:185-197) via LAG — WITH the "
+        "field-changed flag (r12 consolidation of the former "
+        "window_field_diff_audit, whose output is a pure projection of "
+        "this one: filter changed, rename old/new — so one window pass "
+        "verifies both contracts; the CDC structwise path stays in "
+        "operators/audit.py).",
 )
 def window_lag_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
     return e.select(
         "user_id",
         "event_id",
         "ts",
         "value",
-        F.lag("value").over(w).alias("prev_value"),
+        prev.alias("prev_value"),
+    ).withColumn(
+        "changed",
+        F.col("prev_value").isNotNull()
+        & (F.col("prev_value") != F.col("value")),
     )
 
 
-@register(
-    "window_field_diff_audit",
-    oracle="""
-    SELECT user_id AS entity_id, 'value' AS field, ts AS changed_at,
-           prev_value AS old_value,
-           value AS new_value
-    FROM (
-      SELECT user_id, ts, value,
-             LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
-      FROM events)
-    WHERE prev_value IS NOT NULL AND prev_value <> value
-    """,
-    survey_ids=["F6", "E3"],
-    doc="Field-level change extraction: audit_trail rows with old/new value "
-        "per changed field (docs/design.md:185-197). In the CDC path this "
-        "runs structwise on before/after (operators/audit.py); here the "
-        "lag-derived batch analog on the events table.",
-)
 def window_field_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    timeline = e.withColumn("prev_value", F.lag("value").over(w))
+    """Field-level change extraction: audit_trail rows with old/new
+    value per changed field (docs/design.md:185-197).  Since r12 a pure
+    PROJECTION of the registered ``window_lag_timeline`` (its catalog
+    twin was retired in the r12 consolidation — the timeline's
+    ``changed`` flag is this filter, so one driver row verifies both
+    contracts); the CDC path still runs structwise on before/after in
+    operators/audit.py."""
     return (
-        timeline.filter(
-            F.col("prev_value").isNotNull() & (F.col("prev_value") != F.col("value"))
-        ).select(
+        window_lag_timeline(spark, sf_dir)
+        .filter(F.col("changed"))
+        .select(
             F.col("user_id").alias("entity_id"),
             F.lit("value").alias("field"),
             F.col("ts").alias("changed_at"),

@@ -37,7 +37,7 @@ BIG_DIR = "/tmp/sparkgraft_sf1"
 REPLICAS = 10
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
-QUERIES = ["window_field_diff_audit", "scalar_functions_showcase",
+QUERIES = ["window_lag_timeline", "scalar_functions_showcase",
            "agg_cube_orders"]
 
 
