@@ -61,6 +61,14 @@ class SwapStateMonitor:
         self.checkpoint_dir = os.path.join(root, "_checkpoints")
         self.ts_col = ts_col
         self.user_col = user_col
+        # single-writer epoch memo: every state mutation goes through
+        # this instance (_swap_state / reset_epoch_guard), so after the
+        # first read the guard needs no per-batch Spark job over the
+        # state parquet — a measured ~1-2 s of pure scheduling per
+        # micro-batch (BENCHLOG round-12).  A fresh instance (restart,
+        # concurrent reader) starts cold and reads the state file, the
+        # single source of truth.
+        self._epoch_memo: int | None = None
 
     # -- reads ---------------------------------------------------------
     def _state(self, spark: SparkSession) -> DataFrame:
@@ -76,9 +84,12 @@ class SwapStateMonitor:
                 .select(*self._VALUE_COLS))
 
     def last_epoch(self, spark: SparkSession) -> int:
+        if self._epoch_memo is not None:
+            return self._epoch_memo
         row = (self._state(spark).filter(F.col(self._META_COL).isNull())
                .select("last_epoch").first())
-        return row.last_epoch if row else -1
+        self._epoch_memo = row.last_epoch if row else -1
+        return self._epoch_memo
 
     # -- subclass hooks --------------------------------------------------
     def _batch_rows(self, events: DataFrame) -> DataFrame:
@@ -102,9 +113,14 @@ class SwapStateMonitor:
         meta = spark.createDataFrame(
             [tuple([None] * len(self._VALUE_COLS)) + (epoch,)],
             self._STATE_SCHEMA)
+        # repartition(1), NOT coalesce(1): coalescing a union of a
+        # shuffle branch and the meta LocalRelation measured ~4.7 s per
+        # micro-batch vs ~0.6 s with an explicit 1-partition shuffle —
+        # same single state file either way (BENCHLOG round-12)
         self.backend.swap_write(
-            kept.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
+            kept.unionByName(meta).repartition(1).localCheckpoint(eager=True),
             self.state_dir)
+        self._epoch_memo = epoch
 
     def process_batch(self, spark: SparkSession, events: DataFrame,
                       epoch_id: int | None = None) -> None:
@@ -136,6 +152,7 @@ class SwapStateMonitor:
                        F.lit(-1).cast("bigint"))
                  .otherwise(F.col("last_epoch"))),
             self.state_dir)
+        self._epoch_memo = -1
 
     def start(self, spark: SparkSession, stream: DataFrame,
               available_now: bool = True):

@@ -123,7 +123,7 @@ class VolumeAnomalyMonitor:
             [(None, None, None, last if epoch_id is None else epoch_id)],
             _STATE_SCHEMA)
         self.backend.swap_write(
-            merged.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
+            merged.unionByName(meta).repartition(1).localCheckpoint(eager=True),
             self.state_dir)
 
     def reset_epoch_guard(self, spark: SparkSession) -> None:

@@ -143,7 +143,7 @@ class ApproxEngagementMonitor:
             [(None, None, last if epoch_id is None else epoch_id)],
             _STATE_SCHEMA)
         self.backend.swap_write(
-            merged.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
+            merged.unionByName(meta).repartition(1).localCheckpoint(eager=True),
             self.state_dir)
 
     def expire_before(self, spark: SparkSession, oldest_report_day) -> None:

@@ -156,7 +156,7 @@ class TfidfMonitor:
             [(None, None, None, n_docs + batch_docs,
               last_epoch if epoch_id is None else epoch_id)], _STATE_SCHEMA)
         self.backend.swap_write(
-            merged.unionByName(meta).coalesce(1).localCheckpoint(eager=True),
+            merged.unionByName(meta).repartition(1).localCheckpoint(eager=True),
             self.state_dir)
 
     def _write_drift(self, spark: SparkSession, batch: DataFrame) -> None:
