@@ -17,8 +17,11 @@ adaptively by edge count:
    ``_DRIVER_CC_MAX_EDGES`` pairs the edge set is collected and solved
    exactly in O(E α(E)) Python — microseconds at sf0.1 versus O(log d)
    Spark rounds of fixed overhead.  Above the gate (the 100 TB
-   matched-pair set), the delta iteration below is the path; the gate
-   costs one count() over the already-checkpointed edges.
+   matched-pair set), the delta iteration below is the path; since r12
+   the gate is probed with ONE ``limit(gate+1).collect()`` job over the
+   checkpointed PAIR set — under the gate that head IS the whole edge
+   set, so no separate count job and no symmetric-doubled
+   materialization on the driver path (BENCHLOG round-12).
 
 Three changes vs the r8 kernel in the distributed path, none of which
 alter the result (both paths property-tested against the same
