@@ -116,10 +116,16 @@ class SwapStateMonitor:
         # repartition(1), NOT coalesce(1): coalescing a union of a
         # shuffle branch and the meta LocalRelation measured ~4.7 s per
         # micro-batch vs ~0.6 s with an explicit 1-partition shuffle —
-        # same single state file either way (BENCHLOG round-12)
+        # same single state file either way (BENCHLOG round-12).
+        # No lineage break before the write: every backend stages the
+        # new generation to a FRESH path (LocalFS ``.staging`` dir /
+        # a new generation dir) before atomically installing it, so the
+        # plan's read of the current state parquet races nothing — the
+        # eager localCheckpoint this replaced was a full extra
+        # materialization pass per micro-batch (~0.4 s, BENCHLOG
+        # round-12; ``reset_epoch_guard`` below always worked this way)
         self.backend.swap_write(
-            kept.unionByName(meta).repartition(1).localCheckpoint(eager=True),
-            self.state_dir)
+            kept.unionByName(meta).repartition(1), self.state_dir)
         self._epoch_memo = epoch
 
     def process_batch(self, spark: SparkSession, events: DataFrame,

@@ -122,9 +122,11 @@ class VolumeAnomalyMonitor:
         meta = spark.createDataFrame(
             [(None, None, None, last if epoch_id is None else epoch_id)],
             _STATE_SCHEMA)
+        # no lineage break needed: swap_write stages the new generation
+        # to a fresh path, so the plan's read of the current state
+        # parquet races nothing (BENCHLOG round-12 second cut)
         self.backend.swap_write(
-            merged.unionByName(meta).repartition(1).localCheckpoint(eager=True),
-            self.state_dir)
+            merged.unionByName(meta).repartition(1), self.state_dir)
 
     def reset_epoch_guard(self, spark: SparkSession) -> None:
         """Clear ``last_epoch`` so a stream restarted from a FRESH

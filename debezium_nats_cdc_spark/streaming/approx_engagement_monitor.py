@@ -142,9 +142,11 @@ class ApproxEngagementMonitor:
         meta = spark.createDataFrame(
             [(None, None, last if epoch_id is None else epoch_id)],
             _STATE_SCHEMA)
+        # no lineage break needed: swap_write stages the new generation
+        # to a fresh path, so the plan's read of the current state
+        # parquet races nothing (BENCHLOG round-12 second cut)
         self.backend.swap_write(
-            merged.unionByName(meta).repartition(1).localCheckpoint(eager=True),
-            self.state_dir)
+            merged.unionByName(meta).repartition(1), self.state_dir)
 
     def expire_before(self, spark: SparkSession, oldest_report_day) -> None:
         """Reporting-horizon cap, mirroring the exact monitor: a day
@@ -157,7 +159,7 @@ class ApproxEngagementMonitor:
         self.backend.swap_write(
             state.filter(F.col("event_day").isNull()
                          | (F.col("event_day") >= cutoff))
-            .coalesce(1).localCheckpoint(eager=True),
+            .coalesce(1),
             self.state_dir)
 
     def reset_epoch_guard(self, spark: SparkSession) -> None:

@@ -155,9 +155,11 @@ class TfidfMonitor:
         meta = spark.createDataFrame(
             [(None, None, None, n_docs + batch_docs,
               last_epoch if epoch_id is None else epoch_id)], _STATE_SCHEMA)
+        # no lineage break needed: swap_write stages the new generation
+        # to a fresh path, so the plan's read of the current state
+        # parquet races nothing (BENCHLOG round-12 second cut)
         self.backend.swap_write(
-            merged.unionByName(meta).repartition(1).localCheckpoint(eager=True),
-            self.state_dir)
+            merged.unionByName(meta).repartition(1), self.state_dir)
 
     def _write_drift(self, spark: SparkSession, batch: DataFrame) -> None:
         corpus = self.terms(spark)
@@ -192,8 +194,7 @@ class TfidfMonitor:
             .orderBy(F.desc("lift"), F.asc("term"))
             .limit(self.drift_top_n)
         )
-        self.backend.swap_write(
-            report.coalesce(1).localCheckpoint(eager=True), self.drift_dir)
+        self.backend.swap_write(report.coalesce(1), self.drift_dir)
 
     def reset_epoch_guard(self, spark: SparkSession) -> None:
         """Clear ``last_epoch`` (set to -1, state otherwise unchanged)

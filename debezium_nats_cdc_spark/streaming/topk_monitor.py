@@ -154,8 +154,9 @@ class TopKMonitor:
             .drop("_rn")
             .coalesce(1)
         )
-        self.backend.swap_write(new_state.localCheckpoint(eager=True),
-                                self.state_dir)
+        # swap_write stages to a fresh path — the plan's read of the
+        # current state parquet needs no lineage break
+        self.backend.swap_write(new_state, self.state_dir)
 
     def start(self, spark: SparkSession, stream: DataFrame,
               available_now: bool = True):
