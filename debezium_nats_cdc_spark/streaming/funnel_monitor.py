@@ -113,45 +113,59 @@ class FunnelMonitor(SwapStateMonitor):
             )
         )
 
-    def _gates(self, rows: DataFrame) -> DataFrame:
-        """Per-user gate frame (_g1.._gk): the same chained per-user MIN
-        aggregates as the scoring kernel's stages — one shuffle family
-        keyed on user_id."""
-        gates: DataFrame | None = None
-        prev_gate: DataFrame | None = None
+    def _gated(self, rows: DataFrame) -> DataFrame:
+        """(user_id, _evs, _g1.._gk) in ONE user_id shuffle: the per-user
+        rows collected into an array and the chained stage gates computed
+        as higher-order expressions over it (g1 = MIN stage-1 ts; g_k =
+        MIN stage-k ts strictly after g_{k-1}; a NULL previous gate
+        yields NULL — the same semantics as the join-chain this replaced,
+        which paid k aggregates + k joins per fold).  Safe to collect:
+        the input is the dominance-pruned STATE plus one micro-batch, so
+        the per-user array is bounded by the state's own bound (~rows
+        per stage, collapsing to <=1 per frozen stage after compact)
+        plus the user's share of a single micro-batch — never the
+        corpus."""
+
+        def _stage_min(evs, name, gate_col):
+            def pred(e):
+                c = e["event_type"] == name
+                if gate_col is not None:
+                    c = c & (e["ts_us"] > gate_col)
+                return c
+            return F.array_min(
+                F.transform(F.filter(evs, pred), lambda e: e["ts_us"]))
+
+        out = rows.groupBy("user_id").agg(
+            F.collect_list(F.struct("event_type", "ts_us")).alias("_evs"))
+        prev = None
         for i, name in enumerate(self.stages, start=1):
-            slice_i = rows.filter(F.col("event_type") == name)
-            if prev_gate is None:
-                cur = (slice_i.groupBy("user_id")
-                       .agg(F.min("ts_us").alias(f"_g{i}")))
-            else:
-                cur = (
-                    slice_i
-                    .join(prev_gate.select(
-                        "user_id", F.col(f"_g{i - 1}").alias("_gate")),
-                        "user_id")
-                    .filter(F.col("ts_us") > F.col("_gate"))
-                    .groupBy("user_id")
-                    .agg(F.min("ts_us").alias(f"_g{i}"))
-                )
-            gates = cur if gates is None else gates.join(cur, "user_id",
-                                                         "left")
-            prev_gate = cur
-        return gates
+            out = out.withColumn(
+                f"_g{i}", _stage_min(F.col("_evs"), name, prev))
+            prev = F.col(f"_g{i}")
+        return out
+
+    def _explode_kept(self, gated: DataFrame, keep) -> DataFrame:
+        """Back from the grouped frame to (user_id, event_type, ts_us)
+        value rows: keep(e) filters each user's array in place."""
+        return (
+            gated.select(
+                "user_id",
+                F.explode(F.filter(F.col("_evs"), keep)).alias("_e"))
+            .select("user_id", F.col("_e.event_type").alias("event_type"),
+                    F.col("_e.ts_us").alias("ts_us"))
+        )
 
     def _prune(self, rows: DataFrame) -> DataFrame:
         """Dominance-prune the merged projection (exactness argument in
-        the module docstring), via a broadcast-free left join back onto
-        the gate frame."""
-        pruned = rows.join(self._gates(rows), "user_id", "left")
-        keep = F.lit(False)
-        for i, name in enumerate(self.stages, start=1):
-            g = F.col(f"_g{i}")
-            keep = keep | (
-                (F.col("event_type") == name)
-                & (g.isNull() | (F.col("ts_us") <= g))
-            )
-        return pruned.filter(keep).select("user_id", "event_type", "ts_us")
+        the module docstring) — one user_id shuffle, no joins."""
+        def keep(e):
+            k = F.lit(False)
+            for i, name in enumerate(self.stages, start=1):
+                g = F.col(f"_g{i}")
+                k = k | ((e["event_type"] == name)
+                         & (g.isNull() | (e["ts_us"] <= g)))
+            return k
+        return self._explode_kept(self._gated(rows), keep)
 
     # dominance pruning rides the shared fold between merge and write
     _post_merge = _prune
@@ -188,29 +202,34 @@ class FunnelMonitor(SwapStateMonitor):
         respecting the contract (pytest-pinned).  A fully-converted
         user whose funnel completed before W holds exactly
         len(stages) rows afterwards."""
-        rows = self.state_rows(spark)
-        pruned = rows.join(self._gates(rows), "user_id", "left")
-        keep = F.lit(False)
         w = F.lit(int(watermark_us))
-        for i, name in enumerate(self.stages, start=1):
-            g = F.col(f"_g{i}")
-            # prev gate frozen (<= W)?  Stage 1's virtual prev gate is
-            # always frozen.
-            frozen_prev = (F.lit(True) if i == 1
-                           else (F.col(f"_g{i - 1}").isNotNull()
-                                 & (F.col(f"_g{i - 1}") <= w)))
-            # not-frozen branch: dominance rule, PLUS (stage > 1) the
-            # watermark drop — a ts <= W row can never beat a future
-            # previous gate that is itself >= W (strict >), so it can
-            # never become a stage minimum; without this,
-            # never-converting users would hold stage-k rows forever.
-            dominated = g.isNull() | (F.col("ts_us") <= g)
-            if i > 1:
-                dominated = dominated & (F.col("ts_us") > w)
-            stage_keep = F.when(
-                frozen_prev,
-                g.isNotNull() & (F.col("ts_us") == g),   # gate row only
-            ).otherwise(dominated)
-            keep = keep | ((F.col("event_type") == name) & stage_keep)
-        self._swap_state(spark, pruned.filter(keep),
-                         self.last_epoch(spark))
+
+        def keep(e):
+            k = F.lit(False)
+            for i, name in enumerate(self.stages, start=1):
+                g = F.col(f"_g{i}")
+                # prev gate frozen (<= W)?  Stage 1's virtual prev gate
+                # is always frozen.
+                frozen_prev = (F.lit(True) if i == 1
+                               else (F.col(f"_g{i - 1}").isNotNull()
+                                     & (F.col(f"_g{i - 1}") <= w)))
+                # not-frozen branch: dominance rule, PLUS (stage > 1)
+                # the watermark drop — a ts <= W row can never beat a
+                # future previous gate that is itself >= W (strict >),
+                # so it can never become a stage minimum; without this,
+                # never-converting users would hold stage-k rows
+                # forever.
+                dominated = g.isNull() | (e["ts_us"] <= g)
+                if i > 1:
+                    dominated = dominated & (e["ts_us"] > w)
+                stage_keep = F.when(
+                    frozen_prev,
+                    g.isNotNull() & (e["ts_us"] == g),   # gate row only
+                ).otherwise(dominated)
+                k = k | ((e["event_type"] == name) & stage_keep)
+            return k
+
+        self._swap_state(
+            spark,
+            self._explode_kept(self._gated(self.state_rows(spark)), keep),
+            self.last_epoch(spark))
