@@ -266,3 +266,19 @@ def test_compact_drops_never_converting_users_below_watermark(
     mon.process_batch(spark, _events(spark, late), epoch_id=1)
     expect2 = _batch_ground_truth(spark, tmp_path / "truth2", rows + late)
     assert _rows(mon.scored(spark)) == _rows(expect2)
+
+
+def test_prune_plan_is_one_shuffle_no_joins(spark, tmp_path):
+    """Plan pin for the fused pruning kernel (BENCHLOG round-12 cut 4):
+    the per-fold gate computation must stay one user_id exchange with
+    zero joins — the join-chain it replaced paid 7 exchanges and 6
+    joins per micro-batch, and nothing but this pin stops it from
+    creeping back."""
+    mon = FunnelMonitor(str(tmp_path))
+    rows = spark.createDataFrame(
+        [(1, "view", 10), (1, "click", 20), (1, "purchase", 30)],
+        "user_id bigint, event_type string, ts_us bigint")
+    plan = (mon._prune(rows)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan

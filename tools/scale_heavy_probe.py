@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""10x scale point for the catalog's HEAVY family (round 12).
+
+SCALING.md's sf0.01->sf0.1 decade shows the expensive queries
+(dedup/CC/curation/covariance/monitor folds) comfortably sub-linear,
+but the decade tops out at multi-second runtimes where fixed overhead
+still matters.  This probe manufactures a 10x point the same way
+``scale_tail_probe.py`` does — replicate each input table 10x with
+SHIFTED entity keys — with one extra care for TEXT tables: a naive 10x
+copy of ``documents`` makes every replica a near-duplicate of the
+original, so candidate-pair generation would grow ~100x (every LSH/
+band bucket gets 10x members, pairs are quadratic in bucket size).
+That measures a 10x-duplicated corpus, not the same corpus shape at
+10x volume.  Instead each replica's text gets a per-replica suffix
+appended to EVERY token (``regexp_replace(text, r'(\\S+)', '$1_rI')``):
+token/shingle spaces across replicas become disjoint, so per-replica
+duplicate structure, bucket sizes, and cluster shapes are exactly the
+original's — the honest "same shape, 10x volume" construction.
+Embeddings replicate with shifted vec_ids and vectors verbatim (only
+value-independent-cost queries are probed on it); events/orders
+replicate as in scale_tail_probe (shifted event/user/order ids).
+
+The monitor_*_publish queries run their full 3-micro-batch ingest
+inside the timed section (the query fn performs it eagerly), so the
+ratio covers the fold loop, not just the final scoring read.
+
+Usage: python tools/scale_heavy_probe.py [reps] [q1,q2,...]
+Writes replicated tables under /tmp/sparkgraft_heavy10x/ and prints one
+JSON line per query with (sf0.1 s, 10x s, ratio).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+BIG_DIR = "/tmp/sparkgraft_heavy10x"
+REPLICAS = 10
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+
+QUERIES = (sys.argv[2].split(",") if len(sys.argv) > 2 else [
+    "dedup_cluster_assign_delta", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_ngram_jaccard", "dedup_exact_substring", "dedup_prefix_cluster",
+    "corpus_curation", "corpus_decontaminate", "emb_covariance",
+    "monitor_funnel_publish", "monitor_engagement_publish",
+    "monitor_cohort_publish",
+])
+
+
+def _union_replicas(parts):
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_big(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from debezium_nats_cdc_spark.io import load_table
+
+    if os.path.isdir(BIG_DIR):
+        shutil.rmtree(BIG_DIR)
+    os.makedirs(BIG_DIR, exist_ok=True)
+
+    ev = load_table(spark, SF_DIR, "events")
+    _union_replicas([
+        ev.select(
+            (F.col("event_id") + i * 10**12).alias("event_id"), "ts",
+            (F.col("user_id") + i * 10**9).alias("user_id"),
+            "event_type", "value", "props")
+        for i in range(REPLICAS)
+    ]).write.mode("overwrite").parquet(f"{BIG_DIR}/events.parquet")
+
+    od = load_table(spark, SF_DIR, "orders")
+    _union_replicas([
+        od.withColumn("o_orderkey", F.col("o_orderkey") + i * 10**9)
+        for i in range(REPLICAS)
+    ]).write.mode("overwrite").parquet(f"{BIG_DIR}/orders.parquet")
+
+    # per-replica token suffix keeps replica shingle spaces DISJOINT
+    # (see module docstring) while preserving per-replica dup structure
+    docs = load_table(spark, SF_DIR, "documents")
+    _union_replicas([
+        docs.select(
+            (F.col("doc_id") + i * 10**9).alias("doc_id"),
+            F.regexp_replace(F.col("text"), r"(\S+)", rf"$1_r{i}")
+             .alias("text"),
+            "lang", "source", "n_chars")
+        for i in range(REPLICAS)
+    ]).write.mode("overwrite").parquet(f"{BIG_DIR}/documents.parquet")
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    _union_replicas([
+        emb.withColumn("vec_id", F.col("vec_id") + i * 10**9)
+        for i in range(REPLICAS)
+    ]).write.mode("overwrite").parquet(f"{BIG_DIR}/embeddings.parquet")
+
+    # small dims some curation queries touch: symlink the originals
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "lineitem"):
+        src = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(src):
+            os.symlink(src, f"{BIG_DIR}/{t}.parquet")
+
+
+def main() -> None:
+    from debezium_nats_cdc_spark import catalog
+    from debezium_nats_cdc_spark.session import get_session
+
+    spark = get_session("scale-heavy-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_big(spark)
+    ents = catalog.entries()
+    for q in QUERIES:  # warm codegen both scales
+        for d in (SF_DIR, BIG_DIR):
+            ents[q].fn(spark, d).write.format("noop").mode("overwrite").save()
+    times: dict[tuple[str, str], list[float]] = {}
+    for r in range(REPS):
+        order = QUERIES if r % 2 == 0 else list(reversed(QUERIES))
+        for q in order:
+            for d in (SF_DIR, BIG_DIR):
+                t0 = time.time()
+                ents[q].fn(spark, d).write.format("noop") \
+                    .mode("overwrite").save()
+                times.setdefault((q, d), []).append(
+                    round(time.time() - t0, 3))
+    for q in QUERIES:
+        s = statistics.median(times[(q, SF_DIR)])
+        b = statistics.median(times[(q, BIG_DIR)])
+        print(json.dumps({
+            "query": q, "sf0.1_s": s, "x10_s": b,
+            "raw_ratio_10x": round(b / s, 2),
+            "runs_sf01": times[(q, SF_DIR)],
+            "runs_x10": times[(q, BIG_DIR)],
+            "loadavg": round(os.getloadavg()[0], 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
