@@ -158,10 +158,28 @@ def build_summary(timings: dict[str, float], sf: str,
     return line
 
 
+def _warn_stray_jvms() -> None:
+    """A leftover JVM from an earlier run (finished but never exited)
+    inflated a full catalog run ~30 % through heap residency alone,
+    at near-zero CPU load (BENCHLOG round-12) — so check for processes,
+    not loadavg, and warn on stderr (never pollute the stdout artifact)."""
+    import subprocess
+    try:
+        out = subprocess.run(["pgrep", "-c", "java"], capture_output=True,
+                             text=True, timeout=5).stdout.strip()
+        if out and int(out) > 0:
+            print(f"bench: WARNING - {out} java process(es) already "
+                  "running; results may be inflated by their heap "
+                  "residency", file=sys.stderr, flush=True)
+    except Exception:
+        pass  # best-effort diagnostics only
+
+
 def main() -> None:
     from debezium_nats_cdc_spark.session import get_session
     from debezium_nats_cdc_spark import catalog
 
+    _warn_stray_jvms()
     spark = get_session("bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
