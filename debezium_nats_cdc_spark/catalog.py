@@ -80,6 +80,7 @@ def _load_modules() -> None:
         engagement,
         components,
         monitor_publish,
+        ann_lifecycle,
     )
 
 
@@ -107,109 +108,75 @@ def _load_modules() -> None:
 # on-phase half).  Result: every query is driver-green in round N or
 # N−1, by construction.
 #
-# Round-12 plan (EVEN phase, per the r11 verdict task 2 + COVERAGE.md).
-# Catalog surgery first, to restore the 50/50 half split the policy
-# needs (99 queries + 3 new publish queries would have broken the
-# ≤1-round-staleness invariant for good — ceil(102/2) = 51 > 50):
-#   * RETIRED: dedup_cluster_assign (the r8 pointer-jumping-only CC
-#     registration — VERDICT r11 called the two CC queries answering
-#     one contract the standing duplication; dedup_cluster_assign_delta,
-#     r11-green on the ADAPTIVE kernel under the same true-closure
-#     oracle, is the cluster-assignment query; rename back to the
-#     canonical name queued for r13's ODD window when it is in-window
-#     anyway).  The module-level function remains as a delegate.
-#   * MERGED: dedup_exact_groups + dedup_exact_keep_first ->
-#     dedup_exact_survivors (survivor rows WITH their collapsed copy
-#     counts — a superset of both retired outputs, same single digest
-#     shuffle).
-#   * NEW: monitor_{funnel,engagement,cohort}_publish (VERDICT r11
-#     task 4 — the monitors' published tables under real driver rows,
-#     oracles imported from their batch twins' registrations).
-# Window: the 46 surviving r10-green EVEN-half queries lead, then rule
-# A's touched/new modules fill the remaining 4 slots exactly — dedup.py
-# (the NEW merged dedup_exact_survivors; its other 6 queries are
-# already in the 46) and the NEW monitor_publish.py 3.  joins.py /
-# funnel.py / ann_index.py are also touched this round; their queries
-# all sit inside the 46.  Exactly 50.  Out of window (50): the whole
-# ODD half — the CORRECTNESS_r11 key set verbatim, all r11-green; they
-# rotate back in r13.  Catalog total: 100 = two exact 50-query halves.
+# Round-13 plan (ODD phase, per the r12 verdict tasks 1-2 + the r12
+# rotation statement in COVERAGE.md).  The 49 r11-green ODD-half
+# queries lead the window in their CORRECTNESS_r11 artifact order,
+# and the ONE slack slot goes to the round's new query:
+#   * NEW: ann_search_after_lifecycle (operators/ann_lifecycle.py —
+#     VERDICT r12 task 1: the persisted IVF index's
+#     build -> 2-epoch stream ingest -> compact lifecycle returns its
+#     full-probe search for the driver to hash against a brute-force
+#     DuckDB oracle that never sees the index; K2's last pytest-only
+#     surface earns a driver row).  Slotted beside the sim_* K2 family.
+# dedup_cluster_assign_delta stays under its r12 name (components.py
+# untouched this round — the COVERAGE.md r12 statement defers the
+# rename to a round that touches it anyway, so the driver row is not
+# re-keyed without cause); it rides the EVEN half to r14.
+# Out of window (50): the whole EVEN half — the CORRECTNESS_r12 key
+# set verbatim, all r12-green; they rotate back in r14.
+# Catalog total: 100 = two exact 50-query halves (the new ANN
+# lifecycle query restores the even split after r12's 99).
 _WINDOW_ORDER: list[str] = [
-    # half EVEN: dedup family (last green r10; defining module touched
-    # this round — rule A and rule B agree)
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_exact_substring",
-    "dedup_prefix_cluster",
-    # rule A: NEW merged exact-dedup query (supersedes
-    # dedup_exact_groups + dedup_exact_keep_first), and the adaptive
-    # cluster-assign query — components.py was touched by the round's
-    # pair-pipeline perf work (gate probe + driver-side sizes), so rule
-    # A pulls it in although it is r11-green; the slot comes from the
-    # window_field_diff_audit merge below.
-    "dedup_exact_survivors",
-    "dedup_cluster_assign_delta",
-    # half EVEN: sampling (last green r10)
-    "corpus_train_split",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "corpus_lang_mix",
-    "corpus_quality_weighted_sample",
-    "corpus_global_shuffle",
-    # half EVEN: multimodal stragglers (last green r10)
-    "mm_feature_extract",
-    "mm_doc_embedding_join",
-    # half EVEN: windows (last green r10).  window_field_diff_audit's
-    # registration was MERGED into window_lag_timeline (the audit view
-    # is a pure projection of the timeline, which now carries the
-    # `changed` flag — one window pass, both contracts), freeing the
-    # slot rule A needs for dedup_cluster_assign_delta above.
-    "window_latest_state_per_key",
-    "window_topk_per_group",
-    "window_running_total",
-    "window_lag_timeline",
-    "window_ntile_curriculum",
-    "window_state_as_of",
-    # half EVEN: aggregates stragglers (last green r10)
-    "agg_cube_orders",
-    "agg_approx_distinct",
-    # half EVEN: joins (last green r10; joins.py touched this round —
-    # the ADVICE-r10 salted-hash hardening)
-    "join_broadcast_enrich",
-    "join_hierarchy_chain",
-    "join_self_pairs",
-    "join_semi_exists",
-    "join_anti_orphans",
-    "join_range_interval",
-    "join_event_correlation",
-    "join_top_orders",
-    "join_salted_skew",
-    "join_asof_last_click",
-    # half EVEN: embedding/quantize/linalg (last green r10)
-    "emb_quantize_int8",
-    "emb_norm_stats",
-    "emb_dim_stats",
-    "emb_covariance",
-    "emb_pca_project_check",
-    # half EVEN: similarity deep cuts (last green r10)
-    "sim_ivf_probe_topk",
-    "sim_lsh_bucketed_neardup",
-    "sim_kmeans_refine",
-    # half EVEN: advanced/cdc/text stragglers (last green r10)
-    "cdc_sessionization",
-    "text_length_percentiles",
-    "cdc_tenure_per_user",
-    "scalar_functions_showcase",
-    # half EVEN: funnel analytics (last green r10; funnel.py touched
-    # this round — the shared-kernel consolidation)
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    # rule A: NEW monitor_publish.py (VERDICT r11 task 4 — the three
-    # monitors' published tables earn real driver rows; oracles are the
-    # batch twins' registered SQL, imported not copied)
-    "monitor_funnel_publish",
-    "monitor_engagement_publish",
-    "monitor_cohort_publish",
+    "cdc_subject_route",
+    "cdc_envelope_build",
+    "cdc_dedup_exact",
+    "cdc_retention_filter",
+    "cdc_validate_split",
+    "cdc_json_extract",
+    "cdc_tumbling_window",
+    "cdc_masking_pii",
+    "cdc_union_heterogeneous",
+    "cdc_set_intersect",
+    "cdc_set_except",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_distribution",
+    "text_fingerprint",
+    "text_token_frequencies",
+    "text_language_id",
+    "text_bpe_token_count",
+    "text_repetition_filter",
+    "text_unigram_logprob",
+    "text_tfidf_topk",
+    "text_bm25_topk",
+    "corpus_curation",
+    "corpus_decontaminate",
+    "pii_scrub_customers",
+    "corpus_mixture_plan",
+    "pii_erasure_cascade",
+    "mm_binary_metadata",
+    "mm_frame_sample",
+    "mm_resize_plan",
+    "mm_audio_chunk_plan",
+    "agg_pricing_summary",
+    "agg_daily_event_volume",
+    "agg_metrics_by_type",
+    "agg_rollup_region_nation",
+    "agg_grouping_sets_priority",
+    "agg_pivot_returnflag",
+    "agg_regional_revenue",
+    "events_anomaly_zscore",
+    "sim_cosine_topk",
+    "sim_nearest_centroid",
+    "sim_embedding_neardup",
+    "ann_search_after_lifecycle",
+    "stats_key_skew_report",
+    "stats_join_advisor",
+    "stats_numeric_profile",
+    "stats_join_cardinality",
+    "layout_zorder_stats",
+    "events_dau_wau",
+    "events_dau_wau_approx",
 ]
 
 

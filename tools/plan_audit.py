@@ -75,6 +75,10 @@ CARTESIAN_OK: dict[str, str] = {
     "text_bm25_topk": "1-row corpus stats (N, avgdl) broadcast "
                       "crossJoined into the per-term score — scalar "
                       "bound",
+    "ann_search_after_lifecycle": "ivf_search probe scoring vs the "
+                                  "broadcast 8-row centroid table "
+                                  "(same bounded pattern as "
+                                  "sim_ivf_probe_topk)",
 }
 
 # Queries whose range-partitioning exchange is a reviewed TERMINAL sort
@@ -91,6 +95,9 @@ RANGE_OK: dict[str, str] = {
     "mm_feature_extract": "presentation sort by doc_id of the feature "
                           "rows — N-row but over a map-only upstream; "
                           "drop-candidate if it ever shows up in bench",
+    "ann_search_after_lifecycle": "presentation sort of (query_id, rnk) "
+                                  "top-k rows (k x |queries| rows, "
+                                  "bounded)",
 }
 
 
