@@ -165,12 +165,19 @@ def _warn_stray_jvms() -> None:
     not loadavg, and warn on stderr (never pollute the stdout artifact)."""
     import subprocess
     try:
-        out = subprocess.run(["pgrep", "-c", "java"], capture_output=True,
+        # -a lists "PID cmdline" so the operator can tell a stray
+        # leftover bench JVM from an expected concurrent process
+        # (pgrep matches any process NAME containing "java" — ADVICE
+        # r12: say WHICH processes fired the warning)
+        out = subprocess.run(["pgrep", "-a", "java"], capture_output=True,
                              text=True, timeout=5).stdout.strip()
-        if out and int(out) > 0:
-            print(f"bench: WARNING - {out} java process(es) already "
-                  "running; results may be inflated by their heap "
-                  "residency", file=sys.stderr, flush=True)
+        if out:
+            procs = out.splitlines()
+            print(f"bench: WARNING - {len(procs)} java process(es) "
+                  "already running; results may be inflated by their "
+                  "heap residency:", file=sys.stderr, flush=True)
+            for p in procs:
+                print(f"bench:   {p[:200]}", file=sys.stderr, flush=True)
     except Exception:
         pass  # best-effort diagnostics only
 

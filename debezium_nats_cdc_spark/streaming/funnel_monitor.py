@@ -124,7 +124,21 @@ class FunnelMonitor(SwapStateMonitor):
         the per-user array is bounded by the state's own bound (~rows
         per stage, collapsing to <=1 per frozen stage after compact)
         plus the user's share of a single micro-batch — never the
-        corpus."""
+        corpus.
+
+        OPERATIONAL CONTRACT (ADVICE r12): that bound is only a bound
+        when periodic ``compact(watermark)`` runs (or the upstream
+        source enforces a lateness bound).  Under the module's own
+        adversarial case — stage-k timestamps arriving in strictly
+        DESCENDING order with compact never called — dominance pruning
+        retires nothing, per-user state grows with history, and this
+        kernel concentrates each hot user's whole surviving event set
+        in ONE aggregation-buffer row (the join-chain it replaced
+        spilled the same data through shuffles instead).  A deployment
+        that can neither run compact nor bound lateness should not run
+        this monitor as-is: reintroduce the pre-r12 join-chain pruning
+        (commit 2ae57f9's parent has it) for shuffle-spillable state,
+        at ~6 extra exchanges per fold."""
 
         def _stage_min(evs, name, gate_col):
             def pred(e):

@@ -280,5 +280,12 @@ def test_prune_plan_is_one_shuffle_no_joins(spark, tmp_path):
         "user_id bigint, event_type string, ts_us bigint")
     plan = (mon._prune(rows)
             ._jdf.queryExecution().executedPlan().toString())
-    assert plan.count("Exchange") == 1, plan
-    assert "Join" not in plan, plan
+    # pin on specific node spellings (ADVICE r12): a bare "Exchange"
+    # count also matches ReusedExchange, and a bare "Join" scan breaks
+    # (or silently shifts meaning) across Spark plan-string changes
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Exchange rangepartitioning") == 0, plan
+    join_nodes = [n for n in (
+        "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin", "CartesianProduct") if n in plan]
+    assert join_nodes == [], (join_nodes, plan)

@@ -88,13 +88,22 @@ def build_big(spark) -> None:
     # per-replica token suffix keeps replica shingle spaces DISJOINT
     # (see module docstring) while preserving per-replica dup structure
     docs = load_table(spark, SF_DIR, "documents")
-    _union_replicas([
-        docs.select(
+    # n_chars is recomputed from the SUFFIXED text (ADVICE r12): keeping
+    # the original value would leave the replicas' two length signals
+    # disagreeing, quietly skewing any probed query that mixes an
+    # n_chars filter with text-derived work; the selectivity shift from
+    # slightly longer texts is negligible and the table stays
+    # self-consistent
+    def _doc_replica(i: int):
+        suffixed = F.regexp_replace(F.col("text"), r"(\S+)", rf"$1_r{i}")
+        return docs.select(
             (F.col("doc_id") + i * 10**9).alias("doc_id"),
-            F.regexp_replace(F.col("text"), r"(\S+)", rf"$1_r{i}")
-             .alias("text"),
-            "lang", "source", "n_chars")
-        for i in range(REPLICAS)
+            suffixed.alias("text"),
+            "lang", "source",
+            F.length(suffixed).cast("bigint").alias("n_chars"))
+
+    _union_replicas([
+        _doc_replica(i) for i in range(REPLICAS)
     ]).write.mode("overwrite").parquet(f"{BIG_DIR}/documents.parquet")
 
     emb = load_table(spark, SF_DIR, "embeddings")
