@@ -827,3 +827,46 @@ def ivf_delete(spark: SparkSession, index_dir: str, ids,
             )
     return {"deleted": deleted, "cells_rewritten": sorted(cells_rewritten),
             "partitions_removed": parts_removed}
+
+
+def maybe_compact(spark: SparkSession, index_dir: str,
+                  files_per_cell: float = 50.0) -> dict:
+    """OPERATIONS.md §11's file-count compaction trigger as code
+    (VERDICT r12 stretch #8): run ``ivf_compact`` iff the stream area
+    has accumulated more than ``files_per_cell x n_cells`` data files.
+
+    Exactly-once-by-layout ingest writes one (cell, epoch) partition
+    per touched cell per micro-batch, so stream files grow ~n_cells
+    per batch and probe latency grows with them (measured 1.6 -> 2.3 s
+    over 10 epochs / 160 files, BENCHLOG round-12).  The ~50x default
+    is that measured knee's order of magnitude with headroom; tune per
+    deployment from the same bench.
+
+    Safety: skipped (never queued) while another maintenance op holds
+    the ``_rebalance.lock`` claim — ``ivf_compact`` would otherwise
+    steal the claim and delete a live rebalance's staging tree.  Like
+    every base-area rewrite, call it with streaming ingest STOPPED
+    CLEANLY (the swap-vs-append contract in ``ivf_compact``'s
+    docstring); the trigger itself reads only filenames and the meta,
+    so polling it on a schedule is free.
+
+    Returns ``{"ran": bool, "reason": str, "stream_files": n,
+    "threshold": t}`` (plus ``ivf_compact``'s fields when it ran).
+    """
+    meta = _load_meta(index_dir)
+    threshold = int(files_per_cell * meta["n_cells"])
+    if os.path.exists(os.path.join(index_dir, _REBALANCE_MARKER)):
+        return {"ran": False, "reason": "rebalance-lock-held",
+                "stream_files": -1, "threshold": threshold}
+    n_files = 0
+    sdir = os.path.join(index_dir, _STREAM_SUBDIR)
+    for root, _dirs, files in os.walk(sdir):
+        n_files += sum(1 for f in files
+                       if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    if n_files <= threshold:
+        return {"ran": False, "reason": "below-threshold",
+                "stream_files": n_files, "threshold": threshold}
+    out = ivf_compact(spark, index_dir)
+    out.update({"ran": True, "reason": "file-count",
+                "stream_files": n_files, "threshold": threshold})
+    return out

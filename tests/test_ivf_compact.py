@@ -97,3 +97,55 @@ def test_compact_preserves_epoch_guard_and_accepts_new_epochs(spark, tmp_path):
     got = set(r.vec_id for r in
               _vector_scan(spark, d).select("vec_id").collect())
     assert set(r.vec_id for r in batch1.select("vec_id").collect()) <= got
+
+
+def test_maybe_compact_policy(spark, tmp_path):
+    """OPERATIONS.md §11 file-count trigger as code (r13): fires above
+    files_per_cell x n_cells, skips below, and refuses while the
+    rebalance lock is claimed."""
+    import json
+
+    from debezium_nats_cdc_spark.operators.ann_index import (
+        _REBALANCE_MARKER,
+        maybe_compact,
+    )
+
+    d = str(tmp_path / "ivf")
+    e = _emb(spark)
+    ivf_build(spark, e.filter(F.col("vec_id") % 2 == 0), d, n_cells=N_CELLS)
+    ing = IvfStreamIngest(d)
+    odd = e.filter(F.col("vec_id") % 2 == 1)
+    for b in range(2):
+        ing.process_batch(spark, odd.filter(F.col("vec_id") % 4 == 2 * b + 1),
+                          epoch_id=b)
+    stream_files = _parquet_files(os.path.join(d, _STREAM_SUBDIR))
+    assert stream_files > 0
+
+    # below threshold: trigger reports the count and does nothing
+    rep = maybe_compact(spark, d, files_per_cell=stream_files + 1)
+    assert rep == {"ran": False, "reason": "below-threshold",
+                   "stream_files": stream_files,
+                   "threshold": (stream_files + 1) * N_CELLS}
+    assert os.path.isdir(os.path.join(d, _STREAM_SUBDIR))
+
+    # lock held: skipped even though the threshold would fire
+    marker = os.path.join(d, _REBALANCE_MARKER)
+    with open(marker, "w") as f:
+        json.dump({"pid": 0}, f)
+    rep = maybe_compact(spark, d, files_per_cell=0.0)
+    assert rep["ran"] is False and rep["reason"] == "rebalance-lock-held"
+    assert os.path.isdir(os.path.join(d, _STREAM_SUBDIR))
+    os.remove(marker)
+
+    # above threshold: compaction runs and folds the stream area
+    pre_search = _search(spark, d)
+    rep = maybe_compact(spark, d, files_per_cell=0.0)
+    assert rep["ran"] is True and rep["reason"] == "file-count"
+    assert rep["compacted"] > 0 and rep["stream_files"] == stream_files
+    assert not os.path.isdir(os.path.join(d, _STREAM_SUBDIR))
+    assert _search(spark, d) == pre_search
+
+    # stream area gone: next poll is a cheap below-threshold no-op
+    rep = maybe_compact(spark, d, files_per_cell=0.0)
+    assert rep == {"ran": False, "reason": "below-threshold",
+                   "stream_files": 0, "threshold": 0}
