@@ -86,6 +86,17 @@ class SwapStateMonitor:
     def last_epoch(self, spark: SparkSession) -> int:
         if self._epoch_memo is not None:
             return self._epoch_memo
+        self.backend.recover(self.state_dir)
+        if not self.backend.has_data(self.state_dir):
+            # fresh monitor: no state table yet, so skip the Spark job
+            # entirely — a .first() even on the EMPTY substitute frame
+            # costs ~0.8-1.1 s of pure job machinery (measured r13,
+            # BENCHLOG), which every cold start and all three
+            # monitor_*_publish queries paid; -1 is exactly what the
+            # missing meta row means, and memoizing it is sound under
+            # the same single-writer contract as the epoch memo itself
+            self._epoch_memo = -1
+            return self._epoch_memo
         row = (self._state(spark).filter(F.col(self._META_COL).isNull())
                .select("last_epoch").first())
         self._epoch_memo = row.last_epoch if row else -1
