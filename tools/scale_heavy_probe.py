@@ -45,12 +45,26 @@ BIG_DIR = "/tmp/sparkgraft_heavy10x"
 REPLICAS = 10
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
+# r13: widened from the 12-query heavy family to the full measured
+# top-20 of BENCH_r12 plus the new ANN lifecycle query — the second
+# measured decade for every query where the replicated construction is
+# honest.  Deliberately EXCLUDED (same discipline as r12's
+# corpus_curation 0.36x exclusion): sim_embedding_neardup and
+# sim_lsh_bucketed_neardup — embeddings replicate VERBATIM (no suffix
+# trick exists for vectors), so all 10 replicas of a vector share its
+# LSH bucket and candidate pairs grow ~quadratically in replica count;
+# that measures a planted-duplicate explosion, not 10x volume.
 QUERIES = (sys.argv[2].split(",") if len(sys.argv) > 2 else [
     "dedup_cluster_assign_delta", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_exact_substring", "dedup_prefix_cluster",
     "corpus_curation", "corpus_decontaminate", "emb_covariance",
     "monitor_funnel_publish", "monitor_engagement_publish",
     "monitor_cohort_publish",
+    # r13 additions
+    "dedup_exact_survivors", "sim_kmeans_refine", "sim_ivf_probe_topk",
+    "ann_search_after_lifecycle", "join_salted_skew",
+    "join_broadcast_enrich", "stats_numeric_profile", "text_tfidf_topk",
+    "corpus_mixture_plan", "agg_regional_revenue",
 ])
 
 
@@ -85,6 +99,17 @@ def build_big(spark) -> None:
         for i in range(REPLICAS)
     ]).write.mode("overwrite").parquet(f"{BIG_DIR}/orders.parquet")
 
+    # lineitem replicates WITH orders (l_orderkey shifted by the same
+    # stride, preserving the FK and each replica's per-key skew shape)
+    # so the join family (salted skew, broadcast enrich, regional
+    # revenue) sees a genuine 10x fact side; part/supplier stay 1x
+    # symlinks — dims are small at any scale
+    li = load_table(spark, SF_DIR, "lineitem")
+    _union_replicas([
+        li.withColumn("l_orderkey", F.col("l_orderkey") + i * 10**9)
+        for i in range(REPLICAS)
+    ]).write.mode("overwrite").parquet(f"{BIG_DIR}/lineitem.parquet")
+
     # per-replica token suffix keeps replica shingle spaces DISJOINT
     # (see module docstring) while preserving per-replica dup structure
     docs = load_table(spark, SF_DIR, "documents")
@@ -113,8 +138,7 @@ def build_big(spark) -> None:
     ]).write.mode("overwrite").parquet(f"{BIG_DIR}/embeddings.parquet")
 
     # small dims some curation queries touch: symlink the originals
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "lineitem"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         src = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(src):
             os.symlink(src, f"{BIG_DIR}/{t}.parquet")
