@@ -132,8 +132,14 @@ def ivf_build(spark: SparkSession, vectors: DataFrame, index_dir: str,
     for _ in range(kmeans_rounds):
         assigned = _assign(v, cents)
         cents = _recompute_centroids(assigned)
-    assigned = _assign(v, cents)
     cents.write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    # assign against the JUST-WRITTEN centroids, not the lazy k-means
+    # chain: the vectors write would otherwise re-execute every
+    # assign/recompute round a second time (parquet round-trips the
+    # double arrays bit-exactly, so assignments are identical —
+    # measured ~0.5 s off a 2k-vector build, and one full chain
+    # re-execution off any build, r13)
+    assigned = _assign(v, _centroids(vectors.sparkSession, index_dir))
     (
         assigned.repartition("cell_id")
         .write.mode("overwrite").partitionBy("cell_id")
