@@ -876,3 +876,41 @@ def maybe_compact(spark: SparkSession, index_dir: str,
     out.update({"ran": True, "reason": "file-count",
                 "stream_files": n_files, "threshold": threshold})
     return out
+
+
+def maybe_rebalance(spark: SparkSession, index_dir: str,
+                    max_balance_ratio: float = 3.0) -> dict:
+    """OPERATIONS.md §11's skew trigger as code — the ``maybe_compact``
+    twin for the OTHER maintenance axis: run ``ivf_rebalance`` iff the
+    heaviest cell's ``balance_ratio`` (share x n_cells) exceeds
+    ``max_balance_ratio``.  The 3.0 default is the documented policy: a
+    probe touching the hot cell pays 3x its fair share and the §5.8
+    nprobe/recall operating points drift accordingly.
+
+    Cost of the poll: one column-pruned partition-column scan
+    (``ivf_cell_stats``) collapsed to its heaviest row — no vector
+    payload is read.  Safety mirrors ``maybe_compact``: skipped while
+    the ``_rebalance.lock`` claim is held, and the rebalance itself
+    must run with streaming ingest STOPPED CLEANLY (the swap-vs-append
+    contract in ``ivf_rebalance``'s docstring).
+
+    Returns ``{"ran": bool, "reason": str, "max_balance_ratio": x,
+    "threshold": t}`` plus ``ivf_rebalance``'s report when it ran.
+    """
+    _load_meta(index_dir)
+    if os.path.exists(os.path.join(index_dir, _REBALANCE_MARKER)):
+        return {"ran": False, "reason": "rebalance-lock-held",
+                "max_balance_ratio": -1.0,
+                "threshold": max_balance_ratio}
+    top = ivf_cell_stats(spark, index_dir).first()
+    observed = float(top["balance_ratio"]) if top is not None else 0.0
+    if observed <= max_balance_ratio:
+        return {"ran": False, "reason": "below-threshold",
+                "max_balance_ratio": observed,
+                "threshold": max_balance_ratio}
+    out = ivf_rebalance(spark, index_dir,
+                        max_balance_ratio=max_balance_ratio)
+    out.update({"ran": True, "reason": "cell-skew",
+                "max_balance_ratio": observed,
+                "threshold": max_balance_ratio})
+    return out

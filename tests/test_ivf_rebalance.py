@@ -235,3 +235,44 @@ def test_completed_rebalance_drops_its_claim(spark, tmp_path):
     assert not os.path.exists(os.path.join(d, _REBALANCE_MARKER))
     assert not os.path.isdir(d + ".rebalancing")
     assert not os.path.isdir(d + ".old")
+
+
+def test_maybe_rebalance_policy(spark, tmp_path):
+    """OPERATIONS.md §11 skew trigger as code (r13, the maybe_compact
+    twin): fires above max_balance_ratio, skips below, refuses while
+    the rebalance lock is claimed."""
+    import json
+
+    from debezium_nats_cdc_spark.operators.ann_index import (
+        _REBALANCE_MARKER,
+        maybe_rebalance,
+    )
+
+    d = str(tmp_path / "ivf")
+    # n_cells=2 with two angularly-separated clusters of 60 vs 180
+    # vectors: the fat cell's balance_ratio is 180/240 x 2 = 1.5
+    ivf_build(spark, _all_vectors(spark), d, n_cells=2)
+    observed = ivf_cell_stats(spark, d).first()["balance_ratio"]
+    assert observed > 1.0
+
+    # below threshold: poll reports the observed ratio, runs nothing
+    rep = maybe_rebalance(spark, d, max_balance_ratio=observed + 0.1)
+    assert rep == {"ran": False, "reason": "below-threshold",
+                   "max_balance_ratio": observed,
+                   "threshold": observed + 0.1}
+
+    # lock held: skipped even though the threshold would fire
+    marker = os.path.join(d, _REBALANCE_MARKER)
+    with open(marker, "w") as f:
+        json.dump({"pid": 0}, f)
+    rep = maybe_rebalance(spark, d, max_balance_ratio=observed - 0.1)
+    assert rep["ran"] is False and rep["reason"] == "rebalance-lock-held"
+    os.remove(marker)
+
+    # above threshold: the rebalance runs and reduces the hot share
+    rep = maybe_rebalance(spark, d, max_balance_ratio=observed - 0.1)
+    assert rep["ran"] is True and rep["reason"] == "cell-skew"
+    assert rep["max_balance_ratio"] == observed
+    post = ivf_cell_stats(spark, d).first()
+    assert post["share"] < observed / 2  # ratio is share x n_cells(=2)
+    assert _load_meta(d)["n_cells"] > 2
