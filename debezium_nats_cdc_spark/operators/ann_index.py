@@ -910,7 +910,13 @@ def maybe_rebalance(spark: SparkSession, index_dir: str,
                 "threshold": max_balance_ratio}
     out = ivf_rebalance(spark, index_dir,
                         max_balance_ratio=max_balance_ratio)
-    out.update({"ran": True, "reason": "cell-skew",
+    # a rebalance can legitimately split NOTHING (a hot cell of
+    # identical duplicate vectors has no farthest-point seed pair) —
+    # report that honestly so a poll loop doesn't log "remediated"
+    # forever while the skew persists (code-review r13)
+    ran = bool(out.get("split_cells"))
+    out.update({"ran": ran,
+                "reason": "cell-skew" if ran else "skew-unsplittable",
                 "max_balance_ratio": observed,
                 "threshold": max_balance_ratio})
     return out

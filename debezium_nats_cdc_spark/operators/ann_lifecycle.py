@@ -97,6 +97,20 @@ def _clean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_index_dir() -> str:
+    """Fresh per-invocation index dir, reaped at process exit: the
+    returned DataFrame reads the index LAZILY, so an inline cleanup
+    would race the driver's collect — but without any cleanup a bench
+    or probe session leaks one full index copy per invocation
+    (code-review r13)."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix="ann_lifecycle_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 @register(
     "ann_search_after_lifecycle",
     oracle=f"""
@@ -129,7 +143,7 @@ def ann_search_after_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = _clean_embeddings(spark, sf_dir)
     if clean.limit(1).count() == 0:
         return spark.createDataFrame([], _RESULT_SCHEMA)
-    index_dir = tempfile.mkdtemp(prefix="ann_lifecycle_")
+    index_dir = _scratch_index_dir()
     run_lifecycle(spark, clean, index_dir)
     queries = clean.filter(F.col("vec_id") < _N_QUERIES)
     return (

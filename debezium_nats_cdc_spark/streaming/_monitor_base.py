@@ -97,7 +97,10 @@ class SwapStateMonitor:
             # the same single-writer contract as the epoch memo itself
             self._epoch_memo = -1
             return self._epoch_memo
-        row = (self._state(spark).filter(F.col(self._META_COL).isNull())
+        # recover()/has_data() already ran above — read the parquet
+        # directly rather than repeating both through _state()
+        row = (spark.read.parquet(self.state_dir)
+               .filter(F.col(self._META_COL).isNull())
                .select("last_epoch").first())
         self._epoch_memo = row.last_epoch if row else -1
         return self._epoch_memo

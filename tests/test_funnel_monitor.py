@@ -285,6 +285,10 @@ def test_prune_plan_is_one_shuffle_no_joins(spark, tmp_path):
     # (or silently shifts meaning) across Spark plan-string changes
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Exchange rangepartitioning") == 0, plan
+    # total exchanges net of reuse: also catches SinglePartition /
+    # Broadcast exchanges the specific spellings above would miss
+    # (code-review r13 — the coalesce(1)/broadcast creep pathology)
+    assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
     join_nodes = [n for n in (
         "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
         "BroadcastNestedLoopJoin", "CartesianProduct") if n in plan]
