@@ -180,6 +180,20 @@ def _warn_stray_jvms() -> None:
                 print(f"bench:   {p[:200]}", file=sys.stderr, flush=True)
     except Exception:
         pass  # best-effort diagnostics only
+    try:
+        # a big CPU job that JUST exited still poisons the next
+        # minutes (measured r13: a bench started right after a
+        # 35-minute pytest run came in ~30 % inflated across every
+        # query, then re-measured clean after cooldown) — loadavg
+        # catches that window where a process check cannot
+        load1 = os.getloadavg()[0]
+        if load1 > 4.0:
+            print(f"bench: WARNING - 1-min loadavg {load1:.1f} > 4; "
+                  "the box is not idle (or a big job just exited) — "
+                  "results may be inflated; prefer a cooldown re-run",
+                  file=sys.stderr, flush=True)
+    except OSError:
+        pass
 
 
 def main() -> None:
