@@ -145,9 +145,10 @@ def ivf_build(spark: SparkSession, vectors: DataFrame, index_dir: str,
         .write.mode("overwrite").partitionBy("cell_id")
         .parquet(os.path.join(index_dir, "vectors"))
     )
+    emb_type = v.schema["embedding"].dataType.elementType.simpleString()
     _meta_path(index_dir).write_text(json.dumps(
         {"format": INDEX_FORMAT, "n_cells": n_cells, "dim": dim,
-         "kmeans_rounds": kmeans_rounds}))
+         "emb_type": emb_type, "kmeans_rounds": kmeans_rounds}))
 
 
 def _recover_swap(index_dir: str) -> None:
@@ -220,6 +221,18 @@ def _vector_scan(spark: SparkSession, index_dir: str) -> DataFrame:
     return base
 
 
+def _area_typed(emb: F.Column, meta: dict) -> F.Column:
+    """Cast an incoming embedding column to the index area's stored
+    element type (recorded in the meta since r13): appending an
+    array<double> frame into an array<float> area writes a parquet
+    file every subsequent scan of that cell FAILS to read
+    (PARQUET_COLUMN_DATA_TYPE_MISMATCH) — one mis-typed producer must
+    not poison the index.  Pre-r13 indexes without the key keep the
+    old caller-beware behavior."""
+    t = meta.get("emb_type")
+    return emb.cast(f"array<{t}>") if t else emb
+
+
 def ivf_add(spark: SparkSession, index_dir: str, vectors: DataFrame,
             id_col: str = "vec_id", emb_col: str = "embedding") -> None:
     """Incremental ingest: assign new vectors to the EXISTING centroids
@@ -229,7 +242,7 @@ def ivf_add(spark: SparkSession, index_dir: str, vectors: DataFrame,
     meta = _load_meta(index_dir)
     v = _with_norm(
         vectors.select(F.col(id_col).alias("vec_id"),
-                       F.col(emb_col).alias("embedding"))
+                       _area_typed(F.col(emb_col), meta).alias("embedding"))
         .filter(F.col("embedding").isNotNull())
         .filter(F.size("embedding") == meta["dim"])
     )

@@ -1,0 +1,221 @@
+"""IVF-PQ: product-quantized codes attached to the persisted IVF index
+(`operators/ann_index.py` + `operators/pq.py` — the standard pairing;
+Jégou et al., TPAMI 2011 / the FAISS IVF-PQ layout, public literature).
+
+Layout under ``<index_dir>/pq/``:
+  * ``codes/``      (vec_id, codes) parquet, ``partitionBy(cell_id)`` —
+                    the SAME partition key as the vector areas, so a
+                    probe's literal cell filter prunes the codes scan
+                    exactly like the vector scan;
+  * ``model.json``  codebooks + dims + the attachment fingerprint.
+
+Read path (``ivf_search_pq``): probe nprobe cells via the broadcast
+centroids (identical maths to ``ivf_search``), ADC-scan ONLY the
+probed cells' CODES for a per-query shortlist, then exact-cosine
+re-rank just the |queries| × shortlist pairs against the vector area
+(also pruned to the probed cells).  At scale the scan side therefore
+touches nprobe/n_cells of ~8-16 B/vector instead of nprobe/n_cells of
+256 B/vector — the two pruning axes (IVF partitions × PQ bytes)
+multiply.
+
+Snapshot contract (the important honesty): codes are an ATTACHMENT,
+not maintained state.  Every index mutation — ``ivf_add``, stream
+ingest, ``ivf_delete`` (PII erasure must reach THIS derived store
+too), ``ivf_compact``, ``ivf_rebalance`` (cell ids change!) — leaves
+the attachment stale, so ``ivf_attach_pq`` records a fingerprint of
+the vector areas + centroids + stream sidecar, and ``ivf_search_pq``
+REFUSES loudly when it no longer matches (re-attach after
+maintenance, exactly like rebalance wants ingest stopped).  A stale
+quantized read silently returning deleted or mis-bucketed neighbors
+is the failure mode this guard exists to make impossible.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .ann_index import (
+    _REBALANCE_MARKER,
+    _STREAM_SUBDIR,
+    _centroids,
+    _load_meta,
+    _vector_scan,
+)
+from .pq import PqModel, pq_encode, pq_train
+from .similarity import _pair_cos, _with_norm
+
+PQ_FORMAT = "ivf-pq-l2adc-v1"
+
+
+def _pq_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "pq")
+
+
+def _index_fingerprint(index_dir: str) -> dict:
+    """Cheap, Spark-free snapshot id of everything a PQ attachment
+    depends on: the (name, size) listing of the vector + centroid
+    areas and the stream sidecar.  Any add/ingest/delete/compact/
+    rebalance changes at least one component."""
+    def listing(sub: str):
+        root = os.path.join(index_dir, sub)
+        out = []
+        for r, _dirs, files in os.walk(root):
+            rel = os.path.relpath(r, root)
+            # lists, not tuples: the fingerprint round-trips through
+            # JSON, and one sorted flat list is os.walk-order-proof
+            out.extend(
+                [os.path.join(rel, f),
+                 os.path.getsize(os.path.join(r, f))]
+                for f in files if not f.startswith("."))
+        return sorted(out)
+
+    sidecar = os.path.join(index_dir, "_stream_epoch.json")
+    side = None
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            side = json.load(f)
+    return {
+        "vectors": listing("vectors"),
+        "stream": listing(_STREAM_SUBDIR),
+        "centroids": listing("centroids"),
+        "sidecar": side,
+    }
+
+
+def ivf_attach_pq(spark: SparkSession, index_dir: str,
+                  m: int = 16, k: int = 64, rounds: int = 5,
+                  sample_stride: int = 1) -> dict:
+    """Train codebooks on the index's own vectors and write per-cell
+    codes — run AFTER maintenance, with ingest stopped (the rebalance
+    contract; the ``_rebalance.lock`` claim is refused like the other
+    maintenance pollers)."""
+    meta = _load_meta(index_dir)
+    if os.path.exists(os.path.join(index_dir, _REBALANCE_MARKER)):
+        raise ValueError("ivf_attach_pq: rebalance lock held — "
+                         "finish maintenance first")
+    vecs = (
+        _vector_scan(spark, index_dir)
+        .withColumn("cell_id", F.col("cell_id").cast("int"))
+        .select("vec_id", "embedding", "cell_id")
+    )
+    model = pq_train(vecs, m=m, k=k, rounds=rounds,
+                     sample_stride=sample_stride)
+    codes = (
+        pq_encode(vecs.select("vec_id", "embedding"), model)
+        .join(vecs.select("vec_id", "cell_id"), "vec_id")
+    )
+    pq_root = _pq_dir(index_dir)
+    (
+        codes.repartition("cell_id")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(os.path.join(pq_root, "codes"))
+    )
+    n = codes.count()
+    with open(os.path.join(pq_root, "model.json"), "w") as f:
+        json.dump({
+            "format": PQ_FORMAT,
+            "dim": model.dim, "m": model.m, "k": model.k,
+            "codebooks": model.codebooks,
+            "fingerprint": _index_fingerprint(index_dir),
+        }, f)
+    return {"attached": n, "m": model.m, "k": model.k,
+            "n_cells": meta["n_cells"]}
+
+
+def _load_pq(index_dir: str) -> tuple[PqModel, dict]:
+    p = os.path.join(_pq_dir(index_dir), "model.json")
+    if not os.path.exists(p):
+        raise ValueError(f"no PQ attachment at {index_dir} — "
+                         "run ivf_attach_pq first")
+    with open(p) as f:
+        rec = json.load(f)
+    if rec.get("format") != PQ_FORMAT:
+        raise ValueError(
+            f"PQ attachment format {rec.get('format')!r} != {PQ_FORMAT!r} "
+            "— code families don't mix; re-attach")
+    model = PqModel(dim=rec["dim"], m=rec["m"], k=rec["k"],
+                    codebooks=rec["codebooks"])
+    return model, rec["fingerprint"]
+
+
+def ivf_search_pq(spark: SparkSession, index_dir: str,
+                  queries: DataFrame, k: int = 10, nprobe: int = 4,
+                  shortlist: int = 50,
+                  id_col: str = "vec_id",
+                  emb_col: str = "embedding") -> DataFrame:
+    """Probe-pruned ADC shortlist + exact re-rank over the attachment.
+
+    Refuses on a stale attachment (any index mutation since
+    ``ivf_attach_pq`` — the snapshot contract in the module
+    docstring).  Output matches ``ivf_search``: (query_id,
+    neighbor_id, cos_sim, rnk), 6dp cosine desc, id tiebreak.
+    """
+    from pyspark.sql import Window as W
+
+    from .pq import pq_search_adc
+
+    meta = _load_meta(index_dir)
+    model, fp = _load_pq(index_dir)
+    if _index_fingerprint(index_dir) != fp:
+        raise ValueError(
+            "ivf_search_pq: the index changed since ivf_attach_pq "
+            "(add/ingest/delete/compact/rebalance) — the code "
+            "attachment is a snapshot; re-run ivf_attach_pq")
+    cents = _centroids(spark, index_dir)
+    q = _with_norm(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(emb_col).alias("embedding"))
+        .filter(F.col("embedding").isNotNull())
+        .filter(F.size("embedding") == meta["dim"])
+    ).select("query_id", F.col("embedding").alias("q_emb"),
+             F.col("_norm").alias("q_norm"))
+    pcos = F.round(
+        _pair_cos(F.col("c_emb"), F.col("q_emb"),
+                  F.col("c_norm"), F.col("q_norm")), 6
+    ).cast("decimal(10,6)")
+    w_probe = W.partitionBy("query_id").orderBy(F.desc("pcos"),
+                                                F.asc("cell_id"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("pcos", pcos)
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", "cell_id")
+    )
+    probed_cells = sorted({r["cell_id"] for r in
+                           probes.select("cell_id").distinct().collect()})
+    cell_lits = [str(c) for c in probed_cells]
+    codes = (
+        spark.read.parquet(os.path.join(_pq_dir(index_dir), "codes"))
+        .filter(F.col("cell_id").isin(cell_lits))
+        .select("vec_id", "codes")
+    )
+    short = pq_search_adc(
+        spark,
+        q.select(F.col("query_id").alias("vec_id"),
+                 F.col("q_emb").alias("embedding")),
+        codes, model, k=shortlist,
+    ).select("query_id", "neighbor_id")
+    vecs = _with_norm(
+        _vector_scan(spark, index_dir)
+        .filter(F.col("cell_id").isin(cell_lits))
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    )
+    cos = F.round(
+        _pair_cos(F.col("q_emb"), F.col("embedding"),
+                  F.col("q_norm"), F.col("_norm")), 6
+    ).cast("decimal(10,6)")
+    w_topk = W.partitionBy("query_id").orderBy(F.desc("cos_sim"),
+                                               F.asc("neighbor_id"))
+    return (
+        short.join(vecs, "neighbor_id")   # Q×shortlist, probed cells only
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w_topk))
+        .filter(F.col("rnk") <= k)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+        .withColumn("cos_sim", F.col("cos_sim").cast("double"))
+    )

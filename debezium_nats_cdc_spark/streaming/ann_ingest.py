@@ -111,9 +111,12 @@ class IvfStreamIngest:
         if epoch <= side["last_epoch"]:
             return  # replayed micro-batch: its partitions are already live
         meta = _load_meta(self.index_dir)
+        from ..operators.ann_index import _area_typed
+
         v = _with_norm(
             vectors.select(F.col(self.id_col).alias("vec_id"),
-                           F.col(self.emb_col).alias("embedding"))
+                           _area_typed(F.col(self.emb_col), meta)
+                           .alias("embedding"))
             .filter(F.col("embedding").isNotNull())
             .filter(F.size("embedding") == meta["dim"])
         )

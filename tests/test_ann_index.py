@@ -283,3 +283,22 @@ def test_recommend_nprobe_meets_target_on_sf01(spark, tmp_path):
     rec_exact = recommend_nprobe(spark, d, target_recall=1.0, k=10,
                                  candidates=[1])
     assert rec_exact["nprobe"] == 16 and rec_exact["scan_fraction"] == 1.0
+
+
+def test_add_casts_to_area_element_type(spark, tmp_path):
+    """A producer handing ivf_add an array<double> frame must not
+    poison a float-typed area: pre-r13 the append wrote a DOUBLE
+    parquet file and every later scan of that cell died with
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH."""
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, load_table(spark, SF, "embeddings"), d,
+              n_cells=N_CELLS)
+    wrong_typed = spark.createDataFrame(
+        [(9001, [float(i) for i in range(64)])],
+        "vec_id bigint, embedding array<double>")
+    ivf_add(spark, d, wrong_typed)
+    from debezium_nats_cdc_spark.operators.ann_index import _vector_scan
+
+    got = _vector_scan(spark, d)
+    assert got.filter(F.col("vec_id") == 9001).count() == 1
+    assert got.count() == load_table(spark, SF, "embeddings").count() + 1

@@ -1,0 +1,142 @@
+"""IVF-PQ attachment (operators/ann_pq.py): probe-pruned ADC + re-rank
+recall vs the exact ivf_search, and the snapshot-staleness contract —
+every index mutation must invalidate the attachment loudly."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from debezium_nats_cdc_spark.io import load_table
+from debezium_nats_cdc_spark.operators.ann_index import (
+    _REBALANCE_MARKER,
+    ivf_add,
+    ivf_build,
+    ivf_compact,
+    ivf_delete,
+    ivf_search,
+)
+from debezium_nats_cdc_spark.operators.ann_pq import (
+    _pq_dir,
+    ivf_attach_pq,
+    ivf_search_pq,
+)
+from debezium_nats_cdc_spark.streaming.ann_ingest import IvfStreamIngest
+
+SF = "/root/testdata/sf0.001"
+N_CELLS = 8
+
+
+def _emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def _queries(spark):
+    return _emb(spark).filter(F.col("vec_id") < 8)
+
+
+def _recall(exact_rows, got_rows):
+    from collections import defaultdict
+
+    ex, got = defaultdict(set), defaultdict(set)
+    for r in exact_rows:
+        ex[r.query_id].add(r.neighbor_id)
+    for r in got_rows:
+        got[r.query_id].add(r.neighbor_id)
+    return sum(len(ex[q] & got[q]) / len(ex[q]) for q in ex) / len(ex)
+
+
+@pytest.fixture()
+def index_dir(spark, tmp_path):
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _emb(spark).filter(F.col("vec_id") % 2 == 0),
+              d, n_cells=N_CELLS)
+    ing = IvfStreamIngest(d)
+    ing.process_batch(
+        spark, _emb(spark).filter(F.col("vec_id") % 2 == 1), epoch_id=0)
+    ivf_compact(spark, d)
+    return d
+
+
+def test_attach_and_search_recall(spark, index_dir):
+    rep = ivf_attach_pq(spark, index_dir, m=16, k=64)
+    assert rep["attached"] == _emb(spark).count()
+    q = _queries(spark)
+    # measured (BENCHLOG r13): 0.95 @ (nprobe=8, shortlist=50), 1.0 @
+    # shortlist=100, 0.925 @ (nprobe=4, shortlist=50) — floors pinned
+    # well below to catch kernel breakage, not codebook jitter
+    exact_full = ivf_search(spark, index_dir, q, k=10,
+                            nprobe=N_CELLS).collect()
+    got_full = ivf_search_pq(spark, index_dir, q, k=10,
+                             nprobe=N_CELLS, shortlist=100).collect()
+    assert _recall(exact_full, got_full) >= 0.9
+    exact_p = ivf_search(spark, index_dir, q, k=10, nprobe=4).collect()
+    got_p = ivf_search_pq(spark, index_dir, q, k=10,
+                          nprobe=4, shortlist=50).collect()
+    assert _recall(exact_p, got_p) >= 0.7
+    # search conventions: ranked, deterministic, k rows max per query
+    per_q = {}
+    for r in got_full:
+        per_q.setdefault(r.query_id, []).append(r.rnk)
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in per_q.values())
+
+
+def test_every_mutation_staleness_guard(spark, index_dir):
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=2)
+    q = _queries(spark)
+    assert ivf_search_pq(spark, index_dir, q, k=5,
+                         nprobe=N_CELLS).count() > 0
+
+    # array<float>, matching the index area's stored type — an
+    # array<double> append would poison the parquet area for readers
+    extra = spark.createDataFrame(
+        [(9001, [float(i) for i in range(64)])],
+        "vec_id bigint, embedding array<float>")
+    ivf_add(spark, index_dir, extra)
+    with pytest.raises(ValueError, match="snapshot"):
+        ivf_search_pq(spark, index_dir, q, k=5)
+
+    # re-attach heals; erasure then invalidates again AND the
+    # re-attached codes no longer contain the erased id (the PII
+    # cascade must reach this derived store too)
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=2)
+    ivf_delete(spark, index_dir, [9001])
+    with pytest.raises(ValueError, match="snapshot"):
+        ivf_search_pq(spark, index_dir, q, k=5)
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=2)
+    codes = spark.read.parquet(os.path.join(_pq_dir(index_dir), "codes"))
+    assert codes.filter(F.col("vec_id") == 9001).count() == 0
+    assert ivf_search_pq(spark, index_dir, q, k=5,
+                         nprobe=N_CELLS).count() > 0
+
+
+def test_attach_refuses_under_rebalance_lock(spark, index_dir):
+    marker = os.path.join(index_dir, _REBALANCE_MARKER)
+    with open(marker, "w") as f:
+        json.dump({"pid": 0}, f)
+    with pytest.raises(ValueError, match="rebalance lock"):
+        ivf_attach_pq(spark, index_dir)
+    os.remove(marker)
+
+
+def test_format_guard(spark, index_dir):
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=1)
+    p = os.path.join(_pq_dir(index_dir), "model.json")
+    with open(p) as f:
+        rec = json.load(f)
+    rec["format"] = "ivf-pq-somethingelse-v9"
+    with open(p, "w") as f:
+        json.dump(rec, f)
+    with pytest.raises(ValueError, match="don't mix"):
+        ivf_search_pq(spark, index_dir, _queries(spark), k=5)
+    # a valid index with NO attachment points at the attach step
+    import shutil
+
+    shutil.rmtree(_pq_dir(index_dir))
+    with pytest.raises(ValueError, match="run ivf_attach_pq"):
+        ivf_search_pq(spark, index_dir, _queries(spark), k=5)
