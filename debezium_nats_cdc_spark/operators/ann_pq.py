@@ -87,15 +87,27 @@ def _index_fingerprint(index_dir: str) -> dict:
 
 def ivf_attach_pq(spark: SparkSession, index_dir: str,
                   m: int = 16, k: int = 64, rounds: int = 5,
-                  sample_stride: int = 1) -> dict:
+                  sample_stride: int | None = None) -> dict:
     """Train codebooks on the index's own vectors and write per-cell
     codes — run AFTER maintenance, with ingest stopped (the rebalance
     contract; the ``_rebalance.lock`` claim is refused like the other
-    maintenance pollers)."""
+    maintenance pollers).
+
+    The training sample stride defaults to pq_train's auto mode
+    (derived from a cheap count so the driver collect is capped —
+    attaching to a production-sized index never pulls the corpus).
+    The recorded fingerprint is captured BEFORE the vector scan and
+    re-verified just before ``model.json`` lands: a mutation racing
+    the attach (a contract violation — exactly what the snapshot
+    guard exists to catch) fails the attach instead of stamping
+    pre-mutation codes with a post-mutation fingerprint that
+    ``ivf_search_pq`` would accept as fresh.
+    """
     meta = _load_meta(index_dir)
     if os.path.exists(os.path.join(index_dir, _REBALANCE_MARKER)):
         raise ValueError("ivf_attach_pq: rebalance lock held — "
                          "finish maintenance first")
+    fp = _index_fingerprint(index_dir)
     vecs = (
         _vector_scan(spark, index_dir)
         .withColumn("cell_id", F.col("cell_id").cast("int"))
@@ -114,12 +126,18 @@ def ivf_attach_pq(spark: SparkSession, index_dir: str,
         .parquet(os.path.join(pq_root, "codes"))
     )
     n = codes.count()
+    if _index_fingerprint(index_dir) != fp:
+        # no model.json written -> _load_pq refuses the torn attach
+        raise ValueError(
+            "ivf_attach_pq: the index mutated during the attach — "
+            "codes were trained on pre-mutation data; stop "
+            "ingest/maintenance and re-run")
     with open(os.path.join(pq_root, "model.json"), "w") as f:
         json.dump({
             "format": PQ_FORMAT,
             "dim": model.dim, "m": model.m, "k": model.k,
             "codebooks": model.codebooks,
-            "fingerprint": _index_fingerprint(index_dir),
+            "fingerprint": fp,
         }, f)
     return {"attached": n, "m": model.m, "k": model.k,
             "n_cells": meta["n_cells"]}
@@ -185,19 +203,26 @@ def ivf_search_pq(spark: SparkSession, index_dir: str,
         .filter(F.col("_rn") <= nprobe)
         .select("query_id", "cell_id")
     )
-    probed_cells = sorted({r["cell_id"] for r in
-                           probes.select("cell_id").distinct().collect()})
+    probe_pairs = probes.collect()  # ≤ Q × nprobe rows, tiny
+    probed_cells = sorted({r["cell_id"] for r in probe_pairs})
     cell_lits = [str(c) for c in probed_cells]
+    # the scan is pruned to the UNION of probe sets (one pass serves
+    # the whole query batch); per-query probe semantics are restored
+    # inside pq_search_adc via the probes pairs — a query only ranks
+    # candidates from cells IT probed (ADVICE r13)
     codes = (
         spark.read.parquet(os.path.join(_pq_dir(index_dir), "codes"))
         .filter(F.col("cell_id").isin(cell_lits))
-        .select("vec_id", "codes")
+        .select("vec_id", "codes", "cell_id")
     )
     short = pq_search_adc(
         spark,
         q.select(F.col("query_id").alias("vec_id"),
                  F.col("q_emb").alias("embedding")),
         codes, model, k=shortlist,
+        probes=spark.createDataFrame(
+            [(int(r["query_id"]), int(r["cell_id"])) for r in probe_pairs],
+            "query_id bigint, cell_id int"),
     ).select("query_id", "neighbor_id")
     vecs = _with_norm(
         _vector_scan(spark, index_dir)

@@ -23,8 +23,12 @@ Engine fit (each piece follows an existing discipline):
     ``sample_stride``-th vector (deterministic — sample ordered by
     vec_id, seeds = the first k distinct subvectors, argmin ties to
     the lowest code, fixed Lloyd rounds).  The collected sample is
-    bounded by n/stride, never the corpus; training PQ codebooks on a
-    sample is the standard construction at any corpus size.
+    HARD-CAPPED: by default the stride is auto-derived from a cheap
+    count so the sample stays ≤ ``max_sample`` rows (≈100k), and the
+    collect itself is a top-N under a ``2×max_sample`` gate that
+    fails loudly instead of pulling the corpus to the driver (the
+    ``components.py`` edge-gate pattern); training PQ codebooks on a
+    bounded sample is the standard construction at any corpus size.
   * ``pq_encode`` / ``pq_search_adc`` are Arrow-batched kernels
     (``plane_sign_word_arrow``'s pattern): one vectorized pass per
     batch, corrupt rows (NULL / ragged / NaN / inf) yield SQL NULL
@@ -56,6 +60,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions.vectors import _stack_valid
 
 _MAX_ADC_QUERIES = 64  # ADC LUTs are built driver-side per query
+_MAX_TRAIN_SAMPLE = 100_000  # pq_train's driver-side sample cap (rows)
+_KMEANS_BLOCK = 4096  # rows per distance block — peaks at
+#   block × k × dsub float64 (4096×256×8×8B ≈ 64 MB) instead of the
+#   full n × k × dsub tensor (100k rows × k=64 × dsub=8 would be 3.3 GB)
 
 
 @dataclass
@@ -75,18 +83,44 @@ class PqModel:
         return self.dim // self.m
 
 
-def _clean_sample(vectors: DataFrame, id_col: str, emb_col: str,
-                  sample_stride: int):
+def _argmin_codes(X, C, block: int = _KMEANS_BLOCK):
+    """Row-blocked nearest-sub-centroid assignment (argmin ties to the
+    lowest code, identical to the unblocked computation row-for-row —
+    rows are independent).  Bounds peak memory to block × k × dsub
+    instead of n × k × dsub."""
     import numpy as np
 
+    out = np.empty(X.shape[0], dtype=np.int64)
+    for s in range(0, X.shape[0], block):
+        B = X[s:s + block]
+        d2 = ((B[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        out[s:s + block] = d2.argmin(axis=1)
+    return out
+
+
+def _clean_sample(vectors: DataFrame, id_col: str, emb_col: str,
+                  sample_stride: int, cap: int = _MAX_TRAIN_SAMPLE):
+    import numpy as np
+
+    # orderBy + limit plans as a top-N (TakeOrdered), so BOTH the
+    # executors and the driver hold at most 2×cap+1 rows — the gate
+    # then fails loudly instead of training on a silently-clipped
+    # sample (ids pathologically aligned with the stride can make
+    # the pmod filter keep far more than n/stride rows).
     rows = (
         vectors.select(F.col(id_col).alias("_id"),
                        F.col(emb_col).alias("_emb"))
         .filter(F.col("_id").isNotNull() & F.col("_emb").isNotNull())
         .filter(F.pmod(F.col("_id"), F.lit(sample_stride)) == 0)
         .orderBy("_id")
+        .limit(2 * cap + 1)
         .collect()
     )
+    if len(rows) > 2 * cap:
+        raise ValueError(
+            f"pq_train: stride-{sample_stride} sample exceeds "
+            f"2×max_sample ({2 * cap} rows) — the id distribution "
+            "defeats the stride; pass a larger sample_stride")
     dim = None
     sample = []
     for r in rows:
@@ -107,20 +141,40 @@ def _clean_sample(vectors: DataFrame, id_col: str, emb_col: str,
 
 
 def pq_train(vectors: DataFrame, m: int = 8, k: int = 16,
-             rounds: int = 5, sample_stride: int = 1,
-             id_col: str = "vec_id", emb_col: str = "embedding") -> PqModel:
+             rounds: int = 5, sample_stride: int | None = None,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             max_sample: int = _MAX_TRAIN_SAMPLE) -> PqModel:
     """Fit per-subspace codebooks on a deterministic stride sample.
 
-    Deterministic by construction: the sample is ordered by id, seeds
-    are the first ``k`` DISTINCT subvectors in that order, Lloyd
-    argmin ties break to the lowest code, and rounds are fixed — two
-    trains on the same input are byte-identical (pytest-pinned).
-    Empty clusters keep their previous centroid (the FAISS convention
-    at this scale of k).
+    The driver-side sample is BOUNDED: with ``sample_stride=None``
+    (the default) the stride is derived from a cheap count —
+    ``ceil(n / max_sample)`` — so the collect stays ≤ ``max_sample``
+    rows no matter the corpus size; an explicit stride is honored but
+    still runs under the ``2×max_sample`` hard-fail gate in
+    ``_clean_sample`` (never a whole-corpus collect either way).
+
+    Deterministic by construction: the derived stride depends only on
+    the row count, the sample is ordered by id, seeds are the first
+    ``k`` DISTINCT subvectors in that order, Lloyd argmin ties break
+    to the lowest code, and rounds are fixed — two trains on the same
+    input are byte-identical (pytest-pinned).  Empty clusters keep
+    their previous centroid (the FAISS convention at this scale of k).
     """
+    import math
+
     import numpy as np
 
-    S, dim = _clean_sample(vectors, id_col, emb_col, sample_stride)
+    if max_sample < 1:
+        raise ValueError("pq_train: max_sample must be >= 1")
+    if sample_stride is None:
+        n = (
+            vectors.select(F.col(id_col).alias("_id"))
+            .filter(F.col("_id").isNotNull())
+            .count()
+        )
+        sample_stride = max(1, math.ceil(n / max_sample))
+    S, dim = _clean_sample(vectors, id_col, emb_col, sample_stride,
+                           cap=max_sample)
     if dim % m != 0:
         raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     dsub = dim // m
@@ -138,8 +192,7 @@ def pq_train(vectors: DataFrame, m: int = 8, k: int = 16,
         C = np.vstack(seeds)
         kj = C.shape[0]  # may be < k on a tiny/degenerate sample
         for _ in range(rounds):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)  # ties -> lowest code
+            assign = _argmin_codes(X, C)  # ties -> lowest code
             for c in range(kj):
                 hit = X[assign == c]
                 if len(hit):
@@ -178,8 +231,7 @@ def pq_encode(vectors: DataFrame, model: PqModel,
             for j in range(m):
                 X = A[:, j * dsub:(j + 1) * dsub]
                 C = np.asarray(books[j], dtype=np.float64)
-                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
+                codes[:, j] = _argmin_codes(X, C)
             it = iter(codes.tolist())
             for i, ok in enumerate(valid):
                 if ok:
@@ -221,7 +273,8 @@ def pq_reconstruct(codes: DataFrame, model: PqModel) -> DataFrame:
 def pq_search_adc(spark: SparkSession, queries: DataFrame,
                   codes: DataFrame, model: PqModel, k: int = 10,
                   id_col: str = "vec_id",
-                  emb_col: str = "embedding") -> DataFrame:
+                  emb_col: str = "embedding",
+                  probes: DataFrame | None = None) -> DataFrame:
     """Asymmetric-distance top-k: per query an exact m×k subspace LUT,
     per candidate a SUM of m lookups over its codes — the scan never
     touches a float vector.
@@ -232,6 +285,16 @@ def pq_search_adc(spark: SparkSession, queries: DataFrame,
     driver-side to build LUTs — bounded by ``_MAX_ADC_QUERIES`` (the
     ``ivf_search`` literal-probe discipline: tiny query set, widest
     scan pruning); batch-mode querying composes by chunking.
+
+    ``probes`` (optional): a small (query_id, cell_id) frame — the
+    per-query probe sets of an IVF read.  When given, ``codes`` must
+    carry ``cell_id`` and each query's candidates are restricted to
+    ITS OWN probed cells (broadcast semi-filter on (query_id,
+    cell_id)), preserving per-query probe semantics when one scan
+    serves a query batch whose probe sets differ — without it a
+    query could rank neighbors from cells it never probed.  Corrupt
+    code rows (wrong arity or any code outside [0, k)) yield no
+    candidates instead of failing the stage (dirty-input contract).
     """
     import numpy as np
     from pyspark.sql import Window as W
@@ -270,6 +333,7 @@ def pq_search_adc(spark: SparkSession, queries: DataFrame,
             [], "query_id bigint, neighbor_id bigint, "
                 "adc_dist double, rnk int")
     luts_l = luts  # closure copies (plain lists — picklable)
+    kk = model.k
 
     @pandas_udf("array<double>")
     def _adc(col):
@@ -283,24 +347,49 @@ def pq_search_adc(spark: SparkSession, queries: DataFrame,
                 out.append(None)
                 continue
             c = np.asarray(v, dtype=np.int64)
+            # out-of-range codes (corrupt store) -> NULL, matching the
+            # _stack_valid contract: a code >= k would IndexError and
+            # a negative one silently wraps to the wrong centroid
+            if c.size and (c.min() < 0 or c.max() >= kk):
+                out.append(None)
+                continue
             out.append([float(x) for x in L[:, np.arange(m), c].sum(axis=1)])
         return pd.Series(out)
 
+    carry = ["cell_id"] if probes is not None else []
     scored = (
         codes.filter(F.col("codes").isNotNull())
-        .select("vec_id", _adc(F.col("codes")).alias("_d"))
-        .select("vec_id", F.posexplode("_d").alias("_qpos", "adc_dist"))
+        .select("vec_id", *carry, _adc(F.col("codes")).alias("_d"))
+        .filter(F.col("_d").isNotNull())
+        .select("vec_id", *carry,
+                F.posexplode("_d").alias("_qpos", "adc_dist"))
     )
+    # uniformly bigint literals: mixed int/long elements fail to
+    # resolve, and the type must match the empty-result schema
     qid_map = F.element_at(
-        F.array(*[F.lit(int(q)) for q in qids]), F.col("_qpos") + 1)
+        F.array(*[F.lit(q).cast("bigint") for q in qids]),
+        F.col("_qpos") + 1)
+    scored = scored.select(
+        qid_map.alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        *carry,
+        F.round(F.col("adc_dist"), 9).alias("adc_dist"),
+    )
+    if probes is not None:
+        own_cells = (
+            probes.select(F.col("query_id").cast("bigint").alias("query_id"),
+                          F.col("cell_id").cast("int").alias("cell_id"))
+            .dropDuplicates(["query_id", "cell_id"])
+        )
+        scored = (
+            scored.withColumn("cell_id", F.col("cell_id").cast("int"))
+            .join(F.broadcast(own_cells), ["query_id", "cell_id"])
+            .drop("cell_id")
+        )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"),
                                           F.asc("neighbor_id"))
     return (
-        scored.select(
-            qid_map.alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(F.col("adc_dist"), 9).alias("adc_dist"),
-        )
+        scored
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)

@@ -140,3 +140,48 @@ def test_format_guard(spark, index_dir):
     shutil.rmtree(_pq_dir(index_dir))
     with pytest.raises(ValueError, match="run ivf_attach_pq"):
         ivf_search_pq(spark, index_dir, _queries(spark), k=5)
+
+
+def test_attach_fails_on_racing_mutation(spark, index_dir, monkeypatch):
+    """The fingerprint is captured BEFORE the vector scan and
+    re-verified before model.json lands (ADVICE r13): a mutation
+    racing the attach fails it instead of stamping pre-mutation codes
+    with a post-mutation fingerprint the search would accept."""
+    import debezium_nats_cdc_spark.operators.ann_pq as ann_pq_mod
+
+    real_train = ann_pq_mod.pq_train
+
+    def racing_train(*a, **kw):
+        model = real_train(*a, **kw)
+        # mutate the fingerprinted area mid-attach ("_"-prefixed so
+        # Spark's parquet reader ignores it; the listing does not)
+        with open(os.path.join(index_dir, "vectors", "_racer"), "w") as f:
+            f.write("x")
+        return model
+
+    monkeypatch.setattr(ann_pq_mod, "pq_train", racing_train)
+    with pytest.raises(ValueError, match="mutated during the attach"):
+        ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=1)
+    # torn attach left no model.json -> reads refuse at the load step
+    with pytest.raises(ValueError, match="run ivf_attach_pq"):
+        ivf_search_pq(spark, index_dir, _queries(spark), k=5)
+
+
+def test_batched_probe_semantics_match_single_query(spark, index_dir):
+    """Per-query probe semantics (ADVICE r13): a batched ivf_search_pq
+    must equal running each query alone — the shortlist may not
+    contain neighbors from cells the query never probed, even when
+    the batch's union scan covers them."""
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=2)
+    q = _queries(spark)
+    batch = ivf_search_pq(spark, index_dir, q, k=5, nprobe=1,
+                          shortlist=20).collect()
+    assert batch
+    for qid in (0, 1, 2):
+        single = ivf_search_pq(
+            spark, index_dir, q.filter(F.col("vec_id") == qid),
+            k=5, nprobe=1, shortlist=20).collect()
+        got = sorted((r.neighbor_id, r.rnk) for r in batch
+                     if r.query_id == qid)
+        want = sorted((r.neighbor_id, r.rnk) for r in single)
+        assert got == want

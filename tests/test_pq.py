@@ -165,3 +165,59 @@ def test_guards(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == \
         ["query_id", "neighbor_id", "adc_dist", "rnk"]
+
+
+def test_train_sample_is_capped(spark):
+    """The driver-side sample is bounded (VERDICT r13): auto mode
+    derives the stride from a cheap count (deterministic — equal to
+    passing ceil(n/max_sample) explicitly), and an explicit stride
+    that defeats the cap hard-fails at the 2x gate instead of
+    collecting the corpus."""
+    import math
+
+    en = _normalized(spark)
+    n = en.count()
+    a = pq_train(en, m=8, k=4, rounds=2, max_sample=10)
+    b = pq_train(en, m=8, k=4, rounds=2, max_sample=10)
+    assert a.codebooks == b.codebooks
+    c = pq_train(en, m=8, k=4, rounds=2,
+                 sample_stride=max(1, math.ceil(n / 10)))
+    assert a.codebooks == c.codebooks
+    with pytest.raises(ValueError, match="exceeds"):
+        pq_train(en, m=8, k=4, rounds=1, sample_stride=1,
+                 max_sample=max(1, n // 4))
+
+
+def test_adc_out_of_range_codes_are_skipped(spark):
+    """A stored code >= k used to IndexError the whole stage and a
+    negative one silently wrapped to the wrong centroid (ADVICE r13)
+    — corrupt rows now yield no candidates, like _stack_valid."""
+    en = _normalized(spark)
+    model = pq_train(en, m=8, k=16, rounds=1)
+    codes = pq_encode(en, model).unionByName(spark.createDataFrame(
+        [(9101, [99] * 8), (9102, [-1] + [0] * 7)],
+        "vec_id bigint, codes array<int>"))
+    q = en.filter(F.col("vec_id") < 2)
+    rows = pq_search_adc(spark, q, codes, model, k=10_000).collect()
+    ids = {r.neighbor_id for r in rows}
+    assert 9101 not in ids and 9102 not in ids
+    # clean candidates all still scored (k over-asks the corpus)
+    assert len([r for r in rows if r.query_id == 0]) == en.count() - 1
+
+
+def test_adc_probes_restrict_per_query(spark):
+    """With a probes frame, each query ranks ONLY candidates from its
+    own probed cells — one scan serving a query batch no longer leaks
+    neighbors across probe sets (ADVICE r13)."""
+    en = _normalized(spark)
+    model = pq_train(en, m=8, k=16, rounds=1)
+    codes = pq_encode(en, model).withColumn(
+        "cell_id", F.pmod("vec_id", F.lit(2)).cast("int"))
+    q = en.filter(F.col("vec_id").isin([0, 1]))
+    probes = spark.createDataFrame(
+        [(0, 0), (1, 1)], "query_id bigint, cell_id int")
+    rows = pq_search_adc(spark, q, codes, model, k=10_000,
+                         probes=probes).collect()
+    assert rows
+    for r in rows:
+        assert r.neighbor_id % 2 == r.query_id
