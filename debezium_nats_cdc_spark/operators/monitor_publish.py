@@ -62,7 +62,19 @@ def _ingest(spark: SparkSession, sf_dir: str, mon) -> None:
 
 
 def _state_root(kind: str) -> str:
-    return tempfile.mkdtemp(prefix=f"monitor_publish_{kind}_")
+    """Fresh per-invocation state dir, reaped at process exit (the
+    `ann_lifecycle._scratch_index_dir` pattern, VERDICT r13 task 4):
+    `scored()` reads the published state LAZILY, so an inline cleanup
+    would race the driver's collect — but without any cleanup a bench
+    session leaks one state copy per invocation.  Fresh-per-invocation
+    also guarantees no cross-query state leakage: two runs of the same
+    query never share a fold history."""
+    import atexit
+    import shutil
+
+    d = tempfile.mkdtemp(prefix=f"monitor_publish_{kind}_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 @register(
