@@ -28,6 +28,18 @@ REFUSES loudly when it no longer matches (re-attach after
 maintenance, exactly like rebalance wants ingest stopped).  A stale
 quantized read silently returning deleted or mis-bucketed neighbors
 is the failure mode this guard exists to make impossible.
+
+Two refusal shapes, both loud, by mutation kind: in-place mutations
+(add / ingest / delete) leave the attachment behind with a
+no-longer-matching fingerprint → the "snapshot" error; SWAP-based
+maintenance (compact / rebalance) rebuilds the index directory from
+a staging tree and therefore DROPS the attachment wholesale → the
+"run ivf_attach_pq first" error (pinned over the ingest-hook path in
+tests/test_ann_stream_ingest.py).  Carrying codes through a swap
+would be wasted I/O: the attachment is effectively always stale at
+compact time (ingest is what grows the stream area that triggers
+compaction), and after a rebalance the cell ids the codes are
+partitioned by no longer exist.
 """
 
 from __future__ import annotations

@@ -76,6 +76,8 @@ class IvfStreamIngest:
         self.backend = backend or LocalFSBackend()
         self.id_col = id_col
         self.emb_col = emb_col
+        # reports from the most recent completion-hook maintenance run
+        self.last_maintenance: dict | None = None
 
     # -- epoch-guard sidecar -------------------------------------------
     def _sidecar_path(self) -> str:
@@ -154,8 +156,50 @@ class IvfStreamIngest:
         self._write_sidecar({"generation": side["generation"] + 1,
                              "last_epoch": -1})
 
+    def run_maintenance(self, spark: SparkSession,
+                        files_per_cell: float = 50.0,
+                        max_balance_ratio: float = 3.0) -> dict:
+        """Run both OPERATIONS.md §11 policy triggers against this
+        index — compaction first (folding the stream area shrinks what
+        a subsequent rebalance must rewrite), then the skew check.
+        Callable on its own, but the intended entry is the
+        ``start(..., maintenance=...)`` completion hook, which
+        guarantees the ops' ingest-stopped-cleanly contract.  Both
+        triggers skip (never queue) under a held ``_rebalance.lock``
+        and report honestly either way."""
+        from ..operators.ann_index import maybe_compact, maybe_rebalance
+
+        report = {
+            "compact": maybe_compact(spark, self.index_dir,
+                                     files_per_cell=files_per_cell),
+            "rebalance": maybe_rebalance(
+                spark, self.index_dir,
+                max_balance_ratio=max_balance_ratio),
+        }
+        self.last_maintenance = report
+        return report
+
     def start(self, spark: SparkSession, stream: DataFrame,
-              available_now: bool = True):
+              available_now: bool = True,
+              maintenance: dict | None = None):
+        """Start the ingest query.  ``maintenance`` (VERDICT r13 task
+        5) wires the tested policy triggers into the availableNow
+        completion hook: pass ``{}`` for the documented defaults or
+        ``{"files_per_cell": x, "max_balance_ratio": y}`` to tune.
+        Requires ``available_now=True`` — the maintenance ops' contract
+        is ingest STOPPED CLEANLY (sidecar committed), which an
+        availableNow drain gives us by awaiting termination
+        (foreachBatch is synchronous, so the last epoch's sidecar is
+        committed when the query ends); a continuous trigger never
+        stops on its own, so the hook refuses it rather than racing
+        the swap.  Reports land in ``self.last_maintenance``."""
+        if maintenance is not None and not available_now:
+            raise ValueError(
+                "IvfStreamIngest.start: maintenance hook requires "
+                "available_now=True — compaction/rebalance must run "
+                "with ingest stopped cleanly (the swap-vs-append "
+                "contract); poll run_maintenance between restarts of "
+                "a continuous ingest instead")
         if not self.backend.checkpoint_established(self.checkpoint_dir):
             self.reset_stream_area()  # new lineage re-delivers the source
         writer = (
@@ -165,4 +209,8 @@ class IvfStreamIngest:
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
-        return writer.start()
+        query = writer.start()
+        if maintenance is not None:
+            query.awaitTermination()
+            self.run_maintenance(spark, **maintenance)
+        return query

@@ -123,3 +123,98 @@ def test_streaming_entrypoint_and_fresh_lineage_reset(spark, tmp_path):
     ing2.start(spark, stream2).awaitTermination()
     assert ing2.generation() == gen1 + 1
     assert _search_rows(spark, d) == _search_rows(spark, d_batch)
+
+def test_maintenance_hook_fires_after_available_now(spark, tmp_path):
+    """VERDICT r13 task 5: start(maintenance=...) awaits the
+    availableNow drain (ingest stopped cleanly) then runs the policy
+    triggers.  A crossed file-count threshold compacts; the PQ
+    attachment's staleness guard must refuse the post-maintenance
+    index until re-attach — over the HOOK path, not just direct
+    ivf_compact calls."""
+    import pytest
+
+    from debezium_nats_cdc_spark.operators.ann_pq import (
+        ivf_attach_pq,
+        ivf_search_pq,
+    )
+
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _base(spark), d, n_cells=N_CELLS)
+    ivf_attach_pq(spark, d, m=8, k=16, rounds=1)
+    src = tmp_path / "src"
+    src.mkdir()
+    _b1(spark).coalesce(1).write.parquet(f"{src}/f0")
+    _b2(spark).coalesce(1).write.parquet(f"{src}/f1")
+    ing = IvfStreamIngest(d)
+    stream = (spark.readStream.schema(_emb(spark).schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/f*/*"))
+    q = ing.start(spark, stream, maintenance={"files_per_cell": 0.0})
+    assert not q.isActive  # the hook awaited termination
+    rep = ing.last_maintenance
+    assert rep["compact"]["ran"] is True
+    assert rep["compact"]["reason"] == "file-count"
+    assert rep["compact"]["compacted"] == \
+        _b1(spark).count() + _b2(spark).count()
+    assert rep["rebalance"]["reason"] in (
+        "below-threshold", "cell-skew", "skew-unsplittable")
+
+    # the compacted index still equals the batch-add reference
+    d_batch = str(tmp_path / "b")
+    ivf_build(spark, _base(spark), d_batch, n_cells=N_CELLS)
+    ivf_add(spark, d_batch, _b1(spark))
+    ivf_add(spark, d_batch, _b2(spark))
+    assert _search_rows(spark, d) == _search_rows(spark, d_batch)
+
+    # hook-run maintenance blocks quantized reads until re-attach:
+    # swap-based ops rebuild the index dir and DROP the attachment
+    # wholesale (the ann_pq module-docstring contract — the in-place
+    # mutations' "snapshot" refusal is pinned in test_ann_pq.py)
+    with pytest.raises(ValueError, match="run ivf_attach_pq"):
+        ivf_search_pq(spark, d, _queries(spark), k=K)
+    ivf_attach_pq(spark, d, m=8, k=16, rounds=1)
+    assert ivf_search_pq(spark, d, _queries(spark), k=K,
+                         nprobe=N_CELLS).count() > 0
+
+
+def test_maintenance_hook_thresholds_lock_and_trigger_guard(
+        spark, tmp_path):
+    """Defaults leave a 2-epoch ingest below both thresholds (no-op
+    reported honestly); a held rebalance lock skips both triggers; a
+    continuous trigger refuses the hook outright (the ops'
+    ingest-stopped contract)."""
+    import json
+    import os
+
+    import pytest
+
+    from debezium_nats_cdc_spark.operators.ann_index import \
+        _REBALANCE_MARKER
+
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _base(spark), d, n_cells=N_CELLS)
+    src = tmp_path / "src"
+    src.mkdir()
+    _b1(spark).coalesce(1).write.parquet(f"{src}/f0")
+    ing = IvfStreamIngest(d)
+    stream = (spark.readStream.schema(_emb(spark).schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/f*/*"))
+    ing.start(spark, stream, maintenance={})
+    rep = ing.last_maintenance
+    assert rep["compact"] == {
+        "ran": False, "reason": "below-threshold",
+        "stream_files": rep["compact"]["stream_files"],
+        "threshold": 50 * N_CELLS}
+    assert 0 < rep["compact"]["stream_files"] <= 50 * N_CELLS
+    assert rep["rebalance"]["ran"] is False
+
+    marker = os.path.join(d, _REBALANCE_MARKER)
+    with open(marker, "w") as f:
+        json.dump({"pid": 0}, f)
+    rep = ing.run_maintenance(spark, files_per_cell=0.0,
+                              max_balance_ratio=0.0)
+    assert rep["compact"]["reason"] == "rebalance-lock-held"
+    assert rep["rebalance"]["reason"] == "rebalance-lock-held"
+    os.remove(marker)
+
+    with pytest.raises(ValueError, match="available_now=True"):
+        ing.start(spark, stream, available_now=False, maintenance={})
