@@ -872,16 +872,16 @@ def maybe_compact(spark: SparkSession, index_dir: str,
     Returns ``{"ran": bool, "reason": str, "stream_files": n,
     "threshold": t}`` (plus ``ivf_compact``'s fields when it ran).
     """
+    from ..index_fs import get_index_fs
+
     meta = _load_meta(index_dir)
     threshold = int(files_per_cell * meta["n_cells"])
-    if os.path.exists(os.path.join(index_dir, _REBALANCE_MARKER)):
+    fs = get_index_fs()
+    if fs.exists(os.path.join(index_dir, _REBALANCE_MARKER)):
         return {"ran": False, "reason": "rebalance-lock-held",
                 "stream_files": -1, "threshold": threshold}
-    n_files = 0
-    sdir = os.path.join(index_dir, _STREAM_SUBDIR)
-    for root, _dirs, files in os.walk(sdir):
-        n_files += sum(1 for f in files
-                       if f.endswith(".parquet") and not f.startswith(("_", ".")))
+    # the poll reads NAMES only (one LIST through the index_fs seam)
+    n_files = fs.count_files(os.path.join(index_dir, _STREAM_SUBDIR))
     if n_files <= threshold:
         return {"ran": False, "reason": "below-threshold",
                 "stream_files": n_files, "threshold": threshold}
@@ -910,8 +910,10 @@ def maybe_rebalance(spark: SparkSession, index_dir: str,
     Returns ``{"ran": bool, "reason": str, "max_balance_ratio": x,
     "threshold": t}`` plus ``ivf_rebalance``'s report when it ran.
     """
+    from ..index_fs import get_index_fs
+
     _load_meta(index_dir)
-    if os.path.exists(os.path.join(index_dir, _REBALANCE_MARKER)):
+    if get_index_fs().exists(os.path.join(index_dir, _REBALANCE_MARKER)):
         return {"ran": False, "reason": "rebalance-lock-held",
                 "max_balance_ratio": -1.0,
                 "threshold": max_balance_ratio}

@@ -44,11 +44,11 @@ partitioned by no longer exist.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..index_fs import get_index_fs
 from .ann_index import (
     _REBALANCE_MARKER,
     _STREAM_SUBDIR,
@@ -70,30 +70,17 @@ def _index_fingerprint(index_dir: str) -> dict:
     """Cheap, Spark-free snapshot id of everything a PQ attachment
     depends on: the (name, size) listing of the vector + centroid
     areas and the stream sidecar.  Any add/ingest/delete/compact/
-    rebalance changes at least one component."""
-    def listing(sub: str):
-        root = os.path.join(index_dir, sub)
-        out = []
-        for r, _dirs, files in os.walk(root):
-            rel = os.path.relpath(r, root)
-            # lists, not tuples: the fingerprint round-trips through
-            # JSON, and one sorted flat list is os.walk-order-proof
-            out.extend(
-                [os.path.join(rel, f),
-                 os.path.getsize(os.path.join(r, f))]
-                for f in files if not f.startswith("."))
-        return sorted(out)
-
-    sidecar = os.path.join(index_dir, "_stream_epoch.json")
-    side = None
-    if os.path.exists(sidecar):
-        with open(sidecar) as f:
-            side = json.load(f)
+    rebalance changes at least one component.  All I/O routes through
+    the ``index_fs`` seam (LIST + one small GET — object-store-native
+    operations); the listing shape is pinned by the seam's contract
+    so fingerprints compare across backends."""
+    fs = get_index_fs()
     return {
-        "vectors": listing("vectors"),
-        "stream": listing(_STREAM_SUBDIR),
-        "centroids": listing("centroids"),
-        "sidecar": side,
+        "vectors": fs.listing(os.path.join(index_dir, "vectors")),
+        "stream": fs.listing(os.path.join(index_dir, _STREAM_SUBDIR)),
+        "centroids": fs.listing(os.path.join(index_dir, "centroids")),
+        "sidecar": fs.read_json(
+            os.path.join(index_dir, "_stream_epoch.json")),
     }
 
 
@@ -116,7 +103,7 @@ def ivf_attach_pq(spark: SparkSession, index_dir: str,
     ``ivf_search_pq`` would accept as fresh.
     """
     meta = _load_meta(index_dir)
-    if os.path.exists(os.path.join(index_dir, _REBALANCE_MARKER)):
+    if get_index_fs().exists(os.path.join(index_dir, _REBALANCE_MARKER)):
         raise ValueError("ivf_attach_pq: rebalance lock held — "
                          "finish maintenance first")
     fp = _index_fingerprint(index_dir)
@@ -144,24 +131,24 @@ def ivf_attach_pq(spark: SparkSession, index_dir: str,
             "ivf_attach_pq: the index mutated during the attach — "
             "codes were trained on pre-mutation data; stop "
             "ingest/maintenance and re-run")
-    with open(os.path.join(pq_root, "model.json"), "w") as f:
-        json.dump({
+    get_index_fs().write_json_atomic(
+        os.path.join(pq_root, "model.json"),
+        {
             "format": PQ_FORMAT,
             "dim": model.dim, "m": model.m, "k": model.k,
             "codebooks": model.codebooks,
             "fingerprint": fp,
-        }, f)
+        })
     return {"attached": n, "m": model.m, "k": model.k,
             "n_cells": meta["n_cells"]}
 
 
 def _load_pq(index_dir: str) -> tuple[PqModel, dict]:
-    p = os.path.join(_pq_dir(index_dir), "model.json")
-    if not os.path.exists(p):
+    rec = get_index_fs().read_json(
+        os.path.join(_pq_dir(index_dir), "model.json"))
+    if rec is None:
         raise ValueError(f"no PQ attachment at {index_dir} — "
                          "run ivf_attach_pq first")
-    with open(p) as f:
-        rec = json.load(f)
     if rec.get("format") != PQ_FORMAT:
         raise ValueError(
             f"PQ attachment format {rec.get('format')!r} != {PQ_FORMAT!r} "

@@ -44,12 +44,12 @@ there.
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..index_fs import get_index_fs
 from ..operators.ann_index import (
     _STREAM_SUBDIR,
     _assign,
@@ -84,17 +84,12 @@ class IvfStreamIngest:
         return os.path.join(self.index_dir, "_stream_epoch.json")
 
     def _sidecar(self) -> dict:
-        p = self._sidecar_path()
-        if not os.path.exists(p):
-            return {"generation": 0, "last_epoch": -1}
-        with open(p) as f:
-            return json.load(f)
+        rec = get_index_fs().read_json(self._sidecar_path())
+        return rec if rec is not None \
+            else {"generation": 0, "last_epoch": -1}
 
     def _write_sidecar(self, rec: dict) -> None:
-        tmp = self._sidecar_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(rec, f)
-        os.replace(tmp, self._sidecar_path())
+        get_index_fs().write_json_atomic(self._sidecar_path(), rec)
 
     def last_epoch(self) -> int:
         return self._sidecar()["last_epoch"]

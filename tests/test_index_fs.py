@@ -1,0 +1,148 @@
+"""The index_fs seam (VERDICT r13 task 6): the ANN index layer's
+metadata I/O — fingerprints, sidecar/model JSON, maintenance polls,
+marker checks — routes through a pluggable IndexFS (the
+state_backend.py backend-split pattern), so an object-store deployment
+implements ONE small interface instead of patching os.walk call
+sites.  The data-plane swap machinery deliberately stays rename-based
+(OPERATIONS.md §11 records the constraint + table-format mapping)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from debezium_nats_cdc_spark.index_fs import (
+    IndexFS,
+    LocalIndexFS,
+    get_index_fs,
+    set_index_fs,
+)
+from debezium_nats_cdc_spark.io import load_table
+from debezium_nats_cdc_spark.operators.ann_index import (
+    ivf_build,
+    maybe_compact,
+    maybe_rebalance,
+)
+from debezium_nats_cdc_spark.operators.ann_pq import (
+    ivf_attach_pq,
+    ivf_search_pq,
+)
+from debezium_nats_cdc_spark.streaming.ann_ingest import IvfStreamIngest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_local_index_fs_contract(tmp_path):
+    fs = LocalIndexFS()
+    root = tmp_path / "area"
+    (root / "cell_id=0").mkdir(parents=True)
+    (root / "cell_id=0" / "part-0.parquet").write_bytes(b"abc")
+    (root / "cell_id=0" / ".hidden.crc").write_bytes(b"x")
+    (root / "_SUCCESS").write_bytes(b"")
+    listing = fs.listing(str(root))
+    # sorted flat [relpath, size] lists, dot-files skipped — the
+    # fingerprint payload shape, pinned as a compatibility surface
+    assert listing == sorted(listing)
+    assert [os.path.join("cell_id=0", "part-0.parquet"), 3] in listing
+    assert all(not os.path.basename(p).startswith(".")
+               for p, _size in listing)
+    assert fs.listing(str(tmp_path / "missing")) == []
+    # count_files: data files only, bookkeeping names skipped
+    assert fs.count_files(str(root)) == 1
+    assert fs.count_files(str(tmp_path / "missing")) == 0
+    # JSON: None on absent, atomic publish leaves no tmp behind
+    doc = str(tmp_path / "side.json")
+    assert fs.read_json(doc) is None
+    fs.write_json_atomic(doc, {"generation": 3, "last_epoch": 7})
+    assert fs.read_json(doc) == {"generation": 3, "last_epoch": 7}
+    assert not os.path.exists(doc + ".tmp")
+    assert fs.exists(doc) and not fs.exists(doc + ".nope")
+
+
+class _Recording(IndexFS):
+    """Delegates to LocalIndexFS, recording (method, path) calls."""
+
+    def __init__(self):
+        self.inner = LocalIndexFS()
+        self.calls: list[tuple[str, str]] = []
+
+    def listing(self, root):
+        self.calls.append(("listing", root))
+        return self.inner.listing(root)
+
+    def count_files(self, root, suffix=".parquet"):
+        self.calls.append(("count_files", root))
+        return self.inner.count_files(root, suffix)
+
+    def read_json(self, path):
+        self.calls.append(("read_json", path))
+        return self.inner.read_json(path)
+
+    def write_json_atomic(self, path, rec):
+        self.calls.append(("write_json_atomic", path))
+        return self.inner.write_json_atomic(path, rec)
+
+    def exists(self, path):
+        self.calls.append(("exists", path))
+        return self.inner.exists(path)
+
+
+def test_ann_metadata_io_routes_through_seam(spark, tmp_path):
+    """Build -> ingest -> attach -> quantized search -> both
+    maintenance polls, under a recording backend: every metadata
+    surface the seam owns is exercised through it, and behavior is
+    unchanged (the recording backend delegates to LocalIndexFS)."""
+    emb = load_table(spark, SF, "embeddings")
+    d = str(tmp_path / "ivf")
+    rec = _Recording()
+    prev = set_index_fs(rec)
+    try:
+        ivf_build(spark, emb.filter(F.col("vec_id") % 2 == 0),
+                  d, n_cells=8)
+        ing = IvfStreamIngest(d)
+        ing.process_batch(
+            spark, emb.filter(F.col("vec_id") % 2 == 1), epoch_id=0)
+        ivf_attach_pq(spark, d, m=8, k=16, rounds=1)
+        out = ivf_search_pq(spark, d,
+                            emb.filter(F.col("vec_id") < 4), k=3,
+                            nprobe=8)
+        assert out.count() > 0
+        poll = maybe_compact(spark, d)  # names-only poll via the seam
+        assert poll["reason"] == "below-threshold"
+        assert poll["stream_files"] > 0
+    finally:
+        set_index_fs(prev)
+    assert get_index_fs() is prev
+
+    methods = {m for m, _p in rec.calls}
+    assert methods == {"listing", "count_files", "read_json",
+                       "write_json_atomic", "exists"}
+    # the fingerprint listed all three fingerprinted areas
+    listed = {p for m, p in rec.calls if m == "listing"}
+    assert {os.path.join(d, "vectors"),
+            os.path.join(d, "vectors_stream"),
+            os.path.join(d, "centroids")} <= listed
+    # the sidecar was written through the seam (ingest epoch commit)
+    assert any(p.endswith("_stream_epoch.json")
+               for m, p in rec.calls if m == "write_json_atomic")
+    # the model.json publish went through the seam too
+    assert any(p.endswith(os.path.join("pq", "model.json"))
+               for m, p in rec.calls if m == "write_json_atomic")
+
+
+def test_maintenance_polls_use_seam(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, emb, d, n_cells=4)
+    rec = _Recording()
+    prev = set_index_fs(rec)
+    try:
+        assert maybe_compact(spark, d)["ran"] is False
+        assert maybe_rebalance(spark, d)["ran"] is False
+    finally:
+        set_index_fs(prev)
+    assert ("count_files", os.path.join(d, "vectors_stream")) in rec.calls
+    assert any(m == "exists" and p.endswith("_rebalance.lock")
+               for m, p in rec.calls)
