@@ -25,8 +25,12 @@ inside the timed section (the query fn performs it eagerly), so the
 ratio covers the fold loop, not just the final scoring read.
 
 Usage: python tools/scale_heavy_probe.py [reps] [q1,q2,...]
-Writes replicated tables under /tmp/sparkgraft_heavy10x/ and prints one
-JSON line per query with (sf0.1 s, 10x s, ratio).
+         [--replicas=N]
+Writes replicated tables under /tmp/sparkgraft_heavy{N}x/ and prints
+one JSON line per query with (sf0.1 s, Nx s, ratio).  --replicas=100
+is the r14 second-decade construction (VERDICT r13 stretch 7): same
+disjoint-token-space care, two full orders of magnitude above the
+measured sf0.1 point.
 """
 
 from __future__ import annotations
@@ -41,9 +45,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.1"
-BIG_DIR = "/tmp/sparkgraft_heavy10x"
-REPLICAS = 10
-REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+REPLICAS = int(next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--replicas=")), 10))
+BIG_DIR = f"/tmp/sparkgraft_heavy{REPLICAS}x"
+REPS = int(_pos[0]) if _pos else 3
 
 # r13: widened from the 12-query heavy family to the full measured
 # top-20 of BENCH_r12 plus the new ANN lifecycle query — the second
@@ -54,7 +60,7 @@ REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 # trick exists for vectors), so all 10 replicas of a vector share its
 # LSH bucket and candidate pairs grow ~quadratically in replica count;
 # that measures a planted-duplicate explosion, not 10x volume.
-QUERIES = (sys.argv[2].split(",") if len(sys.argv) > 2 else [
+QUERIES = (_pos[1].split(",") if len(_pos) > 1 else [
     "dedup_cluster_assign_delta", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_exact_substring", "dedup_prefix_cluster",
     "corpus_curation", "corpus_decontaminate", "emb_covariance",
@@ -173,10 +179,10 @@ def main() -> None:
         s = statistics.median(times[(q, SF_DIR)])
         b = statistics.median(times[(q, BIG_DIR)])
         print(json.dumps({
-            "query": q, "sf0.1_s": s, "x10_s": b,
-            "raw_ratio_10x": round(b / s, 2),
+            "query": q, "sf0.1_s": s, f"x{REPLICAS}_s": b,
+            f"raw_ratio_{REPLICAS}x": round(b / s, 2),
             "runs_sf01": times[(q, SF_DIR)],
-            "runs_x10": times[(q, BIG_DIR)],
+            "runs_big": times[(q, BIG_DIR)],
             "loadavg": round(os.getloadavg()[0], 1),
         }), flush=True)
 
