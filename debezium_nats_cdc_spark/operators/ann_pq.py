@@ -84,13 +84,35 @@ def _index_fingerprint(index_dir: str) -> dict:
     }
 
 
+def pq_model_of(index_dir: str) -> PqModel:
+    """The current attachment's trained quantizer, fingerprint-free —
+    for reuse across re-attaches (see ``ivf_attach_pq``'s ``model``
+    parameter).  Read it BEFORE running maintenance: swap-based ops
+    drop the attachment wholesale (module docstring)."""
+    model, _fp = _load_pq(index_dir)
+    return model
+
+
 def ivf_attach_pq(spark: SparkSession, index_dir: str,
                   m: int = 16, k: int = 64, rounds: int = 5,
-                  sample_stride: int | None = None) -> dict:
+                  sample_stride: int | None = None,
+                  model: PqModel | None = None) -> dict:
     """Train codebooks on the index's own vectors and write per-cell
     codes — run AFTER maintenance, with ingest stopped (the rebalance
     contract; the ``_rebalance.lock`` claim is refused like the other
     maintenance pollers).
+
+    ``model``: pass a previously trained quantizer (``pq_model_of``
+    reads the live one) to SKIP training — the attach then costs one
+    map-only encode pass plus the codes write.  This is the standard
+    train-once / encode-forever deployment (Jégou et al. train on a
+    sample once; FAISS reuses a trained index factory): in the
+    production maintenance loop (ingest → compact → re-attach) the
+    corpus distribution drifts slowly, so re-training every re-attach
+    buys nothing while re-running the driver-side k-means each cycle.
+    Retrain (``model=None``) when drift is suspected — recall floors
+    in tests are the regression signal.  The reused model's ``dim``
+    must match the index's.
 
     The training sample stride defaults to pq_train's auto mode
     (derived from a cheap count so the driver collect is capped —
@@ -106,14 +128,19 @@ def ivf_attach_pq(spark: SparkSession, index_dir: str,
     if get_index_fs().exists(os.path.join(index_dir, _REBALANCE_MARKER)):
         raise ValueError("ivf_attach_pq: rebalance lock held — "
                          "finish maintenance first")
+    if model is not None and model.dim != meta["dim"]:
+        raise ValueError(
+            f"ivf_attach_pq: reused model dim {model.dim} != index "
+            f"dim {meta['dim']} — train a new one (model=None)")
     fp = _index_fingerprint(index_dir)
     vecs = (
         _vector_scan(spark, index_dir)
         .withColumn("cell_id", F.col("cell_id").cast("int"))
         .select("vec_id", "embedding", "cell_id")
     )
-    model = pq_train(vecs, m=m, k=k, rounds=rounds,
-                     sample_stride=sample_stride)
+    if model is None:
+        model = pq_train(vecs, m=m, k=k, rounds=rounds,
+                         sample_stride=sample_stride)
     codes = (
         pq_encode(vecs.select("vec_id", "embedding"), model)
         .join(vecs.select("vec_id", "cell_id"), "vec_id")

@@ -185,3 +185,42 @@ def test_batched_probe_semantics_match_single_query(spark, index_dir):
                      if r.query_id == qid)
         want = sorted((r.neighbor_id, r.rnk) for r in single)
         assert got == want
+
+
+def test_attach_model_reuse_skips_training(spark, index_dir):
+    """Train-once / encode-forever (r14): re-attach with a reused
+    quantizer skips the driver-side k-means — the quantizer is
+    byte-identical, every pre-mutation vector keeps byte-identical
+    codes (deterministic encode), the new vector is coded, and the
+    attachment is fresh again.  A dim-mismatched reuse refuses."""
+    from debezium_nats_cdc_spark.operators.ann_pq import pq_model_of
+    from debezium_nats_cdc_spark.operators.pq import PqModel
+
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=2)
+    model = pq_model_of(index_dir)
+    codes_path = os.path.join(_pq_dir(index_dir), "codes")
+    before = {r.vec_id: tuple(r.codes)
+              for r in spark.read.parquet(codes_path).collect()
+              if r.codes is not None}
+
+    extra = spark.createDataFrame(
+        [(9050, [float(i) / 64 for i in range(64)])],
+        "vec_id bigint, embedding array<float>")
+    ivf_add(spark, index_dir, extra)
+    with pytest.raises(ValueError, match="snapshot"):
+        ivf_search_pq(spark, index_dir, _queries(spark), k=5)
+
+    ivf_attach_pq(spark, index_dir, model=model)
+    assert pq_model_of(index_dir).codebooks == model.codebooks
+    after = {r.vec_id: tuple(r.codes)
+             for r in spark.read.parquet(codes_path).collect()
+             if r.codes is not None}
+    assert 9050 in after
+    for vid, c in before.items():
+        assert after[vid] == c
+    assert ivf_search_pq(spark, index_dir, _queries(spark), k=5,
+                         nprobe=N_CELLS).count() > 0
+
+    bad = PqModel(dim=32, m=8, k=16, codebooks=model.codebooks)
+    with pytest.raises(ValueError, match="dim"):
+        ivf_attach_pq(spark, index_dir, model=bad)
