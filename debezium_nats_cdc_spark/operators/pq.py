@@ -292,9 +292,16 @@ def pq_search_adc(spark: SparkSession, queries: DataFrame,
     ITS OWN probed cells (broadcast semi-filter on (query_id,
     cell_id)), preserving per-query probe semantics when one scan
     serves a query batch whose probe sets differ — without it a
-    query could rank neighbors from cells it never probed.  Corrupt
-    code rows (wrong arity or any code outside [0, k)) yield no
-    candidates instead of failing the stage (dirty-input contract).
+    query could rank neighbors from cells it never probed.  The
+    filter sits between the LUT-sum and the rank: the sum is a
+    vectorized m-add per (query, candidate) over a scan that must
+    read the probe UNION anyway (one pass serves the batch), so
+    pruning it per-cell would buy microseconds at the cost of
+    per-cell grouped kernels — what matters at scale is that only
+    probed (query, candidate) pairs enter the top-k rank SHUFFLE,
+    and the filter guarantees exactly that.  Corrupt code rows
+    (wrong arity or any code outside [0, k)) yield no candidates
+    instead of failing the stage (dirty-input contract).
     """
     import numpy as np
     from pyspark.sql import Window as W

@@ -136,32 +136,65 @@ def gen_tables(seed: int, out_dir: str, empty_facts: bool = False,
     # filters everything must agree on the empty result)
     excl_region = int(rng.randint(0, 6))  # 5 = exclude nothing
     region_pool = [r for r in range(5) if r != excl_region]
+    nation_regions = [int(rng.choice(region_pool)) for _ in range(25)]
     write("nation", {
         "n_nationkey": list(range(25)),
         "n_name": [f"NATION_{i:02d}" for i in range(25)],
-        "n_regionkey": [int(rng.choice(region_pool)) for _ in range(25)],
+        "n_regionkey": nation_regions,
     }, {"n_nationkey": pa.int32(), "n_regionkey": pa.int32()})
+
+    # Planted local-supplier chains (FUZZCOV r14): agg_regional_revenue
+    # survives only the full conjunction (order in its 3-month window x
+    # c_nationkey==s_nationkey (1/25) x nation in ASIA (~1/5)), whose
+    # EXPECTED random yield is ~1 row — seeds 300-304 happened to land
+    # 1, seeds 400-404 landed median 0 and tripped the vacuous gate.
+    # Per the gate's own rule ("the fix is a gen_tables extension, not
+    # an allowlist entry") each seed plants a handful of guaranteed
+    # chains: an ASIA-nation customer+supplier pair sharing a
+    # nationkey, an in-window order by that customer, and 1-3 lines
+    # from that supplier.  Planted keys sit OUTSIDE every random draw
+    # range (custkey/orderkey/suppkey), so no other query's orphan /
+    # anti-join / skew shapes change by accident; the deliberate
+    # empty-ASIA 1/6 shape is preserved (no ASIA nations -> no chains).
+    asia_nations = [n for n in range(25) if nation_regions[n] == 1]
+    planted = []  # (custkey, suppkey, orderkey, nationkey, n_lines)
+    if asia_nations:
+        for i in range(6):
+            planted.append((
+                1000 + i, 1000 + i, 100_000 + i,
+                int(rng.choice(asia_nations)),
+                1 + int(rng.randint(0, 3)),
+            ))
 
     n_cust = 120
     segs = ["BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", None]
     write("customer", {
-        "c_custkey": list(range(1, n_cust + 1)),
-        "c_name": [f"Customer#{i:06d}" for i in range(1, n_cust + 1)],
-        "c_nationkey": [int(rng.randint(0, 25)) for _ in range(n_cust)],
+        "c_custkey": list(range(1, n_cust + 1))
+        + [ck for ck, _sk, _ok, _nat, _nl in planted],
+        "c_name": [f"Customer#{i:06d}" for i in range(1, n_cust + 1)]
+        + [f"Customer#{ck:06d}" for ck, _sk, _ok, _nat, _nl in planted],
+        "c_nationkey": [int(rng.randint(0, 25)) for _ in range(n_cust)]
+        + [nat for _ck, _sk, _ok, nat, _nl in planted],
         # includes negatives, the 5000 semi-join boundary, and NULLs
         "c_acctbal": _opt(rng, [round(float(rng.uniform(-999, 9999)), 2)
-                                for _ in range(n_cust - 2)] + [5000.0, 5000.01]),
+                                for _ in range(n_cust - 2)] + [5000.0, 5000.01])
+        + [round(float(rng.uniform(0, 5000)), 2) for _ in planted],
         "c_mktsegment": [segs[rng.randint(0, len(segs))]
-                         for _ in range(n_cust)],
+                         for _ in range(n_cust)]
+        + ["BUILDING" for _ in planted],
     }, {"c_nationkey": pa.int32()})
 
     n_supp = 40
     write("supplier", {
-        "s_suppkey": list(range(1, n_supp + 1)),
-        "s_name": [f"Supplier#{i:06d}" for i in range(1, n_supp + 1)],
-        "s_nationkey": [int(rng.randint(0, 25)) for _ in range(n_supp)],
+        "s_suppkey": list(range(1, n_supp + 1))
+        + [sk for _ck, sk, _ok, _nat, _nl in planted],
+        "s_name": [f"Supplier#{i:06d}" for i in range(1, n_supp + 1)]
+        + [f"Supplier#{sk:06d}" for _ck, sk, _ok, _nat, _nl in planted],
+        "s_nationkey": [int(rng.randint(0, 25)) for _ in range(n_supp)]
+        + [nat for _ck, _sk, _ok, nat, _nl in planted],
         "s_acctbal": _opt(rng, [round(float(rng.uniform(-999, 9999)), 2)
-                                for _ in range(n_supp)]),
+                                for _ in range(n_supp)])
+        + [round(float(rng.uniform(0, 5000)), 2) for _ in planted],
     }, {"s_nationkey": pa.int32()})
 
     n_part = 80
@@ -190,16 +223,25 @@ def gen_tables(seed: int, out_dir: str, empty_facts: bool = False,
     prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     o_keys = list(range(1, n_ord + 1))
     write("orders", {
-        "o_orderkey": o_keys,
+        "o_orderkey": o_keys
+        + [ok for _ck, _sk, ok, _nat, _nl in planted],
         # some orders reference customers that don't exist (orphans the
         # other way) and many customers place no order (anti-join rows)
-        "o_custkey": [int(rng.randint(1, n_cust + 30)) for _ in range(n_ord)],
-        "o_orderstatus": [rng.choice(["O", "F", "P"]) for _ in range(n_ord)],
+        "o_custkey": [int(rng.randint(1, n_cust + 30)) for _ in range(n_ord)]
+        + [ck for ck, _sk, _ok, _nat, _nl in planted],
+        "o_orderstatus": [rng.choice(["O", "F", "P"]) for _ in range(n_ord)]
+        + ["F" for _ in planted],
         "o_totalprice": [round(float(rng.uniform(1000, 400000)), 2)
-                         for _ in range(n_ord)],
+                         for _ in range(n_ord)]
+        + [round(float(rng.uniform(1000, 400000)), 2) for _ in planted],
+        # planted orders sit INSIDE the regional-revenue window
+        # ([1996-01, 1997-01); base_day is 1996-10-01, so +0..91 days)
         "o_orderdate": [(base_day + int(rng.randint(0, 365 * 2))) * 86400 * _US
-                        for _ in range(n_ord)],
-        "o_orderpriority": [prios[rng.randint(0, 5)] for _ in range(n_ord)],
+                        for _ in range(n_ord)]
+        + [(base_day + int(rng.randint(0, 92))) * 86400 * _US
+           for _ in planted],
+        "o_orderpriority": [prios[rng.randint(0, 5)] for _ in range(n_ord)]
+        + [prios[rng.randint(0, 5)] for _ in planted],
     }, {"o_orderdate": pa.timestamp("us")})
 
     lines = []
@@ -208,10 +250,17 @@ def gen_tables(seed: int, out_dir: str, empty_facts: bool = False,
         lines.append(hot_key)
     for _ in range(1500):
         lines.append(int(rng.randint(1, n_ord + 20)))  # incl. orphan keys
+    # planted chain lines: suppkey matches the planted pair, so the
+    # local-supplier cross-constraint holds by construction
+    planted_lines = [(ok, sk) for _ck, sk, ok, _nat, nl in planted
+                     for _ in range(nl)]
+    lines += [ok for ok, _sk in planted_lines]
     write("lineitem", {
         "l_orderkey": lines,
         "l_partkey": [int(rng.randint(1, n_part + 1)) for _ in lines],
-        "l_suppkey": [int(rng.randint(1, n_supp + 1)) for _ in lines],
+        "l_suppkey": [int(rng.randint(1, n_supp + 1))
+                      for _ in range(len(lines) - len(planted_lines))]
+        + [sk for _ok, sk in planted_lines],
         "l_linenumber": [int(rng.randint(1, 30)) for _ in lines],
         "l_quantity": [float(rng.randint(1, 51)) for _ in lines],
         "l_extendedprice": [round(float(rng.uniform(900, 100000)), 2)
