@@ -29,6 +29,12 @@ maintenance, exactly like rebalance wants ingest stopped).  A stale
 quantized read silently returning deleted or mis-bucketed neighbors
 is the failure mode this guard exists to make impossible.
 
+Remediation is tiered (r14): in-place mutations are re-synced
+INCREMENTALLY by ``ivf_refresh_pq`` — the fingerprint's per-cell
+listings localize staleness, so only the touched cells re-encode
+(cost ∝ touched cells); ``ivf_attach_pq`` is the full rebuild, with
+``model=`` reuse to skip retraining.
+
 Two refusal shapes, both loud, by mutation kind: in-place mutations
 (add / ingest / delete) leave the attachment behind with a
 no-longer-matching fingerprint → the "snapshot" error; SWAP-based
@@ -168,6 +174,118 @@ def ivf_attach_pq(spark: SparkSession, index_dir: str,
         })
     return {"attached": n, "m": model.m, "k": model.k,
             "n_cells": meta["n_cells"]}
+
+
+def _cells_of(listing: list[list]) -> dict[int, list]:
+    """Group a fingerprint area listing by its leading ``cell_id=N``
+    path component → {cell: [[relpath, size], ...]}.  Entries not
+    under a cell partition (e.g. ``_SUCCESS`` at the area root) are
+    ignored — they carry no per-cell state."""
+    out: dict[int, list] = {}
+    for path, size in listing:
+        head = path.split(os.sep, 1)[0]
+        if head.startswith("cell_id="):
+            out.setdefault(int(head.split("=", 1)[1]),
+                           []).append([path, size])
+    return out
+
+
+def ivf_refresh_pq(spark: SparkSession, index_dir: str) -> dict:
+    """Incrementally re-sync a stale attachment after IN-PLACE
+    mutations (``ivf_add`` / stream ingest / ``ivf_delete``) — the
+    routine maintenance path at scale.
+
+    The recorded fingerprint already carries per-cell file listings
+    of both vector areas, so staleness is LOCALIZED: diff old vs live
+    listings per cell, re-encode ONLY the touched cells with the
+    attachment's OWN quantizer (the train-once discipline —
+    ``pq_encode`` is a map-only Arrow kernel over a scan pruned to
+    those cells), dynamic-partition-overwrite exactly those code
+    partitions, and drop code partitions whose cells no longer exist
+    (the PII erasure cascade reaches this derived store through the
+    refresh too).  Cost ∝ touched cells: one ``ivf_add`` batch or one
+    ingest epoch touches a handful of cells out of thousands, so the
+    refresh moves kilobytes where ``ivf_attach_pq`` would re-encode
+    the corpus.
+
+    ``ivf_attach_pq`` remains the full (re)build: first attachment,
+    after swap-based maintenance (which drops the attachment anyway),
+    after any centroid rewrite (cell geometry moved — refresh refuses
+    so the RETRAIN decision stays with the operator), or when drift
+    warrants new codebooks.
+
+    Crash contract: code partitions are rewritten BEFORE the
+    fingerprint commits, so a crash mid-refresh leaves ``model.json``
+    carrying the old fingerprint — reads still refuse, and re-running
+    the refresh converges (encode is deterministic; the same stale
+    set rewrites the same partitions).  Refuses under the rebalance
+    lock and on a mutation racing the refresh (the attach-time
+    fingerprint discipline).  A fresh attachment is a no-op.
+    """
+    import shutil as _sh
+
+    _load_meta(index_dir)
+    fs = get_index_fs()
+    if fs.exists(os.path.join(index_dir, _REBALANCE_MARKER)):
+        raise ValueError("ivf_refresh_pq: rebalance lock held — "
+                         "finish maintenance first")
+    model, old_fp = _load_pq(index_dir)
+    new_fp = _index_fingerprint(index_dir)
+    if new_fp == old_fp:
+        return {"refreshed_cells": [], "removed_cells": [],
+                "noop": True}
+    if new_fp["centroids"] != old_fp["centroids"]:
+        raise ValueError(
+            "ivf_refresh_pq: centroids changed since the attachment — "
+            "cell geometry moved (rebuild); run ivf_attach_pq and "
+            "decide whether to retrain")
+    old_cells: dict[int, list] = {}
+    new_cells: dict[int, list] = {}
+    for area in ("vectors", "stream"):
+        for cell, entries in _cells_of(old_fp[area]).items():
+            old_cells.setdefault(cell, []).extend(entries)
+        for cell, entries in _cells_of(new_fp[area]).items():
+            new_cells.setdefault(cell, []).extend(entries)
+    stale = sorted(c for c in new_cells
+                   if sorted(new_cells[c]) != sorted(old_cells.get(c, [])))
+    dead = sorted(set(old_cells) - set(new_cells))
+    codes_dir = os.path.join(_pq_dir(index_dir), "codes")
+    if stale:
+        vecs = (
+            _vector_scan(spark, index_dir)
+            .filter(F.col("cell_id").isin([str(c) for c in stale]))
+            .withColumn("cell_id", F.col("cell_id").cast("int"))
+            .select("vec_id", "embedding", "cell_id")
+        )
+        codes = (
+            pq_encode(vecs.select("vec_id", "embedding"), model)
+            .join(vecs.select("vec_id", "cell_id"), "vec_id")
+        )
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf, "static")
+        spark.conf.set(conf, "dynamic")
+        try:
+            (
+                codes.repartition("cell_id")
+                .write.mode("overwrite").partitionBy("cell_id")
+                .parquet(codes_dir)
+            )
+        finally:
+            spark.conf.set(conf, prev)
+    for c in dead:  # data-plane removal, ivf_delete's emptied-partition shape
+        _sh.rmtree(os.path.join(codes_dir, f"cell_id={c}"),
+                   ignore_errors=True)
+    if _index_fingerprint(index_dir) != new_fp:
+        raise ValueError(
+            "ivf_refresh_pq: the index mutated during the refresh — "
+            "stop ingest/maintenance and re-run")
+    fs.write_json_atomic(
+        os.path.join(_pq_dir(index_dir), "model.json"),
+        {"format": PQ_FORMAT, "dim": model.dim, "m": model.m,
+         "k": model.k, "codebooks": model.codebooks,
+         "fingerprint": new_fp})
+    return {"refreshed_cells": stale, "removed_cells": dead,
+            "noop": False}
 
 
 def _load_pq(index_dir: str) -> tuple[PqModel, dict]:

@@ -224,3 +224,109 @@ def test_attach_model_reuse_skips_training(spark, index_dir):
     bad = PqModel(dim=32, m=8, k=16, codebooks=model.codebooks)
     with pytest.raises(ValueError, match="dim"):
         ivf_attach_pq(spark, index_dir, model=bad)
+
+
+def test_refresh_reencodes_only_touched_cells(spark, index_dir):
+    """ivf_refresh_pq (r14): after an in-place add, only the touched
+    cells' code partitions are rewritten — untouched cells keep their
+    exact files (proved by the codes-dir listing, not just content
+    equality) — and the attachment is fresh again with the SAME
+    quantizer.  A second refresh is a no-op."""
+    from debezium_nats_cdc_spark.index_fs import get_index_fs
+    from debezium_nats_cdc_spark.operators.ann_pq import (
+        ivf_refresh_pq,
+        pq_model_of,
+    )
+
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=2)
+    model = pq_model_of(index_dir)
+    codes_dir = os.path.join(_pq_dir(index_dir), "codes")
+    fs = get_index_fs()
+    before = {tuple(e) for e in fs.listing(codes_dir)}
+
+    extra = spark.createDataFrame(
+        [(9070, [float(i) / 64 for i in range(64)])],
+        "vec_id bigint, embedding array<float>")
+    ivf_add(spark, index_dir, extra)
+    with pytest.raises(ValueError, match="snapshot"):
+        ivf_search_pq(spark, index_dir, _queries(spark), k=5)
+
+    rep = ivf_refresh_pq(spark, index_dir)
+    assert rep["noop"] is False
+    assert 1 <= len(rep["refreshed_cells"]) < N_CELLS
+    assert rep["removed_cells"] == []
+    after = {tuple(e) for e in fs.listing(codes_dir)}
+    touched = {f"cell_id={c}" for c in rep["refreshed_cells"]}
+    for path, size in before:
+        if path.split(os.sep, 1)[0] not in touched \
+                and not path.endswith("_SUCCESS"):
+            assert (path, size) in after  # untouched partitions intact
+    assert pq_model_of(index_dir).codebooks == model.codebooks
+    codes = spark.read.parquet(codes_dir)
+    assert codes.filter(F.col("vec_id") == 9070).count() == 1
+    assert ivf_search_pq(spark, index_dir, _queries(spark), k=5,
+                         nprobe=N_CELLS).count() > 0
+    assert ivf_refresh_pq(spark, index_dir) == {
+        "refreshed_cells": [], "removed_cells": [], "noop": True}
+
+
+def test_refresh_erasure_cascade_and_refusals(spark, index_dir):
+    """Erasure reaches the codes through the refresh (the deleted id
+    is gone without a full re-attach); a centroid rewrite refuses
+    (retrain is the operator's call); the rebalance lock refuses."""
+    import json
+
+    from debezium_nats_cdc_spark.operators.ann_pq import ivf_refresh_pq
+
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=1)
+    victim = 11  # odd -> arrived via the fixture's stream epoch
+    codes_dir = os.path.join(_pq_dir(index_dir), "codes")
+    assert spark.read.parquet(codes_dir) \
+        .filter(F.col("vec_id") == victim).count() == 1
+    ivf_delete(spark, index_dir, [victim])
+    rep = ivf_refresh_pq(spark, index_dir)
+    assert rep["noop"] is False
+    assert spark.read.parquet(codes_dir) \
+        .filter(F.col("vec_id") == victim).count() == 0
+    assert ivf_search_pq(spark, index_dir, _queries(spark), k=5,
+                         nprobe=N_CELLS).count() > 0
+
+    # centroid rewrite -> refuse (fingerprinted area changed)
+    with open(os.path.join(index_dir, "centroids", "_tweak"), "w") as f:
+        f.write("x")
+    with pytest.raises(ValueError, match="centroids changed"):
+        ivf_refresh_pq(spark, index_dir)
+    os.remove(os.path.join(index_dir, "centroids", "_tweak"))
+
+    marker = os.path.join(index_dir, _REBALANCE_MARKER)
+    with open(marker, "w") as f:
+        json.dump({"pid": 0}, f)
+    with pytest.raises(ValueError, match="rebalance lock"):
+        ivf_refresh_pq(spark, index_dir)
+    os.remove(marker)
+
+
+def test_refresh_removes_dead_cell_partitions(spark, index_dir):
+    """Deleting EVERY vector of a cell removes its vector partition;
+    the refresh must then drop the matching codes partition too —
+    the erasure cascade's directory-level leg."""
+    from debezium_nats_cdc_spark.operators.ann_index import _vector_scan
+    from debezium_nats_cdc_spark.operators.ann_pq import ivf_refresh_pq
+
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=1)
+    counts = (_vector_scan(spark, index_dir)
+              .groupBy("cell_id").count().collect())
+    cell = min(counts, key=lambda r: r["count"])["cell_id"]
+    victims = [r.vec_id for r in
+               _vector_scan(spark, index_dir)
+               .filter(F.col("cell_id") == cell)
+               .select("vec_id").collect()]
+    ivf_delete(spark, index_dir, victims)
+    rep = ivf_refresh_pq(spark, index_dir)
+    assert int(cell) in rep["removed_cells"]
+    codes_dir = os.path.join(_pq_dir(index_dir), "codes")
+    assert not os.path.isdir(os.path.join(codes_dir, f"cell_id={cell}"))
+    got = spark.read.parquet(codes_dir)
+    assert got.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert ivf_search_pq(spark, index_dir, _queries(spark), k=5,
+                         nprobe=N_CELLS).count() > 0
