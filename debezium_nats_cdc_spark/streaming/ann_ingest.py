@@ -153,7 +153,8 @@ class IvfStreamIngest:
 
     def run_maintenance(self, spark: SparkSession,
                         files_per_cell: float = 50.0,
-                        max_balance_ratio: float = 3.0) -> dict:
+                        max_balance_ratio: float = 3.0,
+                        refresh_pq: bool = False) -> dict:
         """Run both OPERATIONS.md §11 policy triggers against this
         index — compaction first (folding the stream area shrinks what
         a subsequent rebalance must rewrite), then the skew check.
@@ -161,7 +162,17 @@ class IvfStreamIngest:
         ``start(..., maintenance=...)`` completion hook, which
         guarantees the ops' ingest-stopped-cleanly contract.  Both
         triggers skip (never queue) under a held ``_rebalance.lock``
-        and report honestly either way."""
+        and report honestly either way.
+
+        ``refresh_pq=True`` closes the derived-store loop: when a PQ
+        attachment exists and NO swap ran this cycle, the ingested
+        epochs are re-synced incrementally (``ivf_refresh_pq`` —
+        touched cells only), so quantized reads come back fresh the
+        moment the drain completes.  After a swap (compact/rebalance)
+        the attachment was dropped wholesale, so the refresh is
+        skipped with that reason — re-attach (``ivf_attach_pq``,
+        reusing the quantizer via ``pq_model_of`` captured BEFORE
+        maintenance) is the operator's move there."""
         from ..operators.ann_index import maybe_compact, maybe_rebalance
 
         report = {
@@ -171,6 +182,18 @@ class IvfStreamIngest:
                 spark, self.index_dir,
                 max_balance_ratio=max_balance_ratio),
         }
+        if refresh_pq:
+            from ..operators.ann_pq import _pq_dir, ivf_refresh_pq
+
+            model_p = os.path.join(_pq_dir(self.index_dir), "model.json")
+            if report["compact"]["ran"] or report["rebalance"]["ran"]:
+                report["pq_refresh"] = {
+                    "skipped": "swap-maintenance-dropped-attachment"}
+            elif not get_index_fs().exists(model_p):
+                report["pq_refresh"] = {"skipped": "no-attachment"}
+            else:
+                report["pq_refresh"] = ivf_refresh_pq(spark,
+                                                      self.index_dir)
         self.last_maintenance = report
         return report
 

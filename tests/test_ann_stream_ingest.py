@@ -218,3 +218,55 @@ def test_maintenance_hook_thresholds_lock_and_trigger_guard(
 
     with pytest.raises(ValueError, match="available_now=True"):
         ing.start(spark, stream, available_now=False, maintenance={})
+
+
+def test_maintenance_hook_refreshes_pq_attachment(spark, tmp_path):
+    """refresh_pq in the completion hook (r14): ingest epochs leave
+    the attachment stale; when no swap ran, the hook re-syncs it
+    incrementally so quantized reads are fresh the moment the drain
+    completes — and when compaction DID run (attachment dropped by
+    the swap), the refresh skips with that reason instead."""
+    import pytest
+
+    from debezium_nats_cdc_spark.operators.ann_pq import (
+        ivf_attach_pq,
+        ivf_search_pq,
+    )
+
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _base(spark), d, n_cells=N_CELLS)
+    ivf_attach_pq(spark, d, m=8, k=16, rounds=1)
+    src = tmp_path / "src"
+    src.mkdir()
+    _b1(spark).coalesce(1).write.parquet(f"{src}/f0")
+    _b2(spark).coalesce(1).write.parquet(f"{src}/f1")
+    ing = IvfStreamIngest(d)
+    stream = (spark.readStream.schema(_emb(spark).schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/f*/*"))
+    ing.start(spark, stream, maintenance={"refresh_pq": True})
+    rep = ing.last_maintenance
+    assert rep["compact"]["ran"] is False  # default threshold
+    assert rep["pq_refresh"]["noop"] is False
+    assert rep["pq_refresh"]["refreshed_cells"]
+    # quantized reads are fresh with NO operator re-attach, and the
+    # quantized result covers the streamed-in vectors
+    out = ivf_search_pq(spark, d, _queries(spark), k=K,
+                        nprobe=N_CELLS, shortlist=100)
+    assert out.count() > 0
+    streamed = {r.vec_id for r in _b1(spark).select("vec_id").collect()}
+    got = {r.neighbor_id for r in out.collect()}
+    assert got & streamed  # stream epochs are searchable via codes
+
+    # swap path: a forced compact drops the attachment -> skip reason
+    ing2 = IvfStreamIngest(d)
+    ing2.checkpoint_dir = str(tmp_path / "ckpt2")
+    stream2 = (spark.readStream.schema(_emb(spark).schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{src}/f*/*"))
+    ing2.start(spark, stream2, maintenance={"files_per_cell": 0.0,
+                                            "refresh_pq": True})
+    rep2 = ing2.last_maintenance
+    assert rep2["compact"]["ran"] is True
+    assert rep2["pq_refresh"] == {
+        "skipped": "swap-maintenance-dropped-attachment"}
+    with pytest.raises(ValueError, match="run ivf_attach_pq"):
+        ivf_search_pq(spark, d, _queries(spark), k=K)
