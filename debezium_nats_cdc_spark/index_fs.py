@@ -74,6 +74,11 @@ class IndexFS(abc.ABC):
     def exists(self, path: str) -> bool:
         """Whether ``path`` exists (marker/attachment presence)."""
 
+    @abc.abstractmethod
+    def remove(self, path: str) -> None:
+        """Remove the document at ``path`` if present (idempotent) —
+        attachment invalidation before a rebuild overwrites its data."""
+
 
 class LocalIndexFS(IndexFS):
     """POSIX implementation (single-node / shared-FS deployments).
@@ -112,6 +117,12 @@ class LocalIndexFS(IndexFS):
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
 
 _INDEX_FS: IndexFS = LocalIndexFS()

@@ -152,28 +152,50 @@ def ivf_attach_pq(spark: SparkSession, index_dir: str,
         .join(vecs.select("vec_id", "cell_id"), "vec_id")
     )
     pq_root = _pq_dir(index_dir)
-    (
-        codes.repartition("cell_id")
-        .write.mode("overwrite").partitionBy("cell_id")
-        .parquet(os.path.join(pq_root, "codes"))
-    )
-    n = codes.count()
+    codes_dir = os.path.join(pq_root, "codes")
+    # invalidate any PREVIOUS attachment before its codes are
+    # overwritten: a crash (or the racing-mutation raise below)
+    # mid-re-attach must not leave the old model.json paired with
+    # codes from a DIFFERENT quantizer — every read path refuses
+    # through the whole rebuild window (code-review r14)
+    get_index_fs().remove(os.path.join(pq_root, "model.json"))
+    # pin static overwrite: under an ambient dynamic conf this write
+    # would only touch partitions present in the NEW data, leaving a
+    # fully-erased cell's old codes alive through a "fresh" re-attach
+    # — the same ambient-conf hazard ivf_add/ivf_delete pin against
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, "static")
+    spark.conf.set(conf, "static")
+    try:
+        (
+            codes.repartition("cell_id")
+            .write.mode("overwrite").partitionBy("cell_id")
+            .parquet(codes_dir)
+        )
+    finally:
+        spark.conf.set(conf, prev)
+    # count the WRITTEN files — recounting the lazy plan would run the
+    # whole encode a second time (code-review r14)
+    n = spark.read.parquet(codes_dir).count()
     if _index_fingerprint(index_dir) != fp:
-        # no model.json written -> _load_pq refuses the torn attach
+        # no model.json present -> every read refuses the torn attach
         raise ValueError(
             "ivf_attach_pq: the index mutated during the attach — "
             "codes were trained on pre-mutation data; stop "
             "ingest/maintenance and re-run")
-    get_index_fs().write_json_atomic(
-        os.path.join(pq_root, "model.json"),
-        {
-            "format": PQ_FORMAT,
-            "dim": model.dim, "m": model.m, "k": model.k,
-            "codebooks": model.codebooks,
-            "fingerprint": fp,
-        })
+    _write_model(index_dir, model, fp)
     return {"attached": n, "m": model.m, "k": model.k,
             "n_cells": meta["n_cells"]}
+
+
+def _write_model(index_dir: str, model: PqModel, fp: dict) -> None:
+    """Single writer for ``model.json`` (attach + refresh share it, so
+    the payload can never drift from ``_load_pq``'s reader)."""
+    get_index_fs().write_json_atomic(
+        os.path.join(_pq_dir(index_dir), "model.json"),
+        {"format": PQ_FORMAT, "dim": model.dim, "m": model.m,
+         "k": model.k, "codebooks": model.codebooks,
+         "fingerprint": fp})
 
 
 def _cells_of(listing: list[list]) -> dict[int, list]:
@@ -279,11 +301,7 @@ def ivf_refresh_pq(spark: SparkSession, index_dir: str) -> dict:
         raise ValueError(
             "ivf_refresh_pq: the index mutated during the refresh — "
             "stop ingest/maintenance and re-run")
-    fs.write_json_atomic(
-        os.path.join(_pq_dir(index_dir), "model.json"),
-        {"format": PQ_FORMAT, "dim": model.dim, "m": model.m,
-         "k": model.k, "codebooks": model.codebooks,
-         "fingerprint": new_fp})
+    _write_model(index_dir, model, new_fp)
     return {"refreshed_cells": stale, "removed_cells": dead,
             "noop": False}
 

@@ -62,8 +62,9 @@ from ..functions.vectors import _stack_valid
 _MAX_ADC_QUERIES = 64  # ADC LUTs are built driver-side per query
 _MAX_TRAIN_SAMPLE = 100_000  # pq_train's driver-side sample cap (rows)
 _KMEANS_BLOCK = 4096  # rows per distance block — peaks at
-#   block × k × dsub float64 (4096×256×8×8B ≈ 64 MB) instead of the
-#   full n × k × dsub tensor (100k rows × k=64 × dsub=8 would be 3.3 GB)
+#   block × k × dsub float64 (4096×256×8×8B ≈ 64 MB at k=256) instead
+#   of the full n × k × dsub tensor (100k rows × k=256 × dsub=8 ≈
+#   1.6 GB, ~2× that with the subtraction temporary)
 
 
 @dataclass

@@ -183,13 +183,21 @@ class IvfStreamIngest:
                 max_balance_ratio=max_balance_ratio),
         }
         if refresh_pq:
+            from ..operators.ann_index import _REBALANCE_MARKER
             from ..operators.ann_pq import _pq_dir, ivf_refresh_pq
 
+            fs = get_index_fs()
             model_p = os.path.join(_pq_dir(self.index_dir), "model.json")
             if report["compact"]["ran"] or report["rebalance"]["ran"]:
                 report["pq_refresh"] = {
                     "skipped": "swap-maintenance-dropped-attachment"}
-            elif not get_index_fs().exists(model_p):
+            elif fs.exists(os.path.join(self.index_dir,
+                                        _REBALANCE_MARKER)):
+                # skip-never-raise, like the two pollers above — a
+                # held claim (concurrent/crashed rebalance) must not
+                # blow up the completion hook and lose the report
+                report["pq_refresh"] = {"skipped": "rebalance-lock-held"}
+            elif not fs.exists(model_p):
                 report["pq_refresh"] = {"skipped": "no-attachment"}
             else:
                 report["pq_refresh"] = ivf_refresh_pq(spark,

@@ -330,3 +330,66 @@ def test_refresh_removes_dead_cell_partitions(spark, index_dir):
     assert got.filter(F.col("vec_id").isin(victims)).count() == 0
     assert ivf_search_pq(spark, index_dir, _queries(spark), k=5,
                          nprobe=N_CELLS).count() > 0
+
+
+def test_torn_reattach_invalidates_previous_attachment(
+        spark, index_dir, monkeypatch):
+    """Code-review r14: a torn RE-attach (crash or racing-mutation
+    raise after the codes overwrite) must not leave the PREVIOUS
+    model.json paired with codes from a different quantizer — the old
+    attachment is invalidated before its codes are touched, so every
+    read path refuses through the whole rebuild window."""
+    import debezium_nats_cdc_spark.operators.ann_pq as ann_pq_mod
+    from debezium_nats_cdc_spark.operators.ann_pq import ivf_refresh_pq
+
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=1)  # attachment A
+    real_train = ann_pq_mod.pq_train
+
+    def racing_train(*a, **kw):
+        model = real_train(*a, **kw)
+        with open(os.path.join(index_dir, "vectors", "_racer2"),
+                  "w") as f:
+            f.write("x")
+        return model
+
+    monkeypatch.setattr(ann_pq_mod, "pq_train", racing_train)
+    with pytest.raises(ValueError, match="mutated during the attach"):
+        ivf_attach_pq(spark, index_dir, m=16, k=64, rounds=1)
+    # attachment A is GONE, not resurrected over quantizer-B codes
+    with pytest.raises(ValueError, match="run ivf_attach_pq"):
+        ivf_search_pq(spark, index_dir, _queries(spark), k=5)
+    with pytest.raises(ValueError, match="run ivf_attach_pq"):
+        ivf_refresh_pq(spark, index_dir)
+
+
+def test_reattach_truncates_erased_cells_under_ambient_dynamic_conf(
+        spark, index_dir):
+    """Code-review r14: with the session left in dynamic
+    partition-overwrite mode, the attach write must still be a FULL
+    truncating overwrite — otherwise a fully-erased cell's old codes
+    (PII-derived) survive a re-attach that is stamped fresh."""
+    from debezium_nats_cdc_spark.operators.ann_index import _vector_scan
+
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=1)
+    counts = (_vector_scan(spark, index_dir)
+              .groupBy("cell_id").count().collect())
+    cell = min(counts, key=lambda r: r["count"])["cell_id"]
+    victims = [r.vec_id for r in
+               _vector_scan(spark, index_dir)
+               .filter(F.col("cell_id") == cell)
+               .select("vec_id").collect()]
+    ivf_delete(spark, index_dir, victims)
+
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf, "static")
+    spark.conf.set(conf, "dynamic")  # the ambient hazard
+    try:
+        ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=1)
+    finally:
+        spark.conf.set(conf, prev)
+    codes_dir = os.path.join(_pq_dir(index_dir), "codes")
+    assert not os.path.isdir(os.path.join(codes_dir, f"cell_id={cell}"))
+    got = spark.read.parquet(codes_dir)
+    assert got.filter(F.col("vec_id").isin(victims)).count() == 0
+    assert ivf_search_pq(spark, index_dir, _queries(spark), k=5,
+                         nprobe=N_CELLS).count() > 0

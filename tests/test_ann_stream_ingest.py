@@ -270,3 +270,28 @@ def test_maintenance_hook_refreshes_pq_attachment(spark, tmp_path):
         "skipped": "swap-maintenance-dropped-attachment"}
     with pytest.raises(ValueError, match="run ivf_attach_pq"):
         ivf_search_pq(spark, d, _queries(spark), k=K)
+
+
+def test_maintenance_refresh_skips_under_lock(spark, tmp_path):
+    """Code-review r14: the refresh leg must skip-never-raise under a
+    held rebalance lock, like the two pollers — an exception out of
+    the completion hook would lose the whole maintenance report."""
+    import json
+    import os
+
+    from debezium_nats_cdc_spark.operators.ann_index import \
+        _REBALANCE_MARKER
+    from debezium_nats_cdc_spark.operators.ann_pq import ivf_attach_pq
+
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _base(spark), d, n_cells=N_CELLS)
+    ivf_attach_pq(spark, d, m=8, k=16, rounds=1)
+    ing = IvfStreamIngest(d)
+    marker = os.path.join(d, _REBALANCE_MARKER)
+    with open(marker, "w") as f:
+        json.dump({"pid": 0}, f)
+    rep = ing.run_maintenance(spark, refresh_pq=True)
+    assert rep["compact"]["reason"] == "rebalance-lock-held"
+    assert rep["rebalance"]["reason"] == "rebalance-lock-held"
+    assert rep["pq_refresh"] == {"skipped": "rebalance-lock-held"}
+    os.remove(marker)

@@ -59,6 +59,9 @@ def test_local_index_fs_contract(tmp_path):
     assert fs.read_json(doc) == {"generation": 3, "last_epoch": 7}
     assert not os.path.exists(doc + ".tmp")
     assert fs.exists(doc) and not fs.exists(doc + ".nope")
+    fs.remove(doc)
+    fs.remove(doc)  # idempotent on absence
+    assert not fs.exists(doc)
 
 
 class _Recording(IndexFS):
@@ -87,6 +90,10 @@ class _Recording(IndexFS):
     def exists(self, path):
         self.calls.append(("exists", path))
         return self.inner.exists(path)
+
+    def remove(self, path):
+        self.calls.append(("remove", path))
+        return self.inner.remove(path)
 
 
 def test_ann_metadata_io_routes_through_seam(spark, tmp_path):
@@ -118,7 +125,7 @@ def test_ann_metadata_io_routes_through_seam(spark, tmp_path):
 
     methods = {m for m, _p in rec.calls}
     assert methods == {"listing", "count_files", "read_json",
-                       "write_json_atomic", "exists"}
+                       "write_json_atomic", "exists", "remove"}
     # the fingerprint listed all three fingerprinted areas
     listed = {p for m, p in rec.calls if m == "listing"}
     assert {os.path.join(d, "vectors"),
