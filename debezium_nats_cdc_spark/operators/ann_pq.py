@@ -240,7 +240,12 @@ def ivf_refresh_pq(spark: SparkSession, index_dir: str) -> dict:
     fingerprint commits, so a crash mid-refresh leaves ``model.json``
     carrying the old fingerprint — reads still refuse, and re-running
     the refresh converges (encode is deterministic; the same stale
-    set rewrites the same partitions).  Refuses under the rebalance
+    set rewrites the same partitions).  The same mechanism is the
+    READ FENCE: throughout the refresh window the committed
+    fingerprint matches neither the pre- nor mid-rewrite directory,
+    so a concurrent ``ivf_search_pq`` refuses rather than racing the
+    partition overwrites (the staleness guard doubles as the fence —
+    no lock needed on the read side).  Refuses under the rebalance
     lock and on a mutation racing the refresh (the attach-time
     fingerprint discipline).  A fresh attachment is a no-op.
     """
