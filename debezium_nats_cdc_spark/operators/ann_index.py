@@ -55,6 +55,30 @@ INDEX_FORMAT = "ivf-cos-decmean-v1"
 # (cell_id, _epoch) — cell_id leading so probe pruning works unchanged
 _STREAM_SUBDIR = "vectors_stream"
 _OVERWRITE_CONF_DELETE = "spark.sql.sources.partitionOverwriteMode"
+
+
+def _overwrite_mode(session, mode: str):
+    """Pin ``partitionOverwriteMode`` on the OWNING session for one
+    write (context manager).  The ambient-conf hazard this guards: a
+    caller leaving the session in the other mode silently flips an
+    overwrite between truncating (static) and partition-scoped
+    (dynamic) semantics.  One shared implementation for the five
+    write sites (add / delete / ingest / PQ attach / PQ refresh —
+    code-review r14); inside foreachBatch pass the BATCH frame's
+    session (the micro-batch clone), never the outer one — a conf set
+    elsewhere does not reach the clone's writer."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        prev = session.conf.get(_OVERWRITE_CONF_DELETE, "static")
+        session.conf.set(_OVERWRITE_CONF_DELETE, mode)
+        try:
+            yield
+        finally:
+            session.conf.set(_OVERWRITE_CONF_DELETE, prev)
+
+    return _cm()
 # Live-rebalance claim marker (ADVICE r11): written into the LIVE index
 # dir before the staging tree is built, so _recover_swap — which runs on
 # every _load_meta, including concurrent readers' ivf_search /
@@ -265,12 +289,8 @@ def ivf_add(spark: SparkSession, index_dir: str, vectors: DataFrame,
         # the restore-overwrite must truncate the WHOLE area (static
         # semantics) even if an ambient caller left the session in
         # dynamic partition-overwrite mode
-        prev = spark.conf.get(_OVERWRITE_CONF_DELETE, "static")
-        spark.conf.set(_OVERWRITE_CONF_DELETE, "static")
-        try:
+        with _overwrite_mode(spark, "static"):
             writer.parquet(area)
-        finally:
-            spark.conf.set(_OVERWRITE_CONF_DELETE, prev)
 
 
 def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
@@ -795,10 +815,7 @@ def ivf_delete(spark: SparkSession, index_dir: str, ids,
         # (fully emptied: no surviving row ever writes there again)
         kept_parts = {tuple(r) for r in
                       remaining.select(*part_cols).distinct().collect()}
-        sess = spark
-        prev = sess.conf.get(_OVERWRITE_CONF_DELETE, "static")
-        sess.conf.set(_OVERWRITE_CONF_DELETE, "dynamic")
-        try:
+        with _overwrite_mode(spark, "dynamic"):
             if kept_parts:
                 (
                     remaining.withColumn("cell_id",
@@ -807,8 +824,6 @@ def ivf_delete(spark: SparkSession, index_dir: str, ids,
                     .write.mode("overwrite").partitionBy(*part_cols)
                     .parquet(area)
                 )
-        finally:
-            sess.conf.set(_OVERWRITE_CONF_DELETE, prev)
         for p in hit_parts:
             if p not in kept_parts:
                 d = os.path.join(

@@ -60,6 +60,7 @@ from .ann_index import (
     _STREAM_SUBDIR,
     _centroids,
     _load_meta,
+    _overwrite_mode,
     _vector_scan,
 )
 from .pq import PqModel, pq_encode, pq_train
@@ -163,17 +164,12 @@ def ivf_attach_pq(spark: SparkSession, index_dir: str,
     # would only touch partitions present in the NEW data, leaving a
     # fully-erased cell's old codes alive through a "fresh" re-attach
     # — the same ambient-conf hazard ivf_add/ivf_delete pin against
-    conf = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf, "static")
-    spark.conf.set(conf, "static")
-    try:
+    with _overwrite_mode(spark, "static"):
         (
             codes.repartition("cell_id")
             .write.mode("overwrite").partitionBy("cell_id")
             .parquet(codes_dir)
         )
-    finally:
-        spark.conf.set(conf, prev)
     # count the WRITTEN files — recounting the lazy plan would run the
     # whole encode a second time (code-review r14)
     n = spark.read.parquet(codes_dir).count()
@@ -288,20 +284,24 @@ def ivf_refresh_pq(spark: SparkSession, index_dir: str) -> dict:
             pq_encode(vecs.select("vec_id", "embedding"), model)
             .join(vecs.select("vec_id", "cell_id"), "vec_id")
         )
-        conf = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(conf, "static")
-        spark.conf.set(conf, "dynamic")
-        try:
+        with _overwrite_mode(spark, "dynamic"):
             (
                 codes.repartition("cell_id")
                 .write.mode("overwrite").partitionBy("cell_id")
                 .parquet(codes_dir)
             )
-        finally:
-            spark.conf.set(conf, prev)
     for c in dead:  # data-plane removal, ivf_delete's emptied-partition shape
-        _sh.rmtree(os.path.join(codes_dir, f"cell_id={c}"),
-                   ignore_errors=True)
+        p = os.path.join(codes_dir, f"cell_id={c}")
+        _sh.rmtree(p, ignore_errors=True)
+        if os.path.isdir(p):
+            # verify BEFORE the fingerprint commits: a swallowed
+            # removal failure would otherwise stamp the attachment
+            # fresh with PII-derived codes still on disk, and a
+            # re-run would no-op on the matching fingerprint
+            # (code-review r14)
+            raise ValueError(
+                f"ivf_refresh_pq: failed to remove dead codes "
+                f"partition {p} — erasure cascade incomplete; re-run")
     if _index_fingerprint(index_dir) != new_fp:
         raise ValueError(
             "ivf_refresh_pq: the index mutated during the refresh — "
@@ -377,11 +377,21 @@ def ivf_search_pq(spark: SparkSession, index_dir: str,
     # the whole query batch); per-query probe semantics are restored
     # inside pq_search_adc via the probes pairs — a query only ranks
     # candidates from cells IT probed (ADVICE r13)
-    codes = (
-        spark.read.parquet(os.path.join(_pq_dir(index_dir), "codes"))
-        .filter(F.col("cell_id").isin(cell_lits))
-        .select("vec_id", "codes", "cell_id")
-    )
+    codes_dir = os.path.join(_pq_dir(index_dir), "codes")
+    if get_index_fs().count_files(codes_dir) == 0:
+        # a fully-erased corpus leaves a file-less codes store (every
+        # dead partition removed by the refresh) — a fresh attachment
+        # over nothing must return empty, not die on parquet schema
+        # inference (ivf_delete's zero-row-sentinel shape for the
+        # vectors area; code-review r14)
+        codes = spark.createDataFrame(
+            [], "vec_id bigint, codes array<int>, cell_id int")
+    else:
+        codes = (
+            spark.read.parquet(codes_dir)
+            .filter(F.col("cell_id").isin(cell_lits))
+            .select("vec_id", "codes", "cell_id")
+        )
     short = pq_search_adc(
         spark,
         q.select(F.col("query_id").alias("vec_id"),

@@ -59,9 +59,6 @@ from ..operators.ann_index import (
 from ..operators.similarity import _with_norm
 from .state_backend import LocalFSBackend, StateBackend
 
-_OVERWRITE_CONF = "spark.sql.sources.partitionOverwriteMode"
-
-
 class IvfStreamIngest:
     """foreachBatch sink appending assigned vectors into an existing
     IVF index's stream area, exactly-once by layout (module docstring).
@@ -128,17 +125,14 @@ class IvfStreamIngest:
         # writer (epoch N would then static-overwrite the whole area,
         # silently dropping every earlier epoch — caught by the E2E
         # test): always flip the conf on the owning session
-        sess = vectors.sparkSession
-        prev = sess.conf.get(_OVERWRITE_CONF, "static")
-        sess.conf.set(_OVERWRITE_CONF, "dynamic")
-        try:
+        from ..operators.ann_index import _overwrite_mode
+
+        with _overwrite_mode(vectors.sparkSession, "dynamic"):
             (
                 assigned.repartition("cell_id")
                 .write.mode("overwrite").partitionBy("cell_id", "_epoch")
                 .parquet(self.stream_dir)
             )
-        finally:
-            sess.conf.set(_OVERWRITE_CONF, prev)
         self._write_sidecar({"generation": side["generation"],
                              "last_epoch": epoch})
 
@@ -200,8 +194,16 @@ class IvfStreamIngest:
             elif not fs.exists(model_p):
                 report["pq_refresh"] = {"skipped": "no-attachment"}
             else:
-                report["pq_refresh"] = ivf_refresh_pq(spark,
-                                                      self.index_dir)
+                try:
+                    report["pq_refresh"] = ivf_refresh_pq(
+                        spark, self.index_dir)
+                except ValueError as e:
+                    # any refresh refusal (centroids rewritten in
+                    # place by an ivf_build, format mismatch, racing
+                    # mutation) is REPORTED, not raised — the hook's
+                    # skip-never-raise contract; the attachment keeps
+                    # refusing reads, so nothing is silently wrong
+                    report["pq_refresh"] = {"skipped": str(e)}
         self.last_maintenance = report
         return report
 

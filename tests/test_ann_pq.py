@@ -393,3 +393,27 @@ def test_reattach_truncates_erased_cells_under_ambient_dynamic_conf(
     assert got.filter(F.col("vec_id").isin(victims)).count() == 0
     assert ivf_search_pq(spark, index_dir, _queries(spark), k=5,
                          nprobe=N_CELLS).count() > 0
+
+
+def test_refresh_full_erasure_leaves_readable_empty_store(
+        spark, index_dir):
+    """Code-review r14: erasing the ENTIRE corpus and refreshing
+    removes every codes partition — the quantized read must then
+    return an empty typed frame, not die on parquet schema inference
+    over a file-less directory."""
+    from debezium_nats_cdc_spark.operators.ann_index import _vector_scan
+    from debezium_nats_cdc_spark.operators.ann_pq import ivf_refresh_pq
+
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=1)
+    everyone = [r.vec_id for r in
+                _vector_scan(spark, index_dir)
+                .select("vec_id").collect()]
+    ivf_delete(spark, index_dir, everyone)
+    rep = ivf_refresh_pq(spark, index_dir)
+    assert rep["refreshed_cells"] == []
+    assert len(rep["removed_cells"]) >= 1
+    out = ivf_search_pq(spark, index_dir, _queries(spark), k=5,
+                        nprobe=N_CELLS)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        ["query_id", "neighbor_id", "cos_sim", "rnk"]

@@ -295,3 +295,20 @@ def test_maintenance_refresh_skips_under_lock(spark, tmp_path):
     assert rep["rebalance"]["reason"] == "rebalance-lock-held"
     assert rep["pq_refresh"] == {"skipped": "rebalance-lock-held"}
     os.remove(marker)
+
+
+def test_maintenance_refresh_reports_refusals(spark, tmp_path):
+    """Code-review r14: ANY refresh refusal (here: an in-place
+    ivf_build rewrote the centroids under a surviving attachment) is
+    reported as a skip, never raised out of the completion hook."""
+    from debezium_nats_cdc_spark.operators.ann_pq import ivf_attach_pq
+
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _base(spark), d, n_cells=N_CELLS)
+    ivf_attach_pq(spark, d, m=8, k=16, rounds=1)
+    # drift remediation: in-place rebuild rewrites centroids/vectors
+    # but leaves pq/ behind
+    ivf_build(spark, _emb(spark), d, n_cells=N_CELLS)
+    ing = IvfStreamIngest(d)
+    rep = ing.run_maintenance(spark, refresh_pq=True)
+    assert "centroids changed" in rep["pq_refresh"]["skipped"]
