@@ -171,8 +171,15 @@ def ivf_attach_pq(spark: SparkSession, index_dir: str,
             .parquet(codes_dir)
         )
     # count the WRITTEN files — recounting the lazy plan would run the
-    # whole encode a second time (code-review r14)
-    n = spark.read.parquet(codes_dir).count()
+    # whole encode a second time (code-review r14).  A zero-row encode
+    # (reused model over a fully-erased index) writes a file-less dir;
+    # reading it would die on schema inference AFTER the previous
+    # model.json was already invalidated, so sentinel it to n=0 — the
+    # same empty-store shape ivf_search_pq reads back (ADVICE r14)
+    if get_index_fs().count_files(codes_dir) == 0:
+        n = 0
+    else:
+        n = spark.read.parquet(codes_dir).count()
     if _index_fingerprint(index_dir) != fp:
         # no model.json present -> every read refuses the torn attach
         raise ValueError(
@@ -245,8 +252,6 @@ def ivf_refresh_pq(spark: SparkSession, index_dir: str) -> dict:
     lock and on a mutation racing the refresh (the attach-time
     fingerprint discipline).  A fresh attachment is a no-op.
     """
-    import shutil as _sh
-
     _load_meta(index_dir)
     fs = get_index_fs()
     if fs.exists(os.path.join(index_dir, _REBALANCE_MARKER)):
@@ -290,10 +295,14 @@ def ivf_refresh_pq(spark: SparkSession, index_dir: str) -> dict:
                 .write.mode("overwrite").partitionBy("cell_id")
                 .parquet(codes_dir)
             )
-    for c in dead:  # data-plane removal, ivf_delete's emptied-partition shape
+    for c in dead:
+        # erasure-cascade removal through the seam (ADVICE r14): a
+        # direct local rmtree would silently no-op on a non-local
+        # backend, making full-cell erasure unrecoverable via refresh
+        # there — remove_tree is LIST + batch DELETE everywhere
         p = os.path.join(codes_dir, f"cell_id={c}")
-        _sh.rmtree(p, ignore_errors=True)
-        if os.path.isdir(p):
+        fs.remove_tree(p)
+        if fs.listing(p):
             # verify BEFORE the fingerprint commits: a swallowed
             # removal failure would otherwise stamp the attachment
             # fresh with PII-derived codes still on disk, and a

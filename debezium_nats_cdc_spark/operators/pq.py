@@ -99,29 +99,51 @@ def _argmin_codes(X, C, block: int = _KMEANS_BLOCK):
     return out
 
 
-def _clean_sample(vectors: DataFrame, id_col: str, emb_col: str,
-                  sample_stride: int, cap: int = _MAX_TRAIN_SAMPLE):
-    import numpy as np
-
+def _stride_rows(vectors: DataFrame, id_col: str, emb_col: str,
+                 sample_stride: int, limit: int) -> list:
     # orderBy + limit plans as a top-N (TakeOrdered), so BOTH the
-    # executors and the driver hold at most 2×cap+1 rows — the gate
-    # then fails loudly instead of training on a silently-clipped
-    # sample (ids pathologically aligned with the stride can make
-    # the pmod filter keep far more than n/stride rows).
-    rows = (
+    # executors and the driver hold at most ``limit`` rows.
+    return (
         vectors.select(F.col(id_col).alias("_id"),
                        F.col(emb_col).alias("_emb"))
         .filter(F.col("_id").isNotNull() & F.col("_emb").isNotNull())
         .filter(F.pmod(F.col("_id"), F.lit(sample_stride)) == 0)
         .orderBy("_id")
-        .limit(2 * cap + 1)
+        .limit(limit)
         .collect()
     )
+
+
+def _clean_sample(vectors: DataFrame, id_col: str, emb_col: str,
+                  sample_stride: int, cap: int = _MAX_TRAIN_SAMPLE):
+    import numpy as np
+
+    # The gate fails loudly instead of training on a silently-clipped
+    # sample (ids pathologically aligned with the stride can make the
+    # pmod filter keep far more than n/stride rows).
+    rows = _stride_rows(vectors, id_col, emb_col, sample_stride,
+                        limit=2 * cap + 1)
     if len(rows) > 2 * cap:
         raise ValueError(
             f"pq_train: stride-{sample_stride} sample exceeds "
             f"2×max_sample ({2 * cap} rows) — the id distribution "
             "defeats the stride; pass a larger sample_stride")
+    if len(rows) > cap:
+        # A mildly skew-aligned id distribution (≤2× overage) gets ONE
+        # automatic stride doubling — the doubled stride covers exactly
+        # the overage band the first gate admits — so every SUCCESS
+        # path hands ≤ cap rows to training; if the distribution
+        # defeats the doubled stride too, hard-fail rather than accept
+        # an oversized sample.
+        sample_stride *= 2
+        rows = _stride_rows(vectors, id_col, emb_col, sample_stride,
+                            limit=cap + 1)
+        if len(rows) > cap:
+            raise ValueError(
+                f"pq_train: sample still exceeds max_sample ({cap} "
+                f"rows) after re-striding to {sample_stride} — the id "
+                "distribution defeats the stride; pass a larger "
+                "sample_stride")
     dim = None
     sample = []
     for r in rows:
@@ -149,10 +171,13 @@ def pq_train(vectors: DataFrame, m: int = 8, k: int = 16,
 
     The driver-side sample is BOUNDED: with ``sample_stride=None``
     (the default) the stride is derived from a cheap count —
-    ``ceil(n / max_sample)`` — so the collect stays ≤ ``max_sample``
-    rows no matter the corpus size; an explicit stride is honored but
-    still runs under the ``2×max_sample`` hard-fail gate in
-    ``_clean_sample`` (never a whole-corpus collect either way).
+    ``ceil(n / max_sample)`` — and every SUCCESS path trains on
+    ≤ ``max_sample`` rows no matter the corpus size: an id
+    distribution mildly aligned with the stride (≤2× overage) triggers
+    one automatic stride doubling, and anything past that hard-fails
+    under ``_clean_sample``'s ``2×max_sample`` top-N gate (never a
+    whole-corpus collect either way).  An explicit stride runs under
+    the same gates.
 
     Deterministic by construction: the derived stride depends only on
     the row count, the sample is ordered by id, seeds are the first

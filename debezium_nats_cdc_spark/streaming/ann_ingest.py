@@ -197,12 +197,17 @@ class IvfStreamIngest:
                 try:
                     report["pq_refresh"] = ivf_refresh_pq(
                         spark, self.index_dir)
-                except ValueError as e:
-                    # any refresh refusal (centroids rewritten in
-                    # place by an ivf_build, format mismatch, racing
-                    # mutation) is REPORTED, not raised — the hook's
-                    # skip-never-raise contract; the attachment keeps
-                    # refusing reads, so nothing is silently wrong
+                except Exception as e:  # noqa: BLE001 — contract below
+                    # ANY refresh failure — a ValueError refusal
+                    # (centroids rewritten in place by an ivf_build,
+                    # format mismatch, racing mutation) or a
+                    # Spark-side error (AnalysisException /
+                    # Py4JJavaError from e.g. a corrupt codes
+                    # partition) — is REPORTED, not raised: the hook's
+                    # skip-never-raise contract must not lose the
+                    # compact/rebalance report above (ADVICE r14); the
+                    # attachment keeps refusing reads either way, so
+                    # nothing is silently wrong
                     report["pq_refresh"] = {"skipped": str(e)}
         self.last_maintenance = report
         return report

@@ -417,3 +417,61 @@ def test_refresh_full_erasure_leaves_readable_empty_store(
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == \
         ["query_id", "neighbor_id", "cos_sim", "rnk"]
+
+
+def test_attach_model_reuse_over_erased_index_attaches_empty(
+        spark, index_dir):
+    """ADVICE r14: re-attaching a reused quantizer over a fully-erased
+    index used to die on parquet schema inference over the file-less
+    codes dir — AFTER the previous model.json was already invalidated,
+    so the failed attach destroyed the previous attachment too.  It
+    must instead land the empty-store shape: attached=0, quantized
+    reads return the empty typed frame."""
+    from debezium_nats_cdc_spark.operators.ann_index import _vector_scan
+    from debezium_nats_cdc_spark.operators.ann_pq import pq_model_of
+
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=1)
+    model = pq_model_of(index_dir)
+    everyone = [r.vec_id for r in _vector_scan(spark, index_dir)
+                .select("vec_id").collect()]
+    ivf_delete(spark, index_dir, everyone)
+    rep = ivf_attach_pq(spark, index_dir, model=model)
+    assert rep["attached"] == 0
+    out = ivf_search_pq(spark, index_dir, _queries(spark), k=5,
+                        nprobe=N_CELLS)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        ["query_id", "neighbor_id", "cos_sim", "rnk"]
+
+
+def test_refresh_dead_cell_removal_routes_through_seam(
+        spark, index_dir):
+    """ADVICE r14: the refresh's dead-partition removal went through a
+    direct local rmtree, which silently no-ops on a non-local backend
+    and makes full-cell erasure unrecoverable via refresh there — it
+    must route through IndexFS.remove_tree like every other metadata
+    operation (the erasure-cascade completability contract)."""
+    from debezium_nats_cdc_spark.index_fs import set_index_fs
+    from debezium_nats_cdc_spark.operators.ann_index import _vector_scan
+    from debezium_nats_cdc_spark.operators.ann_pq import ivf_refresh_pq
+    from tests.test_index_fs import _Recording
+
+    ivf_attach_pq(spark, index_dir, m=8, k=16, rounds=1)
+    counts = (_vector_scan(spark, index_dir)
+              .groupBy("cell_id").count().collect())
+    cell = min(counts, key=lambda r: r["count"])["cell_id"]
+    victims = [r.vec_id for r in
+               _vector_scan(spark, index_dir)
+               .filter(F.col("cell_id") == cell)
+               .select("vec_id").collect()]
+    ivf_delete(spark, index_dir, victims)
+    rec = _Recording()
+    prev = set_index_fs(rec)
+    try:
+        rep = ivf_refresh_pq(spark, index_dir)
+    finally:
+        set_index_fs(prev)
+    assert int(cell) in rep["removed_cells"]
+    dead = os.path.join(_pq_dir(index_dir), "codes", f"cell_id={cell}")
+    assert ("remove_tree", dead) in rec.calls
+    assert not os.path.isdir(dead)

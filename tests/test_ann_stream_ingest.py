@@ -312,3 +312,33 @@ def test_maintenance_refresh_reports_refusals(spark, tmp_path):
     ing = IvfStreamIngest(d)
     rep = ing.run_maintenance(spark, refresh_pq=True)
     assert "centroids changed" in rep["pq_refresh"]["skipped"]
+
+
+def test_maintenance_refresh_reports_spark_side_failures(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r14: the hook's skip-never-raise contract only caught
+    ValueError — a Spark-side failure inside ivf_refresh_pq
+    (AnalysisException / Py4JJavaError, e.g. a corrupt codes
+    partition) propagated out of the completion hook and lost the
+    compact/rebalance report.  ANY exception is now reported."""
+    import debezium_nats_cdc_spark.operators.ann_pq as ann_pq
+    from debezium_nats_cdc_spark.operators.ann_pq import ivf_attach_pq
+    from pyspark.errors import AnalysisException
+
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _base(spark), d, n_cells=N_CELLS)
+    ivf_attach_pq(spark, d, m=8, k=16, rounds=1)
+    # an ivf_add makes the attachment stale, so the hook's refresh leg
+    # actually reaches the ivf_refresh_pq call
+    ivf_add(spark, d, _emb(spark).filter(F.col("vec_id") % 2 == 1))
+
+    def _boom(*_a, **_k):
+        raise AnalysisException("[CANNOT_READ] corrupt codes partition")
+
+    monkeypatch.setattr(ann_pq, "ivf_refresh_pq", _boom)
+    ing = IvfStreamIngest(d)
+    rep = ing.run_maintenance(spark, refresh_pq=True)
+    # the report survives, with the failure recorded on the leg
+    assert rep["compact"]["ran"] is False
+    assert "corrupt codes partition" in rep["pq_refresh"]["skipped"]
+    assert ing.last_maintenance is rep

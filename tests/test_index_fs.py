@@ -14,6 +14,7 @@ import os
 from pyspark.sql import functions as F
 
 from debezium_nats_cdc_spark.index_fs import (
+    ArrowIndexFS,
     IndexFS,
     LocalIndexFS,
     get_index_fs,
@@ -34,13 +35,16 @@ from debezium_nats_cdc_spark.streaming.ann_ingest import IvfStreamIngest
 SF = "/root/testdata/sf0.001"
 
 
-def test_local_index_fs_contract(tmp_path):
-    fs = LocalIndexFS()
+def check_index_fs_contract(fs: IndexFS, tmp_path) -> None:
+    """The full IndexFS contract, runnable against ANY backend —
+    an object-store implementation should pass this suite verbatim
+    before being installed with set_index_fs."""
     root = tmp_path / "area"
     (root / "cell_id=0").mkdir(parents=True)
     (root / "cell_id=0" / "part-0.parquet").write_bytes(b"abc")
     (root / "cell_id=0" / ".hidden.crc").write_bytes(b"x")
     (root / "_SUCCESS").write_bytes(b"")
+    (root / "_stream_epoch.json").write_bytes(b"{}")
     listing = fs.listing(str(root))
     # sorted flat [relpath, size] lists, dot-files skipped — the
     # fingerprint payload shape, pinned as a compatibility surface
@@ -48,10 +52,17 @@ def test_local_index_fs_contract(tmp_path):
     assert [os.path.join("cell_id=0", "part-0.parquet"), 3] in listing
     assert all(not os.path.basename(p).startswith(".")
                for p, _size in listing)
-    assert fs.listing(str(tmp_path / "missing")) == []
-    # count_files: data files only, bookkeeping names skipped
+    # the listing/count asymmetry is LOAD-BEARING (ADVICE/VERDICT
+    # r14): `_`-prefixed bookkeeping names ARE fingerprint payload —
+    # the epoch sidecar advancing is what invalidates a stale PQ
+    # attachment — so listing MUST include them...
+    assert [os.path.join(".", "_SUCCESS"), 0] in listing
+    assert any(os.path.basename(p) == "_stream_epoch.json"
+               for p, _size in listing)
+    # ...while count_files sizes DATA fragmentation and MUST skip them
     assert fs.count_files(str(root)) == 1
     assert fs.count_files(str(tmp_path / "missing")) == 0
+    assert fs.listing(str(tmp_path / "missing")) == []
     # JSON: None on absent, atomic publish leaves no tmp behind
     doc = str(tmp_path / "side.json")
     assert fs.read_json(doc) is None
@@ -62,6 +73,64 @@ def test_local_index_fs_contract(tmp_path):
     fs.remove(doc)
     fs.remove(doc)  # idempotent on absence
     assert not fs.exists(doc)
+    # remove_tree: recursive, raises-not-swallows semantics verified
+    # by emptiness, idempotent on absence (the erasure-cascade leg)
+    fs.remove_tree(str(root / "cell_id=0"))
+    assert fs.count_files(str(root)) == 0
+    assert not any(p.startswith("cell_id=0") for p, _s in
+                   fs.listing(str(root)))
+    fs.remove_tree(str(root / "cell_id=0"))  # idempotent
+
+
+def test_local_index_fs_contract(tmp_path):
+    check_index_fs_contract(LocalIndexFS(), tmp_path)
+
+
+def test_arrow_index_fs_contract(tmp_path):
+    """The pyarrow.fs backend — the object-store LIST/HEAD/GET/PUT
+    mapping proven against a second real filesystem implementation
+    (pyarrow's FileSystem interface is what its S3/GCS classes
+    implement), including byte-identical listing shape."""
+    check_index_fs_contract(ArrowIndexFS(), tmp_path)
+
+
+def test_recording_backend_contract(tmp_path):
+    check_index_fs_contract(_Recording(), tmp_path)
+
+
+def test_backends_fingerprint_identically(tmp_path):
+    """Cross-backend migration safety: a fingerprint recorded under
+    LocalIndexFS must compare EQUAL to one listed under ArrowIndexFS
+    over the same directory — else every PQ attachment would read as
+    stale after a backend swap."""
+    root = tmp_path / "area"
+    (root / "cell_id=3").mkdir(parents=True)
+    (root / "cell_id=3" / "part-0.parquet").write_bytes(b"abcde")
+    (root / "_SUCCESS").write_bytes(b"")
+    (root / "_stream_epoch.json").write_bytes(b'{"last_epoch": 4}')
+    (root / ".part-0.crc").write_bytes(b"x")
+    local, arrow = LocalIndexFS(), ArrowIndexFS()
+    assert local.listing(str(root)) == arrow.listing(str(root))
+    assert (local.count_files(str(root))
+            == arrow.count_files(str(root)) == 1)
+
+
+class _SymmetricSkipFS(LocalIndexFS):
+    """A plausible-but-WRONG implementation: skips `_`-prefixed names
+    in listing "for symmetry" with count_files — the exact staleness
+    hole the contract docstrings warn an object-store implementer
+    against (VERDICT r14 task 4)."""
+
+    def listing(self, root):
+        return [[p, s] for p, s in super().listing(root)
+                if not os.path.basename(p).startswith("_")]
+
+
+def test_contract_rejects_symmetric_skip_implementation(tmp_path):
+    import pytest
+
+    with pytest.raises(AssertionError):
+        check_index_fs_contract(_SymmetricSkipFS(), tmp_path)
 
 
 class _Recording(IndexFS):
@@ -94,6 +163,10 @@ class _Recording(IndexFS):
     def remove(self, path):
         self.calls.append(("remove", path))
         return self.inner.remove(path)
+
+    def remove_tree(self, root):
+        self.calls.append(("remove_tree", root))
+        return self.inner.remove_tree(root)
 
 
 def test_ann_metadata_io_routes_through_seam(spark, tmp_path):

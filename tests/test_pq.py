@@ -221,3 +221,32 @@ def test_adc_probes_restrict_per_query(spark):
     assert rows
     for r in rows:
         assert r.neighbor_id % 2 == r.query_id
+
+
+def test_skew_aligned_ids_restride_once_to_cap(spark):
+    """ADVICE r14: an id distribution mildly aligned with the derived
+    stride (every id a stride multiple, <= 2x overage) used to hand up
+    to 2x max_sample rows to training despite the docstring's
+    <= max_sample claim — one automatic stride doubling now restores
+    the bound on every success path, and a distribution that defeats
+    the doubled stride too hard-fails instead of oversampling."""
+    from debezium_nats_cdc_spark.operators.pq import _clean_sample
+
+    def frame(mult, n):
+        rows = [(mult * i, [float(i % 7) + j for j in range(8)])
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<double>")
+
+    # ids all even, stride 2 -> 16 rows pass the pmod (> cap 10);
+    # the single doubling to stride 4 keeps the 8 ids % 4 == 0
+    S, dim = _clean_sample(frame(2, 16), "vec_id", "embedding",
+                           sample_stride=2, cap=10)
+    assert S.shape[0] == 8 and dim == 8
+    # same shape through the public auto-stride path (ceil(16/10) = 2)
+    model = pq_train(frame(2, 16), m=8, k=2, rounds=1, max_sample=10)
+    assert model.dim == 8
+    # ids all multiples of 4 defeat the doubled stride too -> hard-fail
+    with pytest.raises(ValueError, match="re-striding"):
+        _clean_sample(frame(4, 16), "vec_id", "embedding",
+                      sample_stride=2, cap=10)
