@@ -23,7 +23,11 @@ than the published reporting window minus the trailing-window width can
 no longer affect any published aggregate and are dropped — or moves to
 the per-day HLL sketch state of the sibling
 ``approx_engagement_monitor`` (state <= #days at any user volume)
-where approximate WAU is acceptable.
+where approximate WAU is acceptable.  The handoff point is MEASURED
+(SCALING.md r14) and guarded live: :meth:`EngagementMonitor.
+maybe_handoff` polls the state size from parquet footers after every
+fold and warns on ``alerts`` when it crosses the configured
+threshold (VERDICT r14 task 3).
 
 Layout: one swap-written parquet table — (user_id, event_day) rows plus
 a single ``event_day IS NULL`` meta row carrying ``last_epoch`` — the
@@ -54,6 +58,32 @@ class EngagementMonitor(SwapStateMonitor):
     _VALUE_COLS = ("user_id", "event_day")
     _META_COL = "event_day"
 
+    #: Default state-size handoff threshold, in (user, day) rows.
+    #: OPERATIONS.md §9's cutover rule is "exact while the day frame
+    #: fits comfortably in one shuffle (<= low-billions of user-day
+    #: rows)"; the measured basis (SCALING.md r14,
+    #: tools/ab_engagement_tier.py) is that at 100x users the exact
+    #: tier's per-fold state-keyed shuffle cost 5.68x its sf0.1
+    #: wall-clock while the HLL sketch tier's stayed near-flat at
+    #: 1.48x — the regime change this guard warns ahead of.  1e9 sits
+    #: a decade inside the prose rule's ceiling, so the warning fires
+    #: while the exact tier is still healthy enough to drain and swap.
+    HANDOFF_STATE_ROWS = 1_000_000_000
+
+    def __init__(self, root, backend=None, ts_col: str = "ts",
+                 user_col: str = "user_id",
+                 handoff_state_rows: int | None = None):
+        super().__init__(root, backend=backend, ts_col=ts_col,
+                         user_col=user_col)
+        self.handoff_state_rows = (
+            self.HANDOFF_STATE_ROWS if handoff_state_rows is None
+            else handoff_state_rows)
+        #: The monitor's alert/report channel (the HealthState.alerts
+        #: shape): each fired handoff warning is appended here, and the
+        #: latest poll report is kept in ``last_handoff``.
+        self.alerts: list[str] = []
+        self.last_handoff: dict | None = None
+
     def scored(self, spark: SparkSession) -> DataFrame:
         """DAU/WAU/stickiness of everything ingested so far — the
         columns and values of ``events_dau_wau`` over the full ingested
@@ -68,6 +98,59 @@ class EngagementMonitor(SwapStateMonitor):
         # on the source column's type
         return user_days(events, self.user_col, self.ts_col).select(
             F.col("user_id").cast("bigint").alias("user_id"), "event_day")
+
+    def maybe_handoff(self, spark: SparkSession,
+                      max_state_rows: int | None = None) -> dict:
+        """State-size guard (VERDICT r14 task 3): warn when the exact
+        tier's distinct-(user, day) state crosses the configured
+        threshold — the measured regime change where the per-fold
+        state-keyed shuffle stops scaling (5.68x at 100x users vs the
+        sketch tier's 1.48x; SCALING.md r14) — so the deployment swaps
+        to ``approx_engagement_monitor`` (state <= #days) or bounds
+        the horizon with :meth:`expire_before` BEFORE folds degrade.
+
+        The poll is storage-metadata only (parquet footers via the
+        backend — no Spark job, the ``maybe_compact`` cheapness
+        discipline), so it runs after every fold for free.  The
+        warning lands on ``self.alerts`` — the monitor's report
+        channel, same shape as ``HealthState.alerts`` — and the full
+        report in ``last_handoff``; skip-never-raise, like the
+        maintenance pollers."""
+        threshold = (self.handoff_state_rows if max_state_rows is None
+                     else max_state_rows)
+        try:
+            self.backend.recover(self.state_dir)
+            # footer total includes the single meta row
+            n = max(0, self.backend.data_rows(self.state_dir) - 1)
+        except Exception as e:  # noqa: BLE001 — poll must not kill folds
+            report = {"state_rows": None, "threshold": threshold,
+                      "handoff_advised": False, "skipped": str(e)}
+            self.last_handoff = report
+            return report
+        report = {"state_rows": n, "threshold": threshold,
+                  "handoff_advised": threshold is not None
+                  and n > threshold}
+        if report["handoff_advised"]:
+            report["warning"] = (
+                f"engagement state holds {n} (user, day) rows > "
+                f"threshold {threshold}: the exact tier's per-fold "
+                "state-keyed shuffle measured 5.68x wall at 100x users "
+                "vs 1.48x for the HLL sketch tier (SCALING.md r14) — "
+                "swap to streaming/approx_engagement_monitor (state <= "
+                "#days) or bound the horizon with expire_before "
+                "(OPERATIONS.md §9)")
+            self.alerts.append(report["warning"])
+        self.last_handoff = report
+        return report
+
+    def _swap_state(self, spark: SparkSession, rows: DataFrame,
+                    epoch: int) -> None:
+        # every state mutation (fold, expiry, compaction) lands here,
+        # so polling after the super write keeps the guard current
+        # batch-by-batch at footer-read cost
+        super()._swap_state(spark, rows, epoch)
+        if self.handoff_state_rows is not None:
+            self.maybe_handoff(spark)
 
     def expire_before(self, spark: SparkSession, oldest_report_day) -> None:
         """Reporting-horizon state bound — the production cap the module

@@ -53,6 +53,15 @@ class StateBackend(abc.ABC):
         0 when the table does not exist."""
 
     @abc.abstractmethod
+    def data_rows(self, table_dir: str) -> int:
+        """Total row count of the table from STORAGE METADATA only —
+        parquet footers here, a catalog statistic on a table-format
+        backend; 0 when the table does not exist.  Must not run a
+        Spark job: this is the state-size guard's per-fold poll
+        (``EngagementMonitor.maybe_handoff``), the ``maybe_compact``
+        names-only cheapness discipline."""
+
+    @abc.abstractmethod
     def swap_write(self, df: DataFrame, table_dir: str) -> None:
         """Atomically replace the table's contents with ``df``.
         Must be crash-safe: a reader either sees the old or the new
@@ -113,6 +122,17 @@ class LocalFSBackend(StateBackend):
                        if f.endswith(".parquet"))
         except FileNotFoundError:
             return 0
+
+    def data_rows(self, table_dir: str) -> int:
+        import pyarrow.parquet as pq
+
+        try:
+            names = os.listdir(table_dir)  # symlinks resolve, so the
+        except FileNotFoundError:          # generation backend inherits
+            return 0
+        return sum(
+            pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows
+            for f in names if f.endswith(".parquet"))
 
     def swap_write(self, df: DataFrame, table_dir: str) -> None:
         """Overwrite via staging-dir swap (idempotent publish).

@@ -194,3 +194,48 @@ def test_approx_tier_envelope_property(spark, tmp_path):
         for r in approx:
             assert (r.dau, r.wau) == exact[r.event_day], r.event_day
             assert r.dau_within_20pct and r.wau_within_20pct, r
+
+
+def test_handoff_guard_fires_above_threshold_silent_below(
+        spark, tmp_path):
+    """VERDICT r14 task 3: the measured exact-vs-sketch crossover
+    (5.68x vs 1.48x per-fold wall at 100x users, SCALING.md r14) wired
+    into the monitor as a state-size guard — silent below the
+    threshold, a documented handoff warning on the alerts channel
+    above it, polled from parquet footers (no Spark job) after every
+    fold."""
+    mon = EngagementMonitor(str(tmp_path / "mon"), handoff_state_rows=4)
+    # B1 folds to 3 distinct (user, day) rows: below 4 -> silent
+    mon.process_batch(spark, _events(spark, B1), epoch_id=0)
+    assert mon.alerts == []
+    assert mon.last_handoff == {"state_rows": 3, "threshold": 4,
+                                "handoff_advised": False}
+    # B2 lifts it to 6 > 4 -> exactly one warning, report updated
+    mon.process_batch(spark, _events(spark, B2), epoch_id=1)
+    assert mon.last_handoff["state_rows"] == 6
+    assert mon.last_handoff["handoff_advised"] is True
+    assert len(mon.alerts) == 1
+    assert "approx_engagement_monitor" in mon.alerts[0]
+    assert "expire_before" in mon.alerts[0]
+    # the guard never perturbs the scored result
+    expect = _truth(spark, tmp_path / "truth", B1 + B2)
+    assert _rows(mon.scored(spark)) == _rows(expect)
+    # standalone poll with an explicit threshold overrides the default
+    rep = mon.maybe_handoff(spark, max_state_rows=100)
+    assert rep == {"state_rows": 6, "threshold": 100,
+                   "handoff_advised": False}
+
+
+def test_handoff_guard_default_threshold_is_documented_and_silent(
+        spark, tmp_path):
+    """The default threshold sits a decade inside OPERATIONS.md §9's
+    low-billions cutover prose, so ordinary volumes never warn; a
+    fresh monitor polls 0 rows without a state table."""
+    mon = EngagementMonitor(str(tmp_path / "mon"))
+    assert mon.handoff_state_rows == 1_000_000_000
+    rep = mon.maybe_handoff(spark)
+    assert rep == {"state_rows": 0,
+                   "threshold": 1_000_000_000,
+                   "handoff_advised": False}
+    mon.process_batch(spark, _events(spark, B1), epoch_id=0)
+    assert mon.alerts == []
