@@ -226,3 +226,42 @@ def test_maintenance_polls_use_seam(spark, tmp_path):
     assert ("count_files", os.path.join(d, "vectors_stream")) in rec.calls
     assert any(m == "exists" and p.endswith("_rebalance.lock")
                for m, p in rec.calls)
+
+
+def test_ann_flow_end_to_end_under_arrow_backend(spark, tmp_path):
+    """The second backend through the REAL flow, not just the contract
+    suite: build -> ingest -> attach -> quantized search -> refresh
+    with a dead cell (the remove_tree leg) under ArrowIndexFS, with
+    results equal to the LocalIndexFS run of the same flow."""
+    from debezium_nats_cdc_spark.operators.ann_index import ivf_delete
+    from debezium_nats_cdc_spark.operators.ann_pq import (
+        ivf_refresh_pq,
+        ivf_search_pq,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    results = {}
+    for name, fs in (("local", LocalIndexFS()), ("arrow", ArrowIndexFS())):
+        d = str(tmp_path / f"ivf_{name}")
+        prev = set_index_fs(fs)
+        try:
+            ivf_build(spark, emb.filter(F.col("vec_id") % 2 == 0),
+                      d, n_cells=8)
+            ing = IvfStreamIngest(d)
+            ing.process_batch(
+                spark, emb.filter(F.col("vec_id") % 2 == 1), epoch_id=0)
+            ivf_attach_pq(spark, d, m=8, k=16, rounds=1)
+            # a small deletion leaves the attachment stale; the refresh
+            # re-syncs it (and exercises remove_tree if a cell empties)
+            ivf_delete(spark, d, [11, 13])
+            rep = ivf_refresh_pq(spark, d)
+            assert rep["noop"] is False
+            out = ivf_search_pq(spark, d,
+                                emb.filter(F.col("vec_id") < 4),
+                                k=3, nprobe=8)
+            results[name] = sorted(
+                (r.query_id, r.neighbor_id, r.rnk) for r in out.collect())
+        finally:
+            set_index_fs(prev)
+    assert results["arrow"] == results["local"]
+    assert len(results["arrow"]) > 0
