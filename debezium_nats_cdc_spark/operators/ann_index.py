@@ -830,6 +830,17 @@ def ivf_delete(spark: SparkSession, index_dir: str, ids,
                     area, *[f"{c}={v}" for c, v in zip(part_cols, p)])
                 if os.path.isdir(d):
                     _sh.rmtree(d, ignore_errors=True)
+                    if os.path.isdir(d):
+                        # verify, don't trust (the ivf_refresh_pq
+                        # dead-cell discipline, r15): a swallowed
+                        # removal failure here would report PII rows
+                        # as deleted while their partition stays
+                        # readable — raise instead; the erasure is
+                        # idempotent, so re-run converges
+                        raise ValueError(
+                            f"ivf_delete: failed to remove emptied "
+                            f"partition {d} — erasure incomplete; "
+                            "re-run")
                     parts_removed += 1
         # Fully-emptied partitions (ADVICE r11): the loop above removes
         # the leaf dirs, which can leave empty cell_id= shells (stream

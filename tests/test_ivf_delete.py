@@ -159,3 +159,30 @@ def test_delete_mismatched_id_type_casts_or_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="do not cast"):
         ivf_delete(spark, d, bad)
     assert _vector_scan(spark, d).count() == pre - 2  # nothing erased
+
+
+def test_delete_raises_when_partition_removal_fails(
+        spark, tmp_path, monkeypatch):
+    """r15 (the ivf_refresh_pq dead-cell discipline): a swallowed
+    removal failure must RAISE, not report PII rows as deleted while
+    their partition stays readable on disk.  Idempotent — the re-run
+    with working removal converges."""
+    import shutil
+
+    import pytest
+
+    d = str(tmp_path / "ivf")
+    ivf_build(spark, _emb(spark), d, n_cells=N_CELLS)
+    cell3 = [r.vec_id for r in
+             _vector_scan(spark, d).select("vec_id", "cell_id")
+             .filter(F.col("cell_id").cast("int") == 3).collect()]
+    real_rmtree = shutil.rmtree
+    monkeypatch.setattr(shutil, "rmtree", lambda *a, **k: None)
+    with pytest.raises(ValueError, match="erasure incomplete"):
+        ivf_delete(spark, d, cell3)
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    rep = ivf_delete(spark, d, cell3)  # re-run converges
+    assert not os.path.isdir(os.path.join(d, "vectors", "cell_id=3"))
+    remaining = set(r.vec_id for r in
+                    _vector_scan(spark, d).select("vec_id").collect())
+    assert not remaining & set(cell3)
