@@ -192,7 +192,13 @@ class ArrowIndexFS(IndexFS):
     def _infos(self, root: str):
         sel = self._pafs.FileSelector(root, recursive=True,
                                       allow_not_found=True)
-        return self.fs.get_file_info(sel)
+        try:
+            return self.fs.get_file_info(sel)
+        except NotADirectoryError:
+            # a root that exists as a regular FILE: LocalIndexFS's
+            # os.walk yields nothing there, so parity demands []/0,
+            # not a raise (code-review r15)
+            return []
 
     def listing(self, root: str) -> list[list]:
         out: list[list] = []

@@ -129,21 +129,18 @@ def _clean_sample(vectors: DataFrame, id_col: str, emb_col: str,
             f"2×max_sample ({2 * cap} rows) — the id distribution "
             "defeats the stride; pass a larger sample_stride")
     if len(rows) > cap:
-        # A mildly skew-aligned id distribution (≤2× overage) gets ONE
-        # automatic stride doubling — the doubled stride covers exactly
-        # the overage band the first gate admits — so every SUCCESS
-        # path hands ≤ cap rows to training; if the distribution
-        # defeats the doubled stride too, hard-fail rather than accept
-        # an oversized sample.
-        sample_stride *= 2
-        rows = _stride_rows(vectors, id_col, emb_col, sample_stride,
-                            limit=cap + 1)
-        if len(rows) > cap:
-            raise ValueError(
-                f"pq_train: sample still exceeds max_sample ({cap} "
-                f"rows) after re-striding to {sample_stride} — the id "
-                "distribution defeats the stride; pass a larger "
-                "sample_stride")
+        # A skew-aligned id distribution (≤2× overage) slipped past the
+        # stride.  len(rows) ≤ 2×cap < the collect's limit, so `rows`
+        # provably already holds EVERY stride-matching row — halve it
+        # DRIVER-SIDE by id-order position instead of re-striding with
+        # a second Spark pass: pmod with a doubled stride depends on
+        # the id distribution (ids ≡ s mod 2s match NOTHING doubled —
+        # a spurious empty sample; one stray multiple would train a
+        # silently degenerate 1-row codebook), while positional
+        # halving is distribution-free, deterministic (rows are
+        # id-ordered), and lands ceil(len/2) ≤ cap every time
+        # (code-review r15).
+        rows = rows[::2]
     dim = None
     sample = []
     for r in rows:
@@ -173,11 +170,12 @@ def pq_train(vectors: DataFrame, m: int = 8, k: int = 16,
     (the default) the stride is derived from a cheap count —
     ``ceil(n / max_sample)`` — and every SUCCESS path trains on
     ≤ ``max_sample`` rows no matter the corpus size: an id
-    distribution mildly aligned with the stride (≤2× overage) triggers
-    one automatic stride doubling, and anything past that hard-fails
-    under ``_clean_sample``'s ``2×max_sample`` top-N gate (never a
-    whole-corpus collect either way).  An explicit stride runs under
-    the same gates.
+    distribution mildly aligned with the stride (≤2× overage, which
+    the top-N collect provably holds in full) is halved driver-side
+    by id-order position, and anything past that hard-fails under
+    ``_clean_sample``'s ``2×max_sample`` gate (never a whole-corpus
+    collect either way).  An explicit stride runs under the same
+    gates.
 
     Deterministic by construction: the derived stride depends only on
     the row count, the sample is ordered by id, seeds are the first

@@ -70,13 +70,18 @@ class EngagementMonitor(SwapStateMonitor):
     #: while the exact tier is still healthy enough to drain and swap.
     HANDOFF_STATE_ROWS = 1_000_000_000
 
+    #: constructor sentinel: "use the class default" — distinct from
+    #: None, which DISABLES the per-fold poll (code-review r15)
+    _DEFAULT_HANDOFF = object()
+
     def __init__(self, root, backend=None, ts_col: str = "ts",
                  user_col: str = "user_id",
-                 handoff_state_rows: int | None = None):
+                 handoff_state_rows=_DEFAULT_HANDOFF):
         super().__init__(root, backend=backend, ts_col=ts_col,
                          user_col=user_col)
         self.handoff_state_rows = (
-            self.HANDOFF_STATE_ROWS if handoff_state_rows is None
+            self.HANDOFF_STATE_ROWS
+            if handoff_state_rows is self._DEFAULT_HANDOFF
             else handoff_state_rows)
         #: The monitor's alert/report channel (the HealthState.alerts
         #: shape): each fired handoff warning is appended here, and the
@@ -113,9 +118,11 @@ class EngagementMonitor(SwapStateMonitor):
         backend — no Spark job, the ``maybe_compact`` cheapness
         discipline), so it runs after every fold for free.  The
         warning lands on ``self.alerts`` — the monitor's report
-        channel, same shape as ``HealthState.alerts`` — and the full
-        report in ``last_handoff``; skip-never-raise, like the
-        maintenance pollers."""
+        channel, same shape as ``HealthState.alerts``, edge-triggered
+        (one alert per below→above crossing) — and the full report in
+        ``last_handoff`` every poll; skip-never-raise, like the
+        maintenance pollers.  Construct with
+        ``handoff_state_rows=None`` to disable the per-fold poll."""
         threshold = (self.handoff_state_rows if max_state_rows is None
                      else max_state_rows)
         try:
@@ -139,7 +146,15 @@ class EngagementMonitor(SwapStateMonitor):
                 "swap to streaming/approx_engagement_monitor (state <= "
                 "#days) or bound the horizon with expire_before "
                 "(OPERATIONS.md §9)")
-            self.alerts.append(report["warning"])
+            # edge-triggered: one alert per BELOW->ABOVE crossing, not
+            # one per fold — a stream living above the threshold must
+            # not grow the channel without bound or bury other signals
+            # (code-review r15); the standing advice stays readable in
+            # last_handoff["warning"] every poll
+            was_above = bool(self.last_handoff
+                             and self.last_handoff.get("handoff_advised"))
+            if not was_above:
+                self.alerts.append(report["warning"])
         self.last_handoff = report
         return report
 

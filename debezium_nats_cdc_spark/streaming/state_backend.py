@@ -126,13 +126,17 @@ class LocalFSBackend(StateBackend):
     def data_rows(self, table_dir: str) -> int:
         import pyarrow.parquet as pq
 
-        try:
-            names = os.listdir(table_dir)  # symlinks resolve, so the
-        except FileNotFoundError:          # generation backend inherits
-            return 0
-        return sum(
-            pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows
-            for f in names if f.endswith(".parquet"))
+        # recursive, like has_data: a table written with
+        # append(partition_by=...) keeps its files in partition
+        # subdirectories, and the contract promises the TABLE's count,
+        # not the top level's (code-review r15).  os.walk follows the
+        # generation backend's symlink via followlinks.
+        n = 0
+        for r, _dirs, files in os.walk(table_dir, followlinks=True):
+            n += sum(
+                pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+                for f in files if f.endswith(".parquet"))
+        return n
 
     def swap_write(self, df: DataFrame, table_dir: str) -> None:
         """Overwrite via staging-dir swap (idempotent publish).

@@ -217,12 +217,19 @@ def test_handoff_guard_fires_above_threshold_silent_below(
     assert len(mon.alerts) == 1
     assert "approx_engagement_monitor" in mon.alerts[0]
     assert "expire_before" in mon.alerts[0]
+    # edge-triggered (code-review r15): a further fold that STAYS
+    # above the threshold reports the advice but does not append a
+    # duplicate alert — the channel records crossings, not folds
+    mon.process_batch(spark, _events(spark, B3), epoch_id=2)
+    assert mon.last_handoff["handoff_advised"] is True
+    assert "warning" in mon.last_handoff
+    assert len(mon.alerts) == 1
     # the guard never perturbs the scored result
-    expect = _truth(spark, tmp_path / "truth", B1 + B2)
+    expect = _truth(spark, tmp_path / "truth", B1 + B2 + B3)
     assert _rows(mon.scored(spark)) == _rows(expect)
     # standalone poll with an explicit threshold overrides the default
     rep = mon.maybe_handoff(spark, max_state_rows=100)
-    assert rep == {"state_rows": 6, "threshold": 100,
+    assert rep == {"state_rows": 8, "threshold": 100,
                    "handoff_advised": False}
 
 
@@ -239,3 +246,19 @@ def test_handoff_guard_default_threshold_is_documented_and_silent(
                    "handoff_advised": False}
     mon.process_batch(spark, _events(spark, B1), epoch_id=0)
     assert mon.alerts == []
+
+
+def test_handoff_guard_none_disables_the_per_fold_poll(
+        spark, tmp_path):
+    """code-review r15: None must genuinely disable the guard (the
+    default comes from a distinct sentinel) — no poll, no report, no
+    footer reads after folds."""
+    mon = EngagementMonitor(str(tmp_path / "mon"),
+                            handoff_state_rows=None)
+    assert mon.handoff_state_rows is None
+    mon.process_batch(spark, _events(spark, B1), epoch_id=0)
+    assert mon.last_handoff is None and mon.alerts == []
+    # an explicit standalone poll still works (threshold None -> never
+    # advised) and records its report
+    rep = mon.maybe_handoff(spark)
+    assert rep["handoff_advised"] is False and rep["state_rows"] == 3

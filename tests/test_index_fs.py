@@ -36,9 +36,12 @@ SF = "/root/testdata/sf0.001"
 
 
 def check_index_fs_contract(fs: IndexFS, tmp_path) -> None:
-    """The full IndexFS contract, runnable against ANY backend —
-    an object-store implementation should pass this suite verbatim
-    before being installed with set_index_fs."""
+    """The full IndexFS contract.  Fixtures are materialized on the
+    LOCAL filesystem, so this runs verbatim against any backend that
+    resolves local paths (LocalIndexFS, ArrowIndexFS over local/NFS,
+    delegating wrappers); a remote object-store implementation should
+    port the fixture setup to its own PUT primitive and then assert
+    the same contract before being installed with set_index_fs."""
     root = tmp_path / "area"
     (root / "cell_id=0").mkdir(parents=True)
     (root / "cell_id=0" / "part-0.parquet").write_bytes(b"abc")
@@ -63,6 +66,10 @@ def check_index_fs_contract(fs: IndexFS, tmp_path) -> None:
     assert fs.count_files(str(root)) == 1
     assert fs.count_files(str(tmp_path / "missing")) == 0
     assert fs.listing(str(tmp_path / "missing")) == []
+    # a root that exists as a regular FILE lists empty, like a missing
+    # one — backends must not raise (code-review r15 parity pin)
+    assert fs.listing(str(root / "_SUCCESS")) == []
+    assert fs.count_files(str(root / "_SUCCESS")) == 0
     # JSON: None on absent, atomic publish leaves no tmp behind
     doc = str(tmp_path / "side.json")
     assert fs.read_json(doc) is None

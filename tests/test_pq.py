@@ -223,30 +223,44 @@ def test_adc_probes_restrict_per_query(spark):
         assert r.neighbor_id % 2 == r.query_id
 
 
-def test_skew_aligned_ids_restride_once_to_cap(spark):
-    """ADVICE r14: an id distribution mildly aligned with the derived
-    stride (every id a stride multiple, <= 2x overage) used to hand up
-    to 2x max_sample rows to training despite the docstring's
-    <= max_sample claim — one automatic stride doubling now restores
-    the bound on every success path, and a distribution that defeats
-    the doubled stride too hard-fails instead of oversampling."""
+def test_skew_aligned_ids_halve_driver_side_to_cap(spark):
+    """ADVICE r14 + code-review r15: an id distribution aligned with
+    the derived stride (<= 2x overage) used to hand up to 2x
+    max_sample rows to training despite the docstring's <= max_sample
+    claim.  The overage is now halved DRIVER-SIDE by id-order position
+    — distribution-free, so it can neither spuriously empty the sample
+    (ids ≡ s mod 2s would match NOTHING under a doubled-stride pmod)
+    nor silently train a degenerate near-empty codebook (one stray
+    2s-multiple would have been the whole sample)."""
     from debezium_nats_cdc_spark.operators.pq import _clean_sample
 
-    def frame(mult, n):
-        rows = [(mult * i, [float(i % 7) + j for j in range(8)])
-                for i in range(n)]
+    def frame(ids):
+        rows = [(i, [float(i % 7) + j for j in range(8)]) for i in ids]
         return spark.createDataFrame(
             rows, "vec_id bigint, embedding array<double>")
 
-    # ids all even, stride 2 -> 16 rows pass the pmod (> cap 10);
-    # the single doubling to stride 4 keeps the 8 ids % 4 == 0
-    S, dim = _clean_sample(frame(2, 16), "vec_id", "embedding",
+    # ids all even, stride 2 -> 16 rows pass the pmod (> cap 10) -> 8
+    even = [2 * i for i in range(16)]
+    S, dim = _clean_sample(frame(even), "vec_id", "embedding",
                            sample_stride=2, cap=10)
     assert S.shape[0] == 8 and dim == 8
     # same shape through the public auto-stride path (ceil(16/10) = 2)
-    model = pq_train(frame(2, 16), m=8, k=2, rounds=1, max_sample=10)
+    model = pq_train(frame(even), m=8, k=2, rounds=1, max_sample=10)
     assert model.dim == 8
-    # ids all multiples of 4 defeat the doubled stride too -> hard-fail
-    with pytest.raises(ValueError, match="re-striding"):
-        _clean_sample(frame(4, 16), "vec_id", "embedding",
-                      sample_stride=2, cap=10)
+    # the doubled-stride failure modes (code-review r15, reproduced
+    # against the re-stride variant):
+    # (a) ids ≡ 2 (mod 4): a doubled pmod stride matched NOTHING ->
+    #     "no valid vectors"; positional halving keeps 8
+    odd_aligned = [4 * i + 2 for i in range(16)]
+    S, _ = _clean_sample(frame(odd_aligned), "vec_id", "embedding",
+                         sample_stride=2, cap=10)
+    assert S.shape[0] == 8
+    # (b) same set plus one multiple of 4: the doubled stride trained
+    #     a silently degenerate 1-row sample; halving keeps 9 of 17
+    S, _ = _clean_sample(frame(odd_aligned + [4]), "vec_id",
+                         "embedding", sample_stride=2, cap=10)
+    assert S.shape[0] == 9
+    # > 2x cap still hard-fails at the collect gate (never oversamples)
+    with pytest.raises(ValueError, match="exceeds"):
+        _clean_sample(frame(list(range(0, 64, 2))), "vec_id",
+                      "embedding", sample_stride=2, cap=10)
