@@ -25,7 +25,7 @@ inside the timed section (the query fn performs it eagerly), so the
 ratio covers the fold loop, not just the final scoring read.
 
 Usage: python tools/scale_heavy_probe.py [reps] [q1,q2,...]
-         [--replicas=N]
+         [--replicas=N] [--tables=events,orders,documents,embeddings]
 Writes replicated tables under /tmp/sparkgraft_heavy{N}x/ and prints
 one JSON line per query with (sf0.1 s, Nx s, ratio).  --replicas=100
 is the r14 second-decade construction (VERDICT r13 stretch 7): same
@@ -50,6 +50,13 @@ REPLICAS = int(next((a.split("=", 1)[1] for a in sys.argv[1:]
                      if a.startswith("--replicas=")), 10))
 BIG_DIR = f"/tmp/sparkgraft_heavy{REPLICAS}x"
 REPS = int(_pos[0]) if _pos else 3
+# --tables=a,b restricts which fact tables replicate (r15): a probe of
+# the embedding family alone should not pay the 100x documents build
+# (the regexp suffix pass dominates the whole run).  Dims are always
+# symlinked; default replicates everything, the pre-r15 behavior.
+TABLES = set(next((a.split("=", 1)[1].split(",") for a in sys.argv[1:]
+                   if a.startswith("--tables=")),
+                  ["events", "orders", "documents", "embeddings"]))
 
 # r13: widened from the 12-query heavy family to the full measured
 # top-20 of BENCH_r12 plus the new ANN lifecycle query — the second
@@ -90,6 +97,23 @@ def build_big(spark) -> None:
         shutil.rmtree(BIG_DIR)
     os.makedirs(BIG_DIR, exist_ok=True)
 
+    if "events" in TABLES:
+        _build_events(spark, F, load_table)
+    if "orders" in TABLES:
+        _build_orders(spark, F, load_table)
+    if "documents" in TABLES:
+        _build_documents(spark, F, load_table)
+    if "embeddings" in TABLES:
+        _build_embeddings(spark, F, load_table)
+
+    # small dims some curation queries touch: symlink the originals
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        src = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(src):
+            os.symlink(src, f"{BIG_DIR}/{t}.parquet")
+
+
+def _build_events(spark, F, load_table) -> None:
     ev = load_table(spark, SF_DIR, "events")
     _union_replicas([
         ev.select(
@@ -99,6 +123,8 @@ def build_big(spark) -> None:
         for i in range(REPLICAS)
     ]).write.mode("overwrite").parquet(f"{BIG_DIR}/events.parquet")
 
+
+def _build_orders(spark, F, load_table) -> None:
     od = load_table(spark, SF_DIR, "orders")
     _union_replicas([
         od.withColumn("o_orderkey", F.col("o_orderkey") + i * 10**9)
@@ -116,6 +142,8 @@ def build_big(spark) -> None:
         for i in range(REPLICAS)
     ]).write.mode("overwrite").parquet(f"{BIG_DIR}/lineitem.parquet")
 
+
+def _build_documents(spark, F, load_table) -> None:
     # per-replica token suffix keeps replica shingle spaces DISJOINT
     # (see module docstring) while preserving per-replica dup structure
     docs = load_table(spark, SF_DIR, "documents")
@@ -137,17 +165,13 @@ def build_big(spark) -> None:
         _doc_replica(i) for i in range(REPLICAS)
     ]).write.mode("overwrite").parquet(f"{BIG_DIR}/documents.parquet")
 
+
+def _build_embeddings(spark, F, load_table) -> None:
     emb = load_table(spark, SF_DIR, "embeddings")
     _union_replicas([
         emb.withColumn("vec_id", F.col("vec_id") + i * 10**9)
         for i in range(REPLICAS)
     ]).write.mode("overwrite").parquet(f"{BIG_DIR}/embeddings.parquet")
-
-    # small dims some curation queries touch: symlink the originals
-    for t in ("region", "nation", "customer", "supplier", "part"):
-        src = f"{SF_DIR}/{t}.parquet"
-        if os.path.exists(src):
-            os.symlink(src, f"{BIG_DIR}/{t}.parquet")
 
 
 def main() -> None:
