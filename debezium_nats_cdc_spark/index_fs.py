@@ -190,15 +190,17 @@ class ArrowIndexFS(IndexFS):
         self.fs = fs if fs is not None else pafs.LocalFileSystem()
 
     def _infos(self, root: str):
+        # pre-check the root type instead of catching a backend's
+        # errno mapping: only the POSIX LocalFileSystem surfaces a
+        # file-as-root as NotADirectoryError — S3/GCS/HDFS raise their
+        # own IOError flavors — and LocalIndexFS parity demands []/0
+        # there, never a raise (code-review r15, both passes).  One
+        # extra HEAD per listing, object-store-cheap.
+        if self.fs.get_file_info(root).type != self._pafs.FileType.Directory:
+            return []
         sel = self._pafs.FileSelector(root, recursive=True,
                                       allow_not_found=True)
-        try:
-            return self.fs.get_file_info(sel)
-        except NotADirectoryError:
-            # a root that exists as a regular FILE: LocalIndexFS's
-            # os.walk yields nothing there, so parity demands []/0,
-            # not a raise (code-review r15)
-            return []
+        return self.fs.get_file_info(sel)
 
     def listing(self, root: str) -> list[list]:
         out: list[list] = []

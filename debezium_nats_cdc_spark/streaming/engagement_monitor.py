@@ -88,6 +88,9 @@ class EngagementMonitor(SwapStateMonitor):
         #: latest poll report is kept in ``last_handoff``.
         self.alerts: list[str] = []
         self.last_handoff: dict | None = None
+        # edge state for the CONFIGURED-threshold alert (see
+        # maybe_handoff) — deliberately not derived from last_handoff
+        self._handoff_was_above = False
 
     def scored(self, spark: SparkSession) -> DataFrame:
         """DAU/WAU/stickiness of everything ingested so far — the
@@ -119,17 +122,24 @@ class EngagementMonitor(SwapStateMonitor):
         discipline), so it runs after every fold for free.  The
         warning lands on ``self.alerts`` — the monitor's report
         channel, same shape as ``HealthState.alerts``, edge-triggered
-        (one alert per below→above crossing) — and the full report in
-        ``last_handoff`` every poll; skip-never-raise, like the
-        maintenance pollers.  Construct with
-        ``handoff_state_rows=None`` to disable the per-fold poll."""
-        threshold = (self.handoff_state_rows if max_state_rows is None
+        (one alert per below→above crossing of the CONFIGURED
+        threshold; an ad-hoc poll with an explicit ``max_state_rows``
+        is report-only and neither alerts nor re-arms the edge) — and
+        the full report in ``last_handoff`` every poll;
+        skip-never-raise, like the maintenance pollers.  Construct
+        with ``handoff_state_rows=None`` to disable the per-fold
+        poll."""
+        configured = max_state_rows is None
+        threshold = (self.handoff_state_rows if configured
                      else max_state_rows)
         try:
             self.backend.recover(self.state_dir)
             # footer total includes the single meta row
             n = max(0, self.backend.data_rows(self.state_dir) - 1)
         except Exception as e:  # noqa: BLE001 — poll must not kill folds
+            # NB: a skipped poll leaves the edge state untouched — a
+            # transient FS error must not re-arm the alert and grow
+            # the channel on the next fold (code-review r15 #2)
             report = {"state_rows": None, "threshold": threshold,
                       "handoff_advised": False, "skipped": str(e)}
             self.last_handoff = report
@@ -146,15 +156,20 @@ class EngagementMonitor(SwapStateMonitor):
                 "swap to streaming/approx_engagement_monitor (state <= "
                 "#days) or bound the horizon with expire_before "
                 "(OPERATIONS.md §9)")
+        if configured:
             # edge-triggered: one alert per BELOW->ABOVE crossing, not
             # one per fold — a stream living above the threshold must
-            # not grow the channel without bound or bury other signals
-            # (code-review r15); the standing advice stays readable in
-            # last_handoff["warning"] every poll
-            was_above = bool(self.last_handoff
-                             and self.last_handoff.get("handoff_advised"))
-            if not was_above:
+            # not grow the channel without bound or bury other signals.
+            # The edge state is a DEDICATED flag scoped to the
+            # configured threshold, updated only by definite verdicts
+            # of configured polls: deriving it from last_handoff let
+            # ad-hoc explicit-threshold polls (or a skipped poll)
+            # swallow a real crossing or re-arm a duplicate
+            # (code-review r15 #2); the standing advice stays readable
+            # in last_handoff["warning"] every poll either way
+            if report["handoff_advised"] and not self._handoff_was_above:
                 self.alerts.append(report["warning"])
+            self._handoff_was_above = report["handoff_advised"]
         self.last_handoff = report
         return report
 

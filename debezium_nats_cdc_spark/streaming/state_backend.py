@@ -129,13 +129,21 @@ class LocalFSBackend(StateBackend):
         # recursive, like has_data: a table written with
         # append(partition_by=...) keeps its files in partition
         # subdirectories, and the contract promises the TABLE's count,
-        # not the top level's (code-review r15).  os.walk follows the
-        # generation backend's symlink via followlinks.
+        # not the top level's (code-review r15).  `_`/`.`-prefixed
+        # dirs and files are PRUNED: Spark's committer stages in-flight
+        # task files under `_temporary/` with half-written footers a
+        # concurrent poll must not open (only atomically-committed
+        # names count — the index_fs count_files convention).  os.walk
+        # resolves the generation backend's symlink at the root;
+        # followlinks stays False so a subdir cycle cannot loop.
         n = 0
-        for r, _dirs, files in os.walk(table_dir, followlinks=True):
+        for r, dirs, files in os.walk(table_dir):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
             n += sum(
                 pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
-                for f in files if f.endswith(".parquet"))
+                for f in files
+                if f.endswith(".parquet")
+                and not f.startswith(("_", ".")))
         return n
 
     def swap_write(self, df: DataFrame, table_dir: str) -> None:

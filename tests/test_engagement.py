@@ -262,3 +262,28 @@ def test_handoff_guard_none_disables_the_per_fold_poll(
     # advised) and records its report
     rep = mon.maybe_handoff(spark)
     assert rep["handoff_advised"] is False and rep["state_rows"] == 3
+
+
+def test_handoff_edge_state_immune_to_adhoc_polls(spark, tmp_path):
+    """code-review r15 pass 2: the alert edge is scoped to the
+    CONFIGURED threshold.  An ad-hoc explicit-threshold poll is
+    report-only — it must neither swallow the next genuine crossing
+    (old bug: a tighter ad-hoc poll set last_handoff advised=True and
+    the real crossing never alerted) nor re-arm a duplicate (old bug:
+    a looser ad-hoc poll reset the edge while state stayed above)."""
+    mon = EngagementMonitor(str(tmp_path / "mon"), handoff_state_rows=4)
+    mon.process_batch(spark, _events(spark, B1), epoch_id=0)  # 3 rows
+    # tighter ad-hoc poll: advised in the REPORT, but no alert and no
+    # edge arming
+    rep = mon.maybe_handoff(spark, max_state_rows=2)
+    assert rep["handoff_advised"] is True and "warning" in rep
+    assert mon.alerts == []
+    # the genuine crossing of the configured threshold still alerts
+    mon.process_batch(spark, _events(spark, B2), epoch_id=1)  # 6 > 4
+    assert len(mon.alerts) == 1
+    # looser ad-hoc poll while above: must not reset the edge...
+    rep = mon.maybe_handoff(spark, max_state_rows=100)
+    assert rep["handoff_advised"] is False
+    # ...so the next fold (still above) does not append a duplicate
+    mon.process_batch(spark, _events(spark, B3), epoch_id=2)  # 8 > 4
+    assert len(mon.alerts) == 1

@@ -416,3 +416,31 @@ def test_pipeline_compaction_history_is_time_travelable(spark, tmp_root,
             read_state(spark, dirs2, "employees").collect()}
     got = {tuple(r) for r in old.collect()}
     assert got == want
+
+
+def test_data_rows_skips_staging_and_counts_recursively(tmp_path):
+    """code-review r15 pass 2: data_rows must count the TABLE
+    (partition subdirs included) while pruning `_`/`.`-prefixed
+    bookkeeping — Spark's `_temporary/` staging holds half-written
+    footers a concurrent poll must not open."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from debezium_nats_cdc_spark.streaming.state_backend import (
+        LocalFSBackend,
+    )
+
+    root = tmp_path / "table"
+    (root / "day=1").mkdir(parents=True)
+    (root / "_temporary" / "0" / "task").mkdir(parents=True)
+    pq.write_table(pa.table({"x": [1, 2, 3]}),
+                   root / "part-0.parquet")
+    pq.write_table(pa.table({"x": [4, 5]}),
+                   root / "day=1" / "part-1.parquet")
+    # a half-written footer in staging and a dot-file: both ignored
+    (root / "_temporary" / "0" / "task" / "part-2.parquet").write_bytes(
+        b"PAR1garbage-no-footer")
+    (root / ".part-0.parquet.crc").write_bytes(b"x")
+    b = LocalFSBackend()
+    assert b.data_rows(str(root)) == 5
+    assert b.data_rows(str(tmp_path / "missing")) == 0

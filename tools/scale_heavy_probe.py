@@ -54,9 +54,18 @@ REPS = int(_pos[0]) if _pos else 3
 # the embedding family alone should not pay the 100x documents build
 # (the regexp suffix pass dominates the whole run).  Dims are always
 # symlinked; default replicates everything, the pre-r15 behavior.
+_KNOWN_TABLES = {"events", "orders", "documents", "embeddings"}
 TABLES = set(next((a.split("=", 1)[1].split(",") for a in sys.argv[1:]
                    if a.startswith("--tables=")),
-                  ["events", "orders", "documents", "embeddings"]))
+                  sorted(_KNOWN_TABLES)))
+# validate BEFORE build_big's rmtree: a typo must not wipe an existing
+# expensive 100x build and then construct nothing (code-review r15).
+# NB "lineitem" is not a name here — it replicates WITH "orders" (the
+# FK-preserving key shift needs both).
+_unknown = TABLES - _KNOWN_TABLES
+if _unknown:
+    sys.exit(f"scale_heavy_probe: unknown --tables names {sorted(_unknown)}; "
+             f"known: {sorted(_KNOWN_TABLES)} (lineitem builds with orders)")
 
 # r13: widened from the 12-query heavy family to the full measured
 # top-20 of BENCH_r12 plus the new ANN lifecycle query — the second
