@@ -76,6 +76,10 @@ if _unknown:
 # trick exists for vectors), so all 10 replicas of a vector share its
 # LSH bucket and candidate pairs grow ~quadratically in replica count;
 # that measures a planted-duplicate explosion, not 10x volume.
+# Also excluded (r15): text_bm25_topk — its FIXED query literals
+# cannot match the per-replica-suffixed tokens, so a replicated run
+# measures the empty-tf path, not retrieval at volume (tfidf_topk is
+# fine: its terms are corpus-derived, not fixed).
 QUERIES = (_pos[1].split(",") if len(_pos) > 1 else [
     "dedup_cluster_assign_delta", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_exact_substring", "dedup_prefix_cluster",
