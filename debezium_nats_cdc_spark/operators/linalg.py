@@ -99,34 +99,41 @@ def covariance_cells(spark: SparkSession, vectors: DataFrame) -> DataFrame:
     # so the heavy projection parallelizes; on a real cluster with
     # many input splits this is still wanted for even task sizing.
     v = vectors.repartition(sess_parts)
-    # Canonicalize every element to the engine-wide 6dp DECIMAL once.
+    # Canonicalize every element to the engine-wide 6dp DECIMAL once —
+    # into a MATERIALIZED column (r16): the previous inline `xs`
+    # expression was referenced inside the nested pair lambdas, and
+    # Spark does no CSE across lambda boundaries (the doc_shingles
+    # lesson), so the d-element round+cast re-ran per OUTER element —
+    # d^2 canonicalizations per row instead of d.
     xs = F.transform(
         "embedding",
         lambda c: F.round(c.cast("double"), 6).cast("decimal(14,6)"),
     )
-    # Upper-triangle pairs per row, built JVM-side as a projection:
-    # d^2 structs filtered to the j>=i half with both elements non-NULL.
+    v = v.select(xs.alias("_xs"))
+    xsc = F.col("_xs")
+    # Upper-triangle pairs per row, built JVM-side as a projection —
+    # directly as the j>=i half via slice (r16: the full d^2 build +
+    # triangle filter did 2x the struct work to throw half away).
     # NULL elements drop BEFORE pairing: a pair row with a NULL element
     # would inflate n_pairs (COUNT(*)) while contributing nothing to
     # the sums, biasing cov's denominator — each cell must see exactly
     # the rows its sums see.  Ragged vectors contribute only the dim
-    # pairs they have (the nested transform ranges over the actual
-    # array length row by row).
+    # pairs they have (slice clips to the actual array length row by
+    # row, and the outer transform ranges over it).
     pair_arr = F.filter(
         F.flatten(F.transform(
-            xs,
+            xsc,
             lambda xa, i: F.transform(
-                xs,
+                F.slice(xsc, i + 1, F.size(xsc)),
                 lambda xb, j: F.struct(
                     i.cast("int").alias("dim_i"),
-                    j.cast("int").alias("dim_j"),
+                    (i + j).cast("int").alias("dim_j"),
                     xa.alias("xa"),
                     xb.alias("xb"),
                 ),
             ),
         )),
-        lambda p: (p["dim_j"] >= p["dim_i"])
-                  & p["xa"].isNotNull() & p["xb"].isNotNull(),
+        lambda p: p["xa"].isNotNull() & p["xb"].isNotNull(),
     )
     pairs = (
         v.select(F.explode(pair_arr).alias("p"))
