@@ -93,20 +93,54 @@ def _meta_path(index_dir: str) -> Path:
     return Path(index_dir, "_meta.json")
 
 
+def _cents_nested(cents: DataFrame) -> DataFrame:
+    """The whole centroid set as ONE nested-array row — the broadcast-
+    small-dims shape (n_cells is bounded by construction at every call
+    site): `array_sort` makes the array order deterministic (cell_id
+    leads the struct), though downstream argmax/sort consumers are
+    order-independent anyway."""
+    return cents.agg(F.array_sort(F.collect_list(
+        F.struct("cell_id", "c_emb", "c_norm"))).alias("_cents"))
+
+
+def _best_cell(emb_col: str, norm_col: str) -> F.Column:
+    """argmax over the `_cents` nested array: max struct ordered
+    (cos, -cell_id) reproduces the previous row_number window's
+    ``desc(cos) NULLS LAST, asc(cell_id)`` pick exactly (verified side
+    by side incl. NULL/NaN cosines and decimal ties)."""
+    def scored(c):
+        cos = F.round(
+            _pair_cos(c["c_emb"], F.col(emb_col),
+                      c["c_norm"], F.col(norm_col)), 6
+        ).cast("decimal(10,6)")
+        return F.struct(cos.alias("cos"),
+                        (-c["cell_id"]).alias("_neg"),
+                        c["cell_id"].alias("cell_id"))
+
+    return F.array_max(F.transform(F.col("_cents"), scored))
+
+
 def _assign(vectors: DataFrame, cents: DataFrame,
             id_col: str = "vec_id") -> DataFrame:
-    """Nearest centroid per vector (6dp cosine, id tiebreak)."""
-    cos = F.round(
-        _pair_cos(F.col("c_emb"), F.col("embedding"),
-                  F.col("c_norm"), F.col("_norm")), 6
-    ).cast("decimal(10,6)")
-    w = W.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell_id"))
+    """Nearest centroid per vector (6dp cosine, id tiebreak).
+
+    The centroid set is bounded by n_cells at every call site (build's
+    quantizer, add/ingest reading ``centroids/``, rebalance's split
+    pairs), so it rides in as ONE broadcast nested-array row and the
+    argmax happens per vector row as a projection.  The previous form
+    paid a per-vector row_number window — an exchange of N x n_cells
+    rows, embedding arrays included, at every build / add / ingest /
+    rebalance call (guide §2.4: remove shuffles outright); this form
+    broadcasts one row and shuffles nothing.  The final
+    ``cell_id IS NOT NULL`` filter only fires for an EMPTY centroid
+    set (array_max over zero scored structs), matching the old inner
+    join's empty output there."""
+    best = _best_cell("embedding", "_norm")
     return (
-        vectors.join(F.broadcast(cents))
-        .withColumn("cos", cos)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "embedding", "_norm", "cell_id")
+        vectors.join(F.broadcast(_cents_nested(cents)))
+        .select(id_col, "embedding", "_norm",
+                best["cell_id"].alias("cell_id"))
+        .filter(F.col("cell_id").isNotNull())
     )
 
 
@@ -332,17 +366,32 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
         .filter(F.size("embedding") == meta["dim"])
     ).select("query_id", F.col("embedding").alias("q_emb"),
              F.col("_norm").alias("q_norm"))
-    pcos = F.round(
-        _pair_cos(F.col("c_emb"), F.col("q_emb"),
-                  F.col("c_norm"), F.col("q_norm")), 6
-    ).cast("decimal(10,6)")
-    w_probe = W.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("cell_id"))
+    # Probe selection as a projection over the ONE broadcast nested-
+    # centroid row: per query, sort the (pcos, -cell_id) struct array
+    # desc and take the first nprobe — exactly the row_number window's
+    # `desc(pcos) NULLS LAST, asc(cell_id)` top-nprobe, without the
+    # query_id exchange that shuffled Q x n_cells embedding rows
+    # (guide §2.4).  An empty centroid set yields an empty scored
+    # array, and the inner explode then drops the query row — the old
+    # join's empty output.
+    def _scored(c):
+        pcos = F.round(
+            _pair_cos(c["c_emb"], F.col("q_emb"),
+                      c["c_norm"], F.col("q_norm")), 6
+        ).cast("decimal(10,6)")
+        return F.struct(pcos.alias("pcos"),
+                        (-c["cell_id"]).alias("_neg"),
+                        c["cell_id"].alias("cell_id"))
+
+    probe_cells = F.transform(
+        F.slice(F.sort_array(F.transform(F.col("_cents"), _scored),
+                             asc=False),
+                1, nprobe),
+        lambda s: s["cell_id"])
     probes = (
-        q.join(F.broadcast(cents))
-        .withColumn("pcos", pcos)
-        .withColumn("_rn", F.row_number().over(w_probe))
-        .filter(F.col("_rn") <= nprobe)
-        .select("query_id", "q_emb", "q_norm", "cell_id")
+        q.join(F.broadcast(_cents_nested(cents)))
+        .select("query_id", "q_emb", "q_norm",
+                F.explode(probe_cells).alias("cell_id"))
     )
     # the engine session disables partition-column type inference (a
     # STRING event_month contract elsewhere), so the partition column

@@ -98,7 +98,9 @@ class CohortMonitor(SwapStateMonitor):
                 F.date_trunc("week", F.col(self.ts_col)).cast("date")
                  .alias("wk"),
             )
-            .distinct()
+            # no batch-side distinct: the fold's union.distinct()
+            # collapses the same duplicates in its own exchange (and
+            # still partial-aggregates map-side) — one shuffle per fold
         )
 
     def expire_before(self, spark: SparkSession, oldest_report_week,

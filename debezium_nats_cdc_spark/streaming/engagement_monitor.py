@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.engagement import _WINDOW_DAYS as _WINDOW_DAYS_STATE
-from ..operators.engagement import dau_wau, user_days
+from ..operators.engagement import dau_wau
 from ._monitor_base import SwapStateMonitor
 
 _STATE_SCHEMA = "user_id bigint, event_day date, last_epoch bigint"
@@ -103,9 +103,17 @@ class EngagementMonitor(SwapStateMonitor):
         # cast the configurable user column to the state schema's bigint
         # explicitly (ADVICE r10), mirroring FunnelMonitor._batch_rows —
         # unionByName against the parquet state schema must not depend
-        # on the source column's type
-        return user_days(events, self.user_col, self.ts_col).select(
-            F.col("user_id").cast("bigint").alias("user_id"), "event_day")
+        # on the source column's type.  user_days' projection is inlined
+        # WITHOUT its distinct: the fold's own union.distinct() collapses
+        # the same duplicates (and still partial-aggregates map-side), so
+        # a batch-side distinct was a redundant exchange per fold.
+        return (
+            events
+            .filter(F.col(self.user_col).isNotNull()
+                    & F.col(self.ts_col).isNotNull())
+            .select(F.col(self.user_col).cast("bigint").alias("user_id"),
+                    F.to_date(self.ts_col).alias("event_day"))
+        )
 
     def maybe_handoff(self, spark: SparkSession,
                       max_state_rows: int | None = None) -> dict:

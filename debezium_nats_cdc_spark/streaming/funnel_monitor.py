@@ -149,8 +149,14 @@ class FunnelMonitor(SwapStateMonitor):
             return F.array_min(
                 F.transform(F.filter(evs, pred), lambda e: e["ts_us"]))
 
+        # collect_SET, not collect_list: the per-user set IS the distinct
+        # projection, so the fold's separate union.distinct() exchange is
+        # unnecessary (_MERGE_DISTINCT = False below) — dedup rides the
+        # user_id exchange this aggregation already pays.  Downstream is
+        # order-independent (array_min over filtered transforms), so
+        # set vs list ordering cannot change any gate.
         out = rows.groupBy("user_id").agg(
-            F.collect_list(F.struct("event_type", "ts_us")).alias("_evs"))
+            F.collect_set(F.struct("event_type", "ts_us")).alias("_evs"))
         prev = None
         for i, name in enumerate(self.stages, start=1):
             out = out.withColumn(
@@ -181,8 +187,11 @@ class FunnelMonitor(SwapStateMonitor):
             return k
         return self._explode_kept(self._gated(rows), keep)
 
-    # dominance pruning rides the shared fold between merge and write
+    # dominance pruning rides the shared fold between merge and write;
+    # its collect_set already collapses duplicates, so the base fold's
+    # union.distinct() exchange is skipped (one shuffle per fold, not two)
     _post_merge = _prune
+    _MERGE_DISTINCT = False
 
     def compact(self, spark: SparkSession, watermark_us: int) -> None:
         """Watermark finalization — the production state bound the
