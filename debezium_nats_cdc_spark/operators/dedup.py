@@ -242,13 +242,19 @@ def _candidate_pairs(rows: DataFrame, key_cols: list[str],
     # for a CPU-bound expand at any scale.
     rows = rows.repartition(
         rows.sparkSession.sparkContext.defaultParallelism, *key_cols)
+    # ONE unordered window spec for all bucket stats: doc_id is unique
+    # within a bucket (postings are distinct per doc by construction),
+    # so min(struct(doc_id, extras)) IS the ordered-first anchor row —
+    # and an unordered spec lets the window sort on the bucket key
+    # alone, where the previous ordered first() forced a second window
+    # exec sorted by (key, doc_id) over every posting (r16).
     w_part = W.partitionBy(*key_cols)
-    w_ord = W.partitionBy(*key_cols).orderBy("doc_id")
+    anchor_s = F.min(F.struct("doc_id", *extras)).over(w_part)
     tagged = rows.select(
         *key_cols, "doc_id", *extras,
         F.count(F.lit(1)).over(w_part).cast("long").alias("_df"),
-        F.min("doc_id").over(w_part).alias("_anchor"),
-        *[F.first(c).over(w_ord).alias(f"_anchor_{c}") for c in extras],
+        anchor_s["doc_id"].alias("_anchor"),
+        *[anchor_s[c].alias(f"_anchor_{c}") for c in extras],
     )
     obs = Observation()
     _DROP_OBS[op] = (obs, tagged.agg(*_drop_metric_exprs()))

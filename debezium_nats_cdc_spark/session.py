@@ -51,12 +51,24 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply engine-required runtime confs to an externally-owned session."""
+    """Apply engine-required runtime confs to an externally-owned session.
+
+    Memoized per session object: ``load_table`` calls this on EVERY
+    table load (the driver owns the session, so the engine cannot
+    assume the confs were ever set), and the ~11 ``conf.set`` py4j
+    round trips cost ~10 ms per load — a measurable tax across a
+    100-query bench for confs that never change (r16).  Engine code
+    that flips a conf mid-session (``_overwrite_mode``) restores it and
+    touches keys outside this static set, so a one-shot apply is safe.
+    """
+    if getattr(spark, "_graft_runtime_confs_applied", False):
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this build — rely on session defaults
+    spark._graft_runtime_confs_applied = True
     return spark
 
 
