@@ -738,7 +738,23 @@ def ivf_compact(spark: SparkSession, index_dir: str) -> dict:
     if not (os.path.isdir(sdir) and any(
             e.name.startswith("cell_id=") for e in os.scandir(sdir))):
         return {"compacted": 0, "n_cells": meta["n_cells"]}
-    n_stream = spark.read.parquet(sdir).count()
+    # report size from parquet FOOTERS, not a Spark count job — the
+    # stream area's committed files carry exact row counts in metadata
+    # (the LocalFSBackend.data_rows / maybe_compact names-only
+    # cheapness discipline); `_`/`.`-prefixed entries are pruned so an
+    # in-flight committer staging file is never opened
+    import pyarrow.parquet as _pq
+
+    n_stream = 0
+    for r, dirs, files in os.walk(sdir):
+        # Spark's hidden-path rule: `_`/`.`-prefixed entries are skipped
+        # UNLESS they contain '=' (partition dirs like `_epoch=0-0`)
+        dirs[:] = [d for d in dirs
+                   if "=" in d or not d.startswith(("_", "."))]
+        n_stream += sum(
+            _pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+            for f in files
+            if f.endswith(".parquet") and not f.startswith(("_", ".")))
 
     staging = index_dir + ".rebalancing"
     Path(index_dir, _REBALANCE_MARKER).write_text(

@@ -97,7 +97,12 @@ class IvfStreamIngest:
     # -- writes --------------------------------------------------------
     def process_batch(self, spark: SparkSession, vectors: DataFrame,
                       epoch_id: int | None = None) -> None:
-        vectors = vectors.localCheckpoint(eager=True)
+        # LAZY checkpoint (the _monitor_base discipline, r16): the batch
+        # is consumed at most twice — the emptiness probe's limit-1 scan,
+        # then the assignment write, which materializes the cache as it
+        # goes — so the eager form's dedicated materialization job per
+        # micro-batch bought nothing
+        vectors = vectors.localCheckpoint(eager=False)
         if vectors.isEmpty():
             return
         side = self._sidecar()
