@@ -302,3 +302,39 @@ def test_add_casts_to_area_element_type(spark, tmp_path):
     got = _vector_scan(spark, d)
     assert got.filter(F.col("vec_id") == 9001).count() == 1
     assert got.count() == load_table(spark, SF, "embeddings").count() + 1
+
+
+def test_assign_projection_matches_window_semantics(spark):
+    """The r16 nested-broadcast argmax must reproduce the retired
+    row_number window's pick — `desc(cos) NULLS LAST, asc(cell_id)` —
+    on every edge class: clear winner, exact decimal tie (lowest cell
+    wins), a NULL-cosine centroid (zero norm) losing to any scored one,
+    and an all-NULL row (NULL/zero-norm vector) landing in the LOWEST
+    cell.  A plain struct-ordering change in Spark would silently flip
+    assignments; this pins the semantics, not just end-to-end search."""
+    from debezium_nats_cdc_spark.operators.ann_index import _assign
+
+    cents = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1.0),
+            (2, [1.0, 0.0], 1.0),   # duplicate of cell 1: exact tie
+            (3, [0.0, 1.0], 1.0),
+            (4, [0.0, 0.0], 0.0),   # zero-norm: NULL cosine everywhere
+        ],
+        "cell_id int, c_emb array<double>, c_norm double")
+    vecs = _with_norm(spark.createDataFrame(
+        [
+            (10, [2.0, 0.0]),    # ties cells 1 and 2 -> lowest (1)
+            (11, [0.0, 3.0]),    # clear winner cell 3
+            (12, [0.0, 0.0]),    # zero norm: all cosines NULL -> cell 1
+        ],
+        "vec_id bigint, embedding array<double>"))
+    got = {r["vec_id"]: r["cell_id"]
+           for r in _assign(vecs, cents).collect()}
+    assert got == {10: 1, 11: 3, 12: 1}, got
+
+    # empty centroid set: the old inner join produced NO rows
+    empty = spark.createDataFrame([],
+                                  "cell_id int, c_emb array<double>, "
+                                  "c_norm double")
+    assert _assign(vecs, empty).count() == 0

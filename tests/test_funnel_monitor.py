@@ -293,3 +293,32 @@ def test_prune_plan_is_one_shuffle_no_joins(spark, tmp_path):
         "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
         "BroadcastNestedLoopJoin", "CartesianProduct") if n in plan]
     assert join_nodes == [], (join_nodes, plan)
+
+
+def test_fold_dedups_duplicates_without_merge_distinct(spark, tmp_path):
+    """The r16 fold skips the union.distinct() exchange because the
+    dominance prune's per-user collect_SET collapses the same
+    duplicates (_MERGE_DISTINCT = False).  Feed exact duplicate rows
+    inside one batch AND re-send state rows in the next: the state
+    value rows must come out set-distinct and the score must equal the
+    batch kernel over the unique union — the exact contract the
+    distinct used to provide."""
+    dup_b1 = [
+        (1, "view", _t(0)), (1, "view", _t(0)), (1, "view", _t(0)),
+        (1, "click", _t(2)), (1, "click", _t(2)),
+        (2, "view", _t(1)),
+    ]
+    dup_b2 = [
+        (1, "view", _t(0)),          # re-sends a state row verbatim
+        (1, "purchase", _t(5)), (1, "purchase", _t(5)),
+        (2, "view", _t(1)),          # duplicate of its own B1 row
+    ]
+    mon = FunnelMonitor(str(tmp_path / "mon"))
+    mon.process_batch(spark, _events(spark, dup_b1), epoch_id=0)
+    mon.process_batch(spark, _events(spark, dup_b2), epoch_id=1)
+    state = [(r["user_id"], r["event_type"], r["ts_us"])
+             for r in mon.state_rows(spark).collect()]
+    assert len(state) == len(set(state)), state
+    expect = _batch_ground_truth(
+        spark, tmp_path, list(dict.fromkeys(dup_b1 + dup_b2)))
+    assert _rows(mon.scored(spark)) == _rows(expect)
