@@ -302,7 +302,11 @@ def ivf_refresh_pq(spark: SparkSession, index_dir: str) -> dict:
         # there — remove_tree is LIST + batch DELETE everywhere
         p = os.path.join(codes_dir, f"cell_id={c}")
         fs.remove_tree(p)
-        if fs.listing(p):
+        # exists(), not listing(): listing skips dot-prefixed names by
+        # contract, so a removal failure leaving only dot-files behind
+        # would pass a listing-based check with the directory still
+        # present — weaker than the raise message claims (ADVICE r15)
+        if fs.exists(p):
             # verify BEFORE the fingerprint commits: a swallowed
             # removal failure would otherwise stamp the attachment
             # fresh with PII-derived codes still on disk, and a
