@@ -108,70 +108,70 @@ def _load_modules() -> None:
 # on-phase half).  Result: every query is driver-green in round N or
 # N−1, by construction.
 #
-# Round-15 plan (ODD phase, per the r14 verdict task 1 + the r14
-# rotation statement in COVERAGE.md).  The 50 ODD-half queries lead
-# the window verbatim in their CORRECTNESS_r13 artifact order — all
-# 50 were r13-green in the driver artifact AND 100/100 green in the
-# repo's own STRICT_r14 sweep on the final r14 tree, so rule B
+# Round-17 plan (ODD phase, per the r16 verdict + the r16 rotation
+# statement in COVERAGE.md).  The 50 ODD-half queries lead the window
+# verbatim in their CORRECTNESS_r15 artifact order — all 50 were
+# r15-green in the driver artifact AND 100/100 green in the repo's own
+# STRICT_r16 sweep on the final r16 tree, so rule B
 # (oldest-green-first) selects exactly this set with no slack slots.
-# Rule A check is recorded per touched module in COVERAGE.md's r15
+# Rule A check is recorded per touched module in COVERAGE.md's r17
 # rotation statement (modules touched this round that DEFINE catalog
 # queries must appear below; touched DEPENDENCIES of out-of-window
 # queries get a local strict re-verify instead).
-# Out of window (50): the whole EVEN half — the CORRECTNESS_r14 key
-# set verbatim, all r14-green; they rotate back in r16.
+# Out of window (50): the whole EVEN half — the CORRECTNESS_r16 key
+# set verbatim, all r16-green; they rotate back in r18.
 # Catalog total: 100 = two exact 50-query halves.
 _WINDOW_ORDER: list[str] = [
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_exact_substring",
-    "dedup_prefix_cluster",
-    "dedup_exact_survivors",
-    "dedup_cluster_assign_delta",
-    "corpus_train_split",
-    "corpus_stratified_sample",
-    "corpus_pack_sequences",
-    "corpus_lang_mix",
-    "corpus_quality_weighted_sample",
-    "corpus_global_shuffle",
-    "mm_feature_extract",
-    "mm_doc_embedding_join",
-    "window_latest_state_per_key",
-    "window_topk_per_group",
-    "window_running_total",
-    "window_lag_timeline",
-    "window_ntile_curriculum",
-    "window_state_as_of",
-    "agg_cube_orders",
-    "agg_approx_distinct",
-    "join_broadcast_enrich",
-    "join_hierarchy_chain",
-    "join_self_pairs",
-    "join_semi_exists",
-    "join_anti_orphans",
-    "join_range_interval",
-    "join_event_correlation",
-    "join_top_orders",
-    "join_salted_skew",
-    "join_asof_last_click",
-    "emb_quantize_int8",
-    "emb_norm_stats",
-    "emb_dim_stats",
-    "emb_covariance",
-    "emb_pca_project_check",
-    "sim_ivf_probe_topk",
-    "sim_lsh_bucketed_neardup",
-    "sim_kmeans_refine",
-    "cdc_sessionization",
-    "text_length_percentiles",
-    "cdc_tenure_per_user",
-    "scalar_functions_showcase",
-    "events_funnel_conversion",
-    "events_cohort_retention",
-    "monitor_funnel_publish",
-    "monitor_engagement_publish",
-    "monitor_cohort_publish",
+    "cdc_subject_route",
+    "cdc_envelope_build",
+    "cdc_dedup_exact",
+    "cdc_retention_filter",
+    "cdc_validate_split",
+    "cdc_json_extract",
+    "cdc_tumbling_window",
+    "cdc_masking_pii",
+    "cdc_union_heterogeneous",
+    "cdc_set_intersect",
+    "cdc_set_except",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_distribution",
+    "text_fingerprint",
+    "text_token_frequencies",
+    "text_language_id",
+    "text_bpe_token_count",
+    "text_repetition_filter",
+    "text_unigram_logprob",
+    "text_tfidf_topk",
+    "text_bm25_topk",
+    "corpus_curation",
+    "corpus_decontaminate",
+    "pii_scrub_customers",
+    "corpus_mixture_plan",
+    "pii_erasure_cascade",
+    "mm_binary_metadata",
+    "mm_frame_sample",
+    "mm_resize_plan",
+    "mm_audio_chunk_plan",
+    "agg_pricing_summary",
+    "agg_daily_event_volume",
+    "agg_metrics_by_type",
+    "agg_rollup_region_nation",
+    "agg_grouping_sets_priority",
+    "agg_pivot_returnflag",
+    "agg_regional_revenue",
+    "events_anomaly_zscore",
+    "sim_cosine_topk",
+    "sim_nearest_centroid",
+    "sim_embedding_neardup",
+    "ann_search_after_lifecycle",
+    "stats_key_skew_report",
+    "stats_join_advisor",
+    "stats_numeric_profile",
+    "stats_join_cardinality",
+    "layout_zorder_stats",
+    "events_dau_wau",
+    "events_dau_wau_approx",
 ]
 
 
