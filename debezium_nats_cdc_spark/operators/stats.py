@@ -306,15 +306,19 @@ _PROFILE_COLS = [
     oracle="\n    UNION ALL\n".join(
         _profile_branch_sql(c, s) for c, s in _PROFILE_COLS),
     survey_ids=["C1", "D3"],
-    doc="Single-pass numeric column profiling (count / nulls / distinct "
-        "/ min / max / exact-DECIMAL mean) unpivoted to one row per "
-        "column — the data-quality probe a pipeline runs on every new "
-        "drop before trusting it.  ONE wide aggregate scans the table "
-        "once (every per-column stat is an independent agg expression; "
-        "Spark computes them in the same partial-agg pass), then a "
-        "driver-free explode unpivots the single wide row.  At 100 TB "
-        "this is the same one-scan shape; only COUNT(DISTINCT) adds a "
-        "shuffle (expand + two-phase agg), swap for approx_count_distinct "
+    doc="Numeric column profiling (count / nulls / distinct / min / max "
+        "/ exact-DECIMAL mean) unpivoted to one row per column — the "
+        "data-quality probe a pipeline runs on every new drop before "
+        "trusting it.  The plain stats ride ONE wide aggregate over one "
+        "scan; each exact COUNT(DISTINCT) runs as its OWN two-level "
+        "aggregate over a single-column pruned scan and crossJoins its "
+        "1-row result back (scalar-bounded broadcast).  Mixing the "
+        "distincts into the wide aggregate planned an Expand that "
+        "re-sent every row once per distinct column through a "
+        "full-width ~4x-cardinality hash aggregate — measured 1.7x "
+        "slower at sf0.1 and strictly more bytes at any scale (r17); "
+        "the split form shuffles only per-column distinct keys, "
+        "map-side partially aggregated.  Swap for approx_count_distinct "
         "when exactness isn't required.",
 )
 def stats_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,7 +332,6 @@ def stats_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         aggs += [
             F.count(col).cast("bigint").alias(f"_{col}_n"),
-            F.count_distinct(F.col(col)).cast("bigint").alias(f"_{col}_d"),
             F.min(col).cast("double").alias(f"_{col}_min"),
             F.max(col).cast("double").alias(f"_{col}_max"),
             F.when(F.count(col) == 0, F.lit(None)).otherwise(
@@ -344,9 +347,17 @@ def stats_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"_{col}_max").alias("max_val"),
             F.col(f"_{col}_mean").alias("mean_val"),
         ))
+    wide = o.agg(*aggs)
+    for col, _ in _PROFILE_COLS:
+        # each exact distinct count is its own narrow two-level agg
+        # (no Expand); the 1-row result broadcast-crossJoins back onto
+        # the wide stats row — COUNT(DISTINCT) semantics are identical
+        # (NULLs excluded by both forms)
+        d = o.agg(
+            F.count_distinct(F.col(col)).cast("bigint").alias(f"_{col}_d"))
+        wide = wide.join(F.broadcast(d))
     return (
-        o.agg(*aggs)
-        .select(F.explode(F.array(*structs)).alias("p"))
+        wide.select(F.explode(F.array(*structs)).alias("p"))
         .select("p.*")
     )
 

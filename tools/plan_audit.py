@@ -67,6 +67,10 @@ CARTESIAN_OK: dict[str, str] = {
                            "both sides scalar-bounded",
     "stats_join_cardinality": "1-row total-pair-rows frame crossJoined "
                               "onto the top-10 contributing-key slice",
+    "stats_numeric_profile": "three 1-row exact-distinct-count frames "
+                             "crossJoined onto the 1-row wide stats "
+                             "aggregate — all scalar bound (the r17 "
+                             "Expand-removal split)",
     "text_tfidf_topk": "1-row corpus-size (N) broadcast crossJoined "
                        "into the tf x df score — scalar bound",
     "stats_join_advisor": "three 1-row scalar frames (per-side "
