@@ -145,7 +145,17 @@ def _assign(vectors: DataFrame, cents: DataFrame,
 
 
 def _recompute_centroids(assigned: DataFrame) -> DataFrame:
-    """Deterministic per-cell mean: DECIMAL accumulation, position sort."""
+    """Deterministic per-cell mean: DECIMAL accumulation, position sort.
+
+    Shape note (r17, measured): a single-shuffle rewrite — d independent
+    ``sum(element_at(embedding, i))`` agg expressions per cell — was
+    numerically identical but 2x SLOWER at d=64 (the 64 two-field
+    DECIMAL buffers push the aggregate past codegen's field budget into
+    the interpreted path; raising spark.sql.codegen.maxFields only
+    recovered part of it).  The exploded form's extra exchange is 512
+    partially-aggregated narrow rows (cells x dims) — noise — so the
+    two-shuffle plan is the faster one at any realistic width and
+    stays (guide §1.1: keep the measured winner)."""
     dims = assigned.select("cell_id", F.posexplode("embedding").alias("pos", "val"))
     m = dims.groupBy("cell_id", "pos").agg(
         F.sum(F.col("val").cast("decimal(28,12)")).alias("s"),
@@ -182,6 +192,11 @@ def ivf_build(spark: SparkSession, vectors: DataFrame, index_dir: str,
     # and skew the lowest cell via NULL-cosine assignment — drop them,
     # matching ivf_add's guard and the engine's dirty-input discipline
     v = v.filter(F.size("embedding") == dim)
+    # Seed shape note (r17, measured): collecting the seeds driver-side
+    # (TakeOrdered + LocalRelation) was tried to drop the in-chain
+    # single-partition sort — it measured 6 jobs/10 stages vs this lazy
+    # form's 4/7 (the collect and the parallelize each cost a job) and
+    # was slower; the lazy subtree stays (guide §1.1).
     cents = v.orderBy("vec_id").limit(n_cells).select(
         F.row_number().over(W.orderBy("vec_id")).alias("cell_id"),
         F.col("embedding").alias("c_emb"),
@@ -336,8 +351,9 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
     Two pruning strategies, result-identical (tests pin equality):
 
     - ``probe_mode="literal"`` (default): the probed cell set (at most
-      n_cells ids — a DISTINCT over query×nprobe collapses to the cell
-      universe) is collected and inlined as a LITERAL partition filter,
+      n_cells ids — the collected query×nprobe cell ids dedup
+      driver-side to the cell universe) is inlined as a LITERAL
+      partition filter,
       so Catalyst statically prunes the vectors scan to those
       directories — the plan shows `PartitionFilters: [cell_id IN (..)]`
       and tests/test_ann_index.py pins it.  Right for interactive /
@@ -398,8 +414,19 @@ def ivf_search(spark: SparkSession, index_dir: str, queries: DataFrame,
     # reads back as string on BOTH paths
     raw_vectors = _vector_scan(spark, index_dir)
     if probe_mode == "literal":
+        # literal mode consumes `probes` twice — the cell-id collect
+        # below, then the final broadcast join — so a LAZY checkpoint
+        # lets the collect materialize it once and the final plan skip
+        # the query re-scan + nested-centroid re-aggregation (r17,
+        # guide §1.2; cache size = the query batch, literal mode's
+        # documented small-batch contract).  join mode is untouched:
+        # its probes feed the DPP broadcast directly.
+        probes = probes.localCheckpoint(eager=False)
+        # dedup driver-side: the collect moves Q x nprobe INTS, and
+        # dropping the .distinct() removes that exchange's extra AQE
+        # job per search — the resulting cell set is identical
         probed_cells = sorted({r["cell_id"] for r in
-                               probes.select("cell_id").distinct().collect()})
+                               probes.select("cell_id").collect()})
         # string literals are what statically prune; cast for the join
         vectors = (
             raw_vectors

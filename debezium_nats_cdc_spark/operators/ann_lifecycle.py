@@ -141,32 +141,54 @@ def _scratch_index_dir() -> str:
 )
 def ann_search_after_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = _clean_embeddings(spark, sf_dir)
-    if clean.limit(1).count() == 0:
+    # ONE aggregate answers both gates the lifecycle needs — any clean
+    # rows at all, and any base-slice rows — where two limit-1 probes
+    # (here + run_lifecycle's base check) each cost their own take-
+    # escalation jobs (r17, guide §1.2).  Equivalence: count == 0 iff
+    # the limit(1).count() it replaces was 0.
+    counts = clean.agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.count(F.when(~_is_stream_row(), 1)).alias("n_base")).first()
+    if counts["n_clean"] == 0:
         return spark.createDataFrame([], _RESULT_SCHEMA)
     index_dir = _scratch_index_dir()
-    run_lifecycle(spark, clean, index_dir)
+    run_lifecycle(spark, clean, index_dir,
+                  base_nonempty=counts["n_base"] > 0)
     queries = clean.filter(F.col("vec_id") < _N_QUERIES)
     return (
         ivf_search(spark, index_dir, queries, k=_K, nprobe=_N_CELLS)
-        .orderBy("query_id", "rnk")
+        # repartition(1) + sortWithinPartitions == orderBy on this
+        # k x |queries| bounded result (one globally sorted partition,
+        # identical row order), without the range exchange's extra
+        # sampling job per run (r17, guide §2.4)
+        .repartition(1)
+        .sortWithinPartitions("query_id", "rnk")
     )
 
 
+def _is_stream_row() -> F.Column:
+    """NULL-safe stream-slice predicate: NULL vec_ids go to the base
+    slice (a bare ~(pmod == 0) would drop them from BOTH slices and the
+    index would miss rows the oracle keeps)."""
+    return F.coalesce(F.pmod(F.col("vec_id"), F.lit(3)) == 0, F.lit(False))
+
+
 def run_lifecycle(spark: SparkSession, clean: DataFrame,
-                  index_dir: str) -> None:
+                  index_dir: str, base_nonempty: bool | None = None) -> None:
     """build -> 2-epoch stream ingest -> compact of the non-empty
     ``clean`` (vec_id, embedding) frame into ``index_dir`` — the exact
     mutation sequence the catalog query hashes (split out so tests can
-    inspect the index dir the query otherwise scratches)."""
+    inspect the index dir the query otherwise scratches).
+    ``base_nonempty`` lets a caller that already counted the base slice
+    (the catalog query's combined gate aggregate) skip the limit-1
+    probe; None keeps the self-contained check."""
     from ..streaming.ann_ingest import IvfStreamIngest
 
-    # NULL-safe partition of the clean corpus: NULL vec_ids go to the
-    # base slice (a bare ~(pmod == 0) would drop them from BOTH slices
-    # and the index would miss rows the oracle keeps)
-    is_stream = F.coalesce(
-        F.pmod(F.col("vec_id"), F.lit(3)) == 0, F.lit(False))
+    is_stream = _is_stream_row()
     base, stream = clean.filter(~is_stream), clean.filter(is_stream)
-    if base.limit(1).count() == 0:
+    if base_nonempty is None:
+        base_nonempty = base.limit(1).count() > 0
+    if not base_nonempty:
         # degenerate corpus (every clean id ≡ 0 mod 3): ivf_build needs
         # rows, so index everything at build time; search is unchanged
         base, stream = clean, None

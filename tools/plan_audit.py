@@ -79,10 +79,11 @@ CARTESIAN_OK: dict[str, str] = {
     "text_bm25_topk": "1-row corpus stats (N, avgdl) broadcast "
                       "crossJoined into the per-term score — scalar "
                       "bound",
-    "ann_search_after_lifecycle": "ivf_search probe scoring vs the "
-                                  "broadcast 8-row centroid table "
-                                  "(same bounded pattern as "
-                                  "sim_ivf_probe_topk)",
+    # ann_search_after_lifecycle left this list in r17: literal-mode
+    # probes are now lazily checkpointed (computed once, shared by the
+    # cell collect and the final broadcast), so the returned plan reads
+    # the checkpoint instead of re-running the bounded centroid
+    # nested-loop — the pattern the entry allowed is gone from the plan
 }
 
 # Queries whose range-partitioning exchange is a reviewed TERMINAL sort
@@ -99,9 +100,9 @@ RANGE_OK: dict[str, str] = {
     "mm_feature_extract": "presentation sort by doc_id of the feature "
                           "rows — N-row but over a map-only upstream; "
                           "drop-candidate if it ever shows up in bench",
-    "ann_search_after_lifecycle": "presentation sort of (query_id, rnk) "
-                                  "top-k rows (k x |queries| rows, "
-                                  "bounded)",
+    # ann_search_after_lifecycle left this list in r17: its terminal
+    # presentation sort now runs as repartition(1) + sortWithinPartitions
+    # (identical order, no range exchange)
 }
 
 
