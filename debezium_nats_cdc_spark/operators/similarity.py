@@ -210,8 +210,24 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.join(F.broadcast(cents)).select(
         "vec_id", "centroid_id", cos.alias("cos_sim")
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("centroid_id"))
-    assigned = scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    # argmax as an AGGREGATE, not a row_number window (r17, guide §2.3):
+    # max(struct(cos, -centroid)) reproduces the window's `desc(cos)
+    # NULLS LAST, asc(centroid_id)` rn=1 pick exactly (the r16-pinned
+    # _best_cell ordering argument: non-NULL cos beats NULL, ties fall
+    # to the smallest centroid), and the aggregate PARTIAL-aggregates
+    # map-side — the vec_id exchange carries one best-so-far row per
+    # vector instead of one row per (vector x centroid), and the
+    # window's per-partition sort disappears.  Cosines stay in the
+    # codegen'd join projection (the r16 nested-HOF rewrite moved them
+    # into interpreted lambdas and measured 30-80% slower — reverted).
+    assigned = scored.groupBy("vec_id").agg(
+        F.max(F.struct(
+            F.col("cos_sim"),
+            (-F.col("centroid_id")).alias("_neg"),
+            F.col("centroid_id").alias("centroid_id"),
+        )).alias("_b")
+    ).select(F.col("_b.centroid_id").alias("centroid_id"),
+             F.col("_b.cos_sim").alias("cos_sim"))
     return assigned.groupBy("centroid_id").agg(
         F.count("*").alias("n_members"),
         F.round(F.avg("cos_sim"), 6).cast("decimal(10,6)").cast("double").alias("avg_cos"),
@@ -382,14 +398,28 @@ def sim_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_cos = F.round(
         _pair_cos(F.col("c_emb"), F.col("embedding"), F.col("c_norm"), F.col("_norm")), 6
     ).cast("decimal(10,6)")
-    # index build: nearest centroid per vector (IVF assignment)
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell_id"))
+    # index build: nearest centroid per vector (IVF assignment).
+    # argmax as a map-side-combinable aggregate instead of a row_number
+    # window (r17, guide §2.3 — see sim_nearest_centroid): the vec_id
+    # exchange carries ONE best-so-far row per vector (embedding
+    # included once) instead of n_cells scored copies, and the window
+    # sort is gone; any_value is exact because vec_id is unique and the
+    # payload columns are constant within a group.
     indexed = (
         e.join(F.broadcast(cents))
         .select("vec_id", "embedding", "_norm", "cell_id", cell_cos.alias("cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "_norm", "cell_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(
+                F.col("cos"),
+                (-F.col("cell_id")).alias("_neg"),
+                F.col("cell_id").alias("cell_id"),
+            )).alias("_b"),
+            F.any_value("embedding").alias("embedding"),
+            F.any_value("_norm").alias("_norm"),
+        )
+        .select("vec_id", "embedding", "_norm",
+                F.col("_b.cell_id").alias("cell_id"))
     )
     # probe: nprobe nearest cells per query
     q = e.filter(F.col("vec_id") < 8).select(
@@ -540,17 +570,30 @@ def sim_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(cents: DataFrame) -> DataFrame:
+        # argmax aggregate, not a row_number window (r17, guide §2.3 —
+        # see sim_nearest_centroid): partial aggregation collapses the
+        # n_cells scored copies per vector BEFORE the vec_id exchange,
+        # so each Lloyd assignment shuffles one embedding per vector
+        # instead of sixteen, with no per-partition window sort
         cos = F.round(
             _pair_cos(F.col("c_emb"), F.col("embedding"),
                       F.col("c_norm"), F.col("_norm")), 6
         ).cast("decimal(10,6)")
-        w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell_id"))
         return (
             e.join(F.broadcast(cents))
-            .withColumn("cos", cos)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", "embedding", "cell_id", "cos")
+            .select("vec_id", "embedding", "cell_id", cos.alias("cos"))
+            .groupBy("vec_id")
+            .agg(
+                F.max(F.struct(
+                    F.col("cos"),
+                    (-F.col("cell_id")).alias("_neg"),
+                    F.col("cell_id").alias("cell_id"),
+                )).alias("_b"),
+                F.any_value("embedding").alias("embedding"),
+            )
+            .select("vec_id", "embedding",
+                    F.col("_b.cell_id").alias("cell_id"),
+                    F.col("_b.cos").alias("cos"))
         )
 
     cents0 = e.filter(F.col("vec_id") < n_cells).select(
